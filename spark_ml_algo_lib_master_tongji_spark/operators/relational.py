@@ -1,0 +1,237 @@
+"""Relational / dataflow operators (SURVEY §2.1 harness inventory).
+
+Each function here is one harness-level operator pattern the reference
+composes — scan, projection, filter, derived column, equi/left/anti/semi/
+broadcast join, grouped & scalar aggregation, distinct, union, top-k per key,
+sort/limit — re-expressed as declarative DataFrame plans so Catalyst applies
+predicate pushdown, column pruning, partial aggregation, and broadcast join
+selection automatically.
+
+Scale notes: every query below keeps filters next to the scan (pushdown),
+projects only needed columns (pruning into the parquet ReadSchema), marks
+genuinely-small dimension tables with ``F.broadcast`` (region/nation are
+constant-size regardless of SF), and aggregates before joining where
+semantics allow. No collect(), no driver-side loops.
+
+Float determinism: aggregate doubles are rounded (4 decimals) in both the
+Spark plan and the DuckDB oracle so order-of-summation noise cannot flip the
+driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+
+def q1_pricing_summary(cat: Catalog) -> DataFrame:
+    """Scan + filter + projection + grouped aggregation (TPC-H Q1 shape).
+
+    Reference ops: filter (``KNNRunner.scala:155-156``), selectExpr projection
+    (``DTRunner.scala:221``), grouped agg (``SVDRunner.scala:129-135``);
+    partial+final aggregation is Catalyst's tree-aggregate analogue
+    (``KNNClassifier.scala:87-96``)."""
+    li = cat.lineitem
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q6_forecast_revenue(cat: Catalog) -> DataFrame:
+    """Pushdown-friendly filter + scalar aggregate (TPC-H Q6 shape).
+
+    All three predicates reach the parquet scan as PushedFilters; the agg is
+    a single partial+final reduction — no shuffle of row data at any SF."""
+    li = cat.lineitem
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q3_top_unshipped_orders(cat: Catalog) -> DataFrame:
+    """3-way equi join + grouped agg + sort/limit (TPC-H Q3 shape).
+
+    Joins shuffle on their keys; customer is filtered before the join so the
+    build side shrinks; AQE converts to broadcast at low SF automatically.
+    Reference ops: DF equi join (``KNNRunner.scala:188-189``), sort+take
+    (``KNNRunner.scala:325,330``)."""
+    cust = cat.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = cat.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    li = cat.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_broadcast_dim_join(cat: Catalog) -> DataFrame:
+    """Star join with explicit broadcast of constant-size dims.
+
+    nation (25 rows) and region (5 rows) never grow with SF — broadcasting
+    them is correct at 100 TB, so we hint it rather than rely on stats.
+    Mirrors the reference's broadcast of small sides (``SVDRunner.scala:127-128``,
+    ``KNNRunner.scala:319``)."""
+    cust = cat.customer.select("c_custkey", "c_nationkey")
+    nation = cat.nation.select("n_nationkey", "n_name", "n_regionkey")
+    region = cat.region.select("r_regionkey", "r_name")
+    orders = cat.orders.select("o_custkey", "o_totalprice")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def q_anti_join_customers_without_orders(cat: Catalog) -> DataFrame:
+    """Left anti join (set difference), as in the reference's two-way
+    ``subtract`` pattern equality (``PrefixSpanRunner.scala:171-172``).
+    Restricted to recent orders so the result is non-empty at every SF
+    (every customer has *some* order in the fixtures)."""
+    cust = cat.customer.select("c_custkey", "c_name")
+    recent = cat.orders.where(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    ).select("o_custkey")
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+
+
+def q_semi_join_suppliers_with_big_lineitems(cat: Catalog) -> DataFrame:
+    """Left semi join — suppliers having any high-quantity lineitem."""
+    sup = cat.supplier.select("s_suppkey", "s_name")
+    big = cat.lineitem.where(F.col("l_quantity") >= 48).select("l_suppkey")
+    return sup.join(big, sup.s_suppkey == big.l_suppkey, "left_semi")
+
+
+def q_union_distinct_nations(cat: Catalog) -> DataFrame:
+    """Union + distinct (``SimRankOpenSource.scala:87``, ``LouvainRunner.scala:98``):
+    nation keys present on either side of the trade."""
+    c = cat.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+def q_topk_per_group(cat: Catalog, k: int = 3) -> DataFrame:
+    """Top-K per key via window ranking — the DF form of mllib's
+    ``topByKey(k)`` (``org/apache/spark/ml/knn/KNN.scala:120``).
+
+    Deterministic tie-break on (orderkey, linenumber) so results are stable
+    across engines and partitionings."""
+    li = cat.lineitem.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+def q_sort_limit_top_orders(cat: Catalog, n: int = 20) -> DataFrame:
+    """Global sort + limit (take-ordered): Spark plans TakeOrderedAndProject —
+    no full sort materialization at scale."""
+    return (
+        cat.orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(n)
+    )
+
+
+def q_case_conditional_agg(cat: Catalog) -> DataFrame:
+    """Derived column via CASE + conditional aggregation — the declarative
+    replacement for the reference's scalar UDFs like
+    ``udf((x: Double) => if (x < 0.0) 0.0 else 1.0)``
+    (``LinRRunner.scala:211-213``, ``KMeansRunner.scala:128-131``).
+    Stays inside whole-stage codegen; a Python UDF here would leave the JVM."""
+    li = cat.lineitem
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "returned_count"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("discounted_revenue"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+def q_grouped_having(cat: Catalog) -> DataFrame:
+    """GroupBy + post-aggregation filter (HAVING)."""
+    return (
+        cat.orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+        .where(F.col("order_count") >= 12)
+    )
+
+
+def q_events_first_per_user(cat: Catalog) -> DataFrame:
+    """First event per user via window — deduplication-by-recency pattern
+    used constantly in event pipelines. Tie-break on event_id."""
+    ev = cat.events.select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q_events_type_rollup(cat: Catalog) -> DataFrame:
+    """Event-type rollup with count/avg — the events-table smoke aggregate."""
+    return cat.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

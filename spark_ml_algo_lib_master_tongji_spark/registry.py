@@ -1,0 +1,47 @@
+"""Query registry: name → callable(spark, sf_dir) → DataFrame.
+
+Single source of truth for the driver contract (``__spark_entry__.queries``)
+and the pytest differential suite. Every operator claimed in SURVEY.md §2
+appears here; SQL-expressible ones have a matching oracle in ``oracles.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_ml_algo_lib_master_tongji_spark.operators import relational
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _wrap(fn: Callable[[Catalog], DataFrame]) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(Catalog(spark, sf_dir))
+
+    return run
+
+
+def build_registry() -> dict[str, QueryFn]:
+    reg: dict[str, QueryFn] = {}
+
+    for name in (
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "q3_top_unshipped_orders",
+        "q_broadcast_dim_join",
+        "q_anti_join_customers_without_orders",
+        "q_semi_join_suppliers_with_big_lineitems",
+        "q_union_distinct_nations",
+        "q_topk_per_group",
+        "q_sort_limit_top_orders",
+        "q_case_conditional_agg",
+        "q_grouped_having",
+        "q_events_first_per_user",
+        "q_events_type_rollup",
+    ):
+        reg[name] = _wrap(getattr(relational, name))
+
+    return reg

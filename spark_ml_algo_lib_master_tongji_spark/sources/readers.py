@@ -1,0 +1,183 @@
+"""Sources: canonical DataFrame readers.
+
+The reference reads text CSV-ish rows (``CovRunner.scala:97-99``), libsvm
+(``DTRunner.scala:201-216``), Mahout SequenceFile (``KMeansRunner.scala:119-124``),
+Spark objectFile (``ALSRunner.scala:125``), ORC (``IDFRunner.scala:102``), and
+Hive tables (``PageRankHiveRunner.scala:39-40``). This engine standardizes on
+**Parquet + DataFrame readers**: every adapter lands in a canonical schema so
+downstream operators never care about the wire format. SequenceFile/objectFile
+are JVM-serialization formats with no portable Python story — their role
+(vector/ratings storage) is covered by parquet.
+
+All readers return plain DataFrames; columns feeding spark.ml estimators are
+converted to ``VectorUDT`` at the estimator boundary (``operators/ml``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Parquet scan → Catalyst gets column pruning
+    and predicate pushdown for free; callers filter/select on the result and
+    the plan shows ``PushedFilters``/``ReadSchema`` trimmed accordingly.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; we read it as long (``nanosAsLong``) and floor-divide to
+    microseconds — the same ns→µs truncation DuckDB applies — so differential
+    results agree."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+class Catalog:
+    """Lazy handle to the fixture star schema at one scale-factor dir.
+
+    Accessing ``cat.lineitem`` etc. returns the DataFrame; nothing is cached
+    or materialized here — plans stay fully declarative so Catalyst can push
+    filters into each scan independently per query.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return load_table(self.spark, self.sf_dir, name)
+        raise AttributeError(name)
+
+    def view(self, name: str) -> DataFrame:
+        df = load_table(self.spark, self.sf_dir, name)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_all(self) -> None:
+        """Register every fixture table as a temp view for spark.sql use
+        (mirrors the reference's Hive-table entry path,
+        ``PageRankHiveRunner.scala:39-40``)."""
+        for t in TABLES:
+            self.view(t)
+
+
+def read_libsvm(
+    spark: SparkSession, path: str, num_features: int | None = None
+) -> DataFrame:
+    """libsvm reader → (label double, features vector).
+
+    Mirrors ``spark.read.format("libsvm").option("numFeatures", …)`` in the
+    reference (``DTRunner.scala:201-216``; per-dataset numFeatures: mnist8m=784,
+    higgs=28, epsilon=2000, rcv=47236)."""
+    reader = spark.read.format("libsvm")
+    if num_features is not None:
+        reader = reader.option("numFeatures", str(num_features))
+    return reader.load(path)
+
+
+def read_features_csv(
+    spark: SparkSession, path: str, sep: str = ",", comment: str = "#"
+) -> DataFrame:
+    """Dense feature rows from delimited text → (features array<double>).
+
+    Reference shape: ``sc.textFile`` + split + toDouble (``CovRunner.scala:97-99``,
+    ``DBSCANRunner.scala:48``). Comment lines are filtered like
+    ``graph/Util.scala:21,43``. Stays JVM-side: split + cast via builtins, no
+    Python row loop."""
+    lines = spark.read.text(path)
+    rows = lines.filter(~F.col("value").startswith(comment))
+    return rows.select(
+        F.transform(F.split(F.col("value"), sep), lambda x: x.cast("double")).alias(
+            "features"
+        )
+    )
+
+
+def read_labeled_text(
+    spark: SparkSession, path: str, label_sep: str = ",", feat_sep: str = " "
+) -> DataFrame:
+    """'label,f1 f2 f3 …' text → (label double, features array<double>).
+
+    Reference: SVM input parse at ``SVMRunner.scala:106-109``."""
+    lines = spark.read.text(path)
+    parts = lines.select(
+        F.split(F.col("value"), label_sep, 2).alias("p")
+    )
+    return parts.select(
+        F.element_at("p", 1).cast("double").alias("label"),
+        F.transform(
+            F.split(F.element_at("p", 2), feat_sep), lambda x: x.cast("double")
+        ).alias("features"),
+    )
+
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+    ]
+)
+
+
+def read_edge_list(
+    spark: SparkSession,
+    path: str,
+    sep: str = r"\s+",
+    comment: str = "#",
+    default_weight: float = 1.0,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Edge-list text → (src long, dst long, weight double).
+
+    Reference: ``graph/Util.scala:106-136`` (``loadLines2EdgesT``) — comment
+    lines skipped, self-loops dropped, optional third weight column."""
+    lines = spark.read.text(path).filter(~F.col("value").startswith(comment))
+    toks = lines.select(F.split(F.trim("value"), sep).alias("t"))
+    edges = toks.select(
+        F.element_at("t", 1).cast("long").alias("src"),
+        F.element_at("t", 2).cast("long").alias("dst"),
+        F.coalesce(
+            F.element_at("t", 3).cast("double"), F.lit(float(default_weight))
+        ).alias("weight"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if drop_self_loops:
+        edges = edges.where(F.col("src") != F.col("dst"))
+    return edges
+
+
+def read_coo_text(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
+    """COO sparse-matrix text 'row,col,value' → (row long, col long, value double).
+
+    Reference: sparse PCA input assembly at ``PCARunner.scala:133-149``.
+    Row vectors are assembled downstream by groupBy(row) + sparse-vector
+    construction (``operators/ml/features.py``)."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    toks = lines.select(F.split(F.trim("value"), sep).alias("t"))
+    return toks.select(
+        F.element_at("t", 1).cast("long").alias("row"),
+        F.element_at("t", 2).cast("long").alias("col"),
+        F.element_at("t", 3).cast("double").alias("value"),
+    )
