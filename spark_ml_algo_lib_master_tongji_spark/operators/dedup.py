@@ -1,0 +1,228 @@
+"""Deduplication operators (beyond-reference LLM-pipeline surface).
+
+- exact:   hash-groupBy on a canonical fingerprint (one shuffle on the hash).
+- minhash: MinHash + LSH banding — shingle→signature→band→bucket self-join.
+- simhash: 32-bit SimHash fingerprints from token hashes.
+- jaccard: exact n-gram Jaccard verification of LSH candidate pairs.
+
+Determinism across engines: every hash is md5 (identical in Spark and
+DuckDB), so the full LSH pipeline has an exact SQL twin in ``oracles.py``.
+
+Scale design: nothing here collects to the driver. The LSH self-join keys on
+(band_idx, band_signature) so the shuffle carries only doc_id + band keys —
+candidate generation is O(collisions), never O(n²). Exact Jaccard runs only
+on candidate pairs. At 100 TB you'd raise NUM_PERM/shingle size, not change
+the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+
+from spark_ml_algo_lib_master_tongji_spark.functions import text as TXT
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, spread
+
+NUM_PERM = 8          # minhash permutations (md5 seeded)
+BAND_SIZE = 2         # rows per LSH band → 4 bands
+JACCARD_THRESHOLD = 0.2
+
+
+def _docs_with_recrawl(cat: Catalog) -> DataFrame:
+    """Documents unioned with a 10% 're-crawl' slice so exact duplicates
+    exist to deduplicate (fixture texts are all unique)."""
+    d = cat.documents.select("doc_id", "text")
+    recrawl = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(recrawl)
+
+
+def dedup_exact(cat: Catalog) -> DataFrame:
+    """Exact dedup: canonical fingerprint → keep min doc_id per group.
+    Single hash-shuffle on the fingerprint; partial aggregation makes the
+    map side emit one row per (partition, fingerprint)."""
+    docs = _docs_with_recrawl(cat)
+    fp = TXT.fingerprint(F.col("text"))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh array<string>) distinct word n-gram sets.
+
+    Staged projections matter here: tokens land in a column first, then the
+    n-grams index into that array attribute. Building shingles straight off
+    ``split(text)`` inlines the split into every ``element_at`` lambda call
+    (3 per gram × grams × perms — re-tokenizing the doc hundreds of times
+    per row). Catalyst's CollapseProject keeps multi-referenced non-cheap
+    aliases materialized, so the split runs once per row."""
+    toks_df = docs.select("doc_id", TXT.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    sh = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return toks_df.select("doc_id", F.array_distinct(sh).alias("sh"))
+
+
+def _perm_cols() -> list:
+    """8 permutation hashes from two md5 digests: md5(s) and md5('1:'||s),
+    each split into four 8-hex-char chunks. Two hash evaluations per shingle
+    instead of eight, and every op (md5/substring/min) is codegen-friendly."""
+    cols = []
+    for base, h in ((0, F.md5(F.col("s"))), (4, F.md5(F.concat(F.lit("1:"), F.col("s"))))):
+        for c in range(4):
+            cols.append((base + c, F.substring(h, c * 8 + 1, 8)))
+    return cols
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig array<string>) — sig[p] = min over shingles of the p-th
+    permutation hash.
+
+    Shape: explode shingles → hash projection → hash-aggregate min per doc.
+    The whole pipeline stays in whole-stage codegen (higher-order array
+    functions fall back to interpreted eval and ran ~5× slower); partial
+    aggregation shrinks the shuffle to one row per (partition, doc)."""
+    assert num_perm == NUM_PERM, "signature layout is fixed at 8 perms"
+    ex = shingle_sets(docs).select("doc_id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(expr).alias(f"m{p}") for p, expr in _perm_cols()
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"m{p}") for p in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, band_size: int = BAND_SIZE, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key): docs
+    sharing any full band become candidates. Shuffle key is the band hash —
+    collision-bounded, not O(n²)."""
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.element_at("sig", b * band_size + r + 1) for r in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(cat: Catalog) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH candidates → exact 3-gram
+    Jaccard on candidates only → pairs ≥ threshold."""
+    docs = spread(cat.documents.select("doc_id", "text"))
+    # signatures and shingle sets each feed two plan branches (both sides of
+    # the self-join / both pair endpoints); persist so the md5 pipeline runs
+    # once — the reference persists at exactly these reuse boundaries too
+    # (CovRunner.scala:100, DTRunner.scala:227)
+    sigs = minhash_signatures(docs).persist()
+    cand = lsh_candidate_pairs(sigs)
+    sh = shingle_sets(docs).persist()
+    j = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", round_half_up("jaccard", 4).alias("jaccard")
+    )
+
+
+def dedup_simhash(cat: Catalog) -> DataFrame:
+    """32-bit SimHash per document from token md5s.
+
+    bit_j(simhash) = sign of Σ_tokens (±1 by bit_j of the token's 32-bit
+    hash). Explode-free: tokens stay in an array; the per-bit sums are a
+    fixed-size fold — one projection, no shuffle."""
+    # stage the token hashes as a column: 32 bit-folds then read an array
+    # attribute instead of re-hashing every token 32 times
+    h_df = spread(cat.documents).select(
+        "doc_id",
+        F.transform(
+            TXT.tokens(F.col("text")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("h"),
+    )
+
+    def _bit_sum(j: int):
+        # closure factory: pyspark inspects lambda arity, so the bit index
+        # can't ride along as a default argument
+        def merge(acc, v):
+            return acc + F.when(
+                F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(F.col("h"), F.lit(0), merge)
+
+    sim = F.lit(0).cast("long")
+    for j in range(32):
+        sim = sim + F.when(_bit_sum(j) > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return h_df.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash_pairs(cat: Catalog, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the top-16-bit
+    prefix (docs differing only in low bits collide in a block; a full
+    multi-probe variant would rotate 4 prefix tables — same plan shape)."""
+    sims = dedup_simhash(cat)
+    pref = sims.select(
+        "doc_id", "simhash", F.shiftright("simhash", 16).alias("block")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 
@@ -38,13 +40,13 @@ def q1_pricing_summary(cat: Catalog) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
+            round_half_up(F.sum("l_quantity"), 4).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            round_half_up(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -65,7 +67,7 @@ def q6_forecast_revenue(cat: Catalog) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -87,7 +89,7 @@ def q3_top_unshipped_orders(cat: Catalog) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
+            round_half_up(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
@@ -114,7 +116,7 @@ def q_broadcast_dim_join(cat: Catalog) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            round_half_up(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
 
@@ -191,7 +193,7 @@ def q_case_conditional_agg(cat: Catalog) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
             "returned_count"
         ),
-        F.round(
+        round_half_up(
             F.sum(
                 F.when(
                     F.col("l_discount") > 0.05,
@@ -210,7 +212,7 @@ def q_grouped_having(cat: Catalog) -> DataFrame:
         cat.orders.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+            round_half_up(F.sum("o_totalprice"), 4).alias("total_spent"),
         )
         .where(F.col("order_count") >= 12)
     )
@@ -232,6 +234,6 @@ def q_events_type_rollup(cat: Catalog) -> DataFrame:
     """Event-type rollup with count/avg — the events-table smoke aggregate."""
     return cat.events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        round_half_up(F.avg("value"), 4).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )

@@ -1,0 +1,111 @@
+"""Statistics operators (SURVEY §2.2 #12-14: Covariance, Pearson, Spearman,
+plus the summary() surface used by LinRRunner for MSE).
+
+The reference computes these through ``mllib.stat.Statistics.corr`` /
+``RowMatrix.computeCovariance`` (``CovRunner.scala:102``,
+``PearsonRunner.scala:140``, ``SpearManRunner.scala:123``). Here the same
+statistics are declared as DataFrame aggregates so Catalyst runs them as one
+partial+final pass over the scan — no RowMatrix materialization, no driver
+matrix. ``pyspark.ml.stat.Correlation`` remains available through
+``operators.ml.linalg`` for VectorUDT callers; this module is the scalable
+column-pair surface.
+
+Scale: Pearson/covariance are single-pass aggregations (no shuffle of rows,
+only of partial moments). Spearman needs per-column ranks — a global sort per
+column, the same cost profile as Spark's own ``Correlation.corr(spearman)``
+which also ranks globally.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+LINEITEM_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _short(c: str) -> str:
+    return c.split("_", 1)[-1]
+
+
+def correlation_pairs(
+    df: DataFrame, cols: tuple[str, ...], method: str = "pearson", digits: int = 4
+) -> DataFrame:
+    """Pairwise correlation of ``cols`` → one wide row
+    (corr_<a>_<b> per pair). method ∈ {pearson, spearman}.
+
+    Spearman = Pearson on average-ties ranks: rank() + (tie_count-1)/2,
+    matching the standard fractional-rank definition (and the reference's
+    ``Correlation.corr(..., "spearman")`` semantics)."""
+    if method == "spearman":
+        df = df.select(
+            *[
+                (
+                    F.rank().over(Window.orderBy(c))
+                    + (F.count(F.lit(1)).over(Window.partitionBy(c)) - 1) / 2.0
+                ).alias(c)
+                for c in cols
+            ]
+        )
+    aggs = [
+        round_half_up(F.corr(a, b), digits).alias(f"corr_{_short(a)}_{_short(b)}")
+        for a, b in combinations(cols, 2)
+    ]
+    return df.agg(*aggs)
+
+
+def covariance_pairs(
+    df: DataFrame, cols: tuple[str, ...], digits: int = 4
+) -> DataFrame:
+    """Pairwise sample covariance (``RowMatrix.computeCovariance`` analogue,
+    ``CovRunner.scala:101-102``) as one aggregation row."""
+    aggs = [
+        round_half_up(F.covar_samp(a, b), digits).alias(f"cov_{_short(a)}_{_short(b)}")
+        for a, b in combinations(cols, 2)
+    ]
+    aggs += [
+        round_half_up(F.var_samp(c), digits).alias(f"var_{_short(c)}") for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def summary_stats(df: DataFrame, cols: tuple[str, ...], digits: int = 4) -> DataFrame:
+    """min/max/mean/stddev/count per column — the ``df.summary``/``.mean()``
+    surface (``LinRRunner.scala:216-218``, ``ALSRunner.scala:222``) as a
+    single wide aggregation row."""
+    aggs = []
+    for c in cols:
+        s = _short(c)
+        aggs += [
+            round_half_up(F.min(c), digits).alias(f"min_{s}"),
+            round_half_up(F.max(c), digits).alias(f"max_{s}"),
+            round_half_up(F.avg(c), digits).alias(f"avg_{s}"),
+            round_half_up(F.stddev_samp(c), digits).alias(f"std_{s}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return df.agg(*aggs)
+
+
+# ---- registry entries ------------------------------------------------------
+
+
+def stat_pearson_lineitem(cat: Catalog) -> DataFrame:
+    return correlation_pairs(cat.lineitem, LINEITEM_NUMERIC, "pearson")
+
+
+def stat_spearman_lineitem(cat: Catalog) -> DataFrame:
+    return correlation_pairs(cat.lineitem, LINEITEM_NUMERIC, "spearman")
+
+
+def stat_covariance_lineitem(cat: Catalog) -> DataFrame:
+    return covariance_pairs(cat.lineitem, LINEITEM_NUMERIC)
+
+
+def stat_summary_lineitem(cat: Catalog) -> DataFrame:
+    return summary_stats(cat.lineitem, LINEITEM_NUMERIC)

@@ -1,0 +1,86 @@
+"""Text-analysis operators over the documents table (beyond-reference
+LLM-data-pipeline surface): token stats, quality scoring, language ID,
+fingerprinting. Pure builtin expressions — one codegen'd projection over the
+parquet scan, embarrassingly parallel at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+
+from spark_ml_algo_lib_master_tongji_spark.functions import text as TXT
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+
+def text_token_stats(cat: Catalog) -> DataFrame:
+    """Per-document token statistics (token counting surface)."""
+    d = cat.documents
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TXT.token_count(c).alias("n_tokens"),
+        TXT.distinct_token_count(c).alias("n_distinct_tokens"),
+        F.length(c).alias("n_chars_computed"),
+        round_half_up(TXT.mean_token_length(c), 4).alias("mean_token_len"),
+    )
+
+
+def text_quality_score(cat: Catalog) -> DataFrame:
+    """Heuristic quality score: length band + stopword presence − repetition.
+
+    The score formula is arbitrary-but-fixed; what matters at scale is that
+    it's a single projection (no shuffle) and expressible for the oracle."""
+    d = cat.documents
+    c = F.col("text")
+    n_tok = TXT.token_count(c)
+    stop = TXT.stopword_ratio(c)
+    # distinct-token ratio computed directly (not as 1-(1-x)): fp addition
+    # isn't associative, and the oracle SQL uses this exact expression shape.
+    distinct_ratio = TXT.distinct_token_count(c) / F.greatest(n_tok, F.lit(1))
+    rep = F.lit(1.0) - distinct_ratio
+    digit = TXT.digit_ratio(c)
+    quality = (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * distinct_ratio
+        - digit
+    )
+    return d.select(
+        "doc_id",
+        round_half_up(stop, 4).alias("stopword_ratio"),
+        round_half_up(rep, 4).alias("repetition_ratio"),
+        round_half_up(digit, 4).alias("digit_ratio"),
+        round_half_up(quality, 4).alias("quality"),
+    )
+
+
+def text_lang_id(cat: Catalog) -> DataFrame:
+    """Marker-lexicon language ID: argmax of per-language marker token hits,
+    deterministic tie-break by lexicon order, 'und' when no marker hits."""
+    d = cat.documents
+    scores = TXT.lang_scores(F.col("text"))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # iterate in fixed lexicon order; strict > keeps the first-wins tie-break
+    for lang, score in scores.items():
+        take = score > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, score).otherwise(best_n)
+    sel = [F.col("doc_id"), best.alias("pred_lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in TXT.LANG_MARKERS]
+    return d.select(*sel)
+
+
+def text_fingerprint(cat: Catalog) -> DataFrame:
+    """Canonicalizing md5 fingerprint per document + a 64-bit prefix key
+    usable as a shard-stable dedup/bucketing id."""
+    d = cat.documents
+    fp = TXT.fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_key"),
+    )

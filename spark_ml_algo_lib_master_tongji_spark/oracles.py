@@ -72,7 +72,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
         )
     """,
     "q_topk_per_group": """
-        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               CAST(rank AS INT) AS rank
         FROM (
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
                    row_number() OVER (
@@ -130,7 +131,359 @@ RELATIONAL_ORACLES: dict[str, str] = {
 }
 
 
+def _corr_pairs(expr: str, table: str) -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    short = {c: c.split("_", 1)[-1] for c in cols}
+    sel = ", ".join(
+        f"round({expr.format(a=a, b=b)}, 4) AS corr_{short[a]}_{short[b]}"
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    )
+    return f"SELECT {sel} FROM {table}"
+
+
+_RANKED_LINEITEM = """(
+    SELECT
+        rank() OVER (ORDER BY l_quantity)
+          + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0      AS l_quantity,
+        rank() OVER (ORDER BY l_extendedprice)
+          + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS l_extendedprice,
+        rank() OVER (ORDER BY l_discount)
+          + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0      AS l_discount,
+        rank() OVER (ORDER BY l_tax)
+          + (count(*) OVER (PARTITION BY l_tax) - 1) / 2.0           AS l_tax
+    FROM lineitem
+)"""
+
+STATS_ORACLES: dict[str, str] = {
+    "stat_pearson_lineitem": _corr_pairs("corr({a}, {b})", "lineitem"),
+    "stat_spearman_lineitem": _corr_pairs("corr({a}, {b})", _RANKED_LINEITEM),
+    "stat_covariance_lineitem": (
+        _corr_pairs("covar_samp({a}, {b})", "lineitem")
+        .replace("corr_", "cov_")
+        .replace(" FROM", ", "
+                 "round(var_samp(l_quantity), 4) AS var_quantity, "
+                 "round(var_samp(l_extendedprice), 4) AS var_extendedprice, "
+                 "round(var_samp(l_discount), 4) AS var_discount, "
+                 "round(var_samp(l_tax), 4) AS var_tax FROM", 1)
+    ),
+    "stat_summary_lineitem": """
+        SELECT
+            round(min(l_quantity), 4)              AS min_quantity,
+            round(max(l_quantity), 4)              AS max_quantity,
+            round(avg(l_quantity), 4)              AS avg_quantity,
+            round(stddev_samp(l_quantity), 4)      AS std_quantity,
+            round(min(l_extendedprice), 4)         AS min_extendedprice,
+            round(max(l_extendedprice), 4)         AS max_extendedprice,
+            round(avg(l_extendedprice), 4)         AS avg_extendedprice,
+            round(stddev_samp(l_extendedprice), 4) AS std_extendedprice,
+            round(min(l_discount), 4)              AS min_discount,
+            round(max(l_discount), 4)              AS max_discount,
+            round(avg(l_discount), 4)              AS avg_discount,
+            round(stddev_samp(l_discount), 4)      AS std_discount,
+            round(min(l_tax), 4)                   AS min_tax,
+            round(max(l_tax), 4)                   AS max_tax,
+            round(avg(l_tax), 4)                   AS avg_tax,
+            round(stddev_samp(l_tax), 4)           AS std_tax,
+            count(*)                               AS n_rows
+        FROM lineitem
+    """,
+}
+
+
+# ---- text / dedup / similarity (md5-keyed → engine-portable) --------------
+
+_STOPWORDS_SQL = (
+    "['the','a','an','and','or','of','to','in','is','on','for','with',"
+    "'as','by','at','it','that','this']"
+)
+
+_LANG_SQL = {
+    "en": "['the','and','of','a','is']",
+    "fr": "['le','la','et','les','des']",
+    "de": "['der','die','und','das','ist']",
+    "es": "['el','los','las','una','es']",
+    "zh": "['de5','shi4','le5','zai4','he2']",
+}
+
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+# 3-gram shingle set per doc (empty when < 3 tokens), shared by dedup oracles
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE []::VARCHAR[] END
+               ) AS s
+        FROM toks
+    )
+"""
+
+TEXT_ORACLES: dict[str, str] = {
+    "text_token_stats": """
+        SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS INT)                AS n_tokens,
+               CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct_tokens,
+               CAST(length(text) AS INT)                               AS n_chars_computed,
+               round(list_sum(list_transform(string_split(text,' '), t -> length(t)))
+                     * 1.0 / greatest(len(string_split(text,' ')), 1), 4)
+                                                                       AS mean_token_len
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   string_split(text,' ') AS t,
+                   length(text) AS nc,
+                   length(regexp_replace(text, '[0-9]', '', 'g')) AS nc_nodigit
+            FROM documents
+        )
+        SELECT doc_id,
+               round(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                     * 1.0 / greatest(len(t), 1), 4)              AS stopword_ratio,
+               round(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 4)
+                                                                  AS repetition_ratio,
+               round((nc - nc_nodigit) * 1.0 / greatest(nc, 1), 4) AS digit_ratio,
+               round(
+                   (CASE WHEN len(t) BETWEEN 10 AND 1000
+                         THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+                 + (CASE WHEN len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                              * 1.0 / greatest(len(t), 1) > 0.01
+                         THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+                 + 0.3::DOUBLE * (len(list_distinct(t)) * 1.0 / greatest(len(t), 1))
+                 - (nc - nc_nodigit) * 1.0 / greatest(nc, 1), 4)  AS quality
+        FROM m
+    """,
+    "text_lang_id": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> list_contains({_LANG_SQL['en']}, x))) AS INT) AS score_en,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> list_contains({_LANG_SQL['fr']}, x))) AS INT) AS score_fr,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> list_contains({_LANG_SQL['de']}, x))) AS INT) AS score_de,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> list_contains({_LANG_SQL['es']}, x))) AS INT) AS score_es,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> list_contains({_LANG_SQL['zh']}, x))) AS INT) AS score_zh
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(score_en,score_fr,score_de,score_es,score_zh) <= 0
+                        THEN 'und'
+                    WHEN score_en >= greatest(score_fr,score_de,score_es,score_zh)
+                        THEN 'en'
+                    WHEN score_fr >= greatest(score_de,score_es,score_zh) THEN 'fr'
+                    WHEN score_de >= greatest(score_es,score_zh) THEN 'de'
+                    WHEN score_es >= score_zh THEN 'es'
+                    ELSE 'zh' END AS pred_lang,
+               score_en, score_fr, score_de, score_es, score_zh
+        FROM s
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM_TEXT}) AS fingerprint,
+               ('0x' || substr(md5({_NORM_TEXT}), 1, 15))::BIGINT AS fp_key
+        FROM documents
+    """,
+}
+
+_MINHASH_SIG_SQL = (
+    "["
+    + ", ".join(f"list_min(list_transform(s, x -> md5('{p}:' || x)))" for p in range(8))
+    + "]"
+)
+
+DEDUP_ORACLES: dict[str, str] = {
+    "dedup_exact": f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+               min(doc_id) AS keeper_doc_id,
+               count(*)    AS n_copies
+        FROM docs
+        GROUP BY 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM sh2),
+        bands AS (
+            SELECT doc_id, b.band_idx,
+                   sig[b.band_idx*2 + 1] || '|' || sig[b.band_idx*2 + 2] AS band_key
+            FROM sigs, (VALUES (0),(1),(2),(3)) b(band_idx)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(x.s, y.s)) * 1.0
+                     / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+        FROM cand
+        JOIN sh2 x ON cand.doc_a = x.doc_id
+        JOIN sh2 y ON cand.doc_b = y.doc_id
+        WHERE len(list_intersect(x.s, y.s)) * 1.0
+              / len(list_distinct(list_concat(x.s, y.s))) >= 0.2
+    """,
+    "dedup_simhash": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text,' '),
+                       tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN list_sum(list_transform(h,
+                            v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << j) ELSE 0 END AS bitv
+            FROM t, range(0, 32) r(j)
+        )
+        SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+}
+
+DEDUP_ORACLES["dedup_simhash_pairs"] = f"""
+    WITH sims AS ({DEDUP_ORACLES["dedup_simhash"]}),
+    pref AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sims)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM pref a JOIN pref b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+SIM_ORACLES: dict[str, str] = {
+    "sim_brute_force_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS cv
+            FROM embeddings WHERE vec_id >= 10
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+            FROM c, q
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+    """,
+}
+
+
+def _lsh_pairs_oracle() -> str:
+    """Mirror operators/similarity.py sim_lsh_bucket_pairs: identical
+    md5-derived hyperplane constants rendered as SQL literals."""
+    import hashlib
+
+    planes = []
+    for p in range(8):
+        vals = []
+        for d in range(64):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            vals.append(repr((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0))
+        planes.append("[" + ", ".join(vals) + "]")
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[p]}) > 0 THEN {2**p} ELSE 0 END)"
+        for p in range(8)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        sigs AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+            FROM sigs a JOIN sigs b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+    """
+
+
+SIM_ORACLES["sim_lsh_bucket_pairs"] = _lsh_pairs_oracle()
+
+
+def fix_rounds(sql: str) -> str:
+    """Rewrite every ``round(expr, d)`` to ``floor((expr) * 1eD + 0.5) / 1eD``.
+
+    Spark's and DuckDB's ``round`` disagree on decimal-half boundary doubles
+    (HALF_UP on binary vs decimal-string semantics); the Spark side uses the
+    same floor formula (``functions/rounding.py``), making both engines
+    bit-identical. Parses balanced parens so nested calls are safe."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        j = sql.find("round(", i)
+        # skip identifiers like 'xround(' — require a non-word char before
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = sql.find("round(", j + 1)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 0
+        k = j + len("round(")
+        start = k
+        comma = -1
+        while k < n:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                comma = k
+            k += 1
+        expr = sql[start:comma].strip()
+        digits = int(sql[comma + 1 : k].strip())
+        scale = f"1e{digits}"
+        out.append(f"floor(({expr}) * {scale} + 0.5) / {scale}")
+        i = k + 1
+    return "".join(out)
+
+
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
-    return out
+    out.update(STATS_ORACLES)
+    out.update(TEXT_ORACLES)
+    out.update(DEDUP_ORACLES)
+    out.update(SIM_ORACLES)
+    return {k: fix_rounds(v) for k, v in out.items()}

@@ -11,7 +11,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_ml_algo_lib_master_tongji_spark.operators import relational
+from spark_ml_algo_lib_master_tongji_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+    stats,
+    text_analysis,
+)
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -43,5 +49,32 @@ def build_registry() -> dict[str, QueryFn]:
         "q_events_type_rollup",
     ):
         reg[name] = _wrap(getattr(relational, name))
+
+    for name in (
+        "stat_pearson_lineitem",
+        "stat_spearman_lineitem",
+        "stat_covariance_lineitem",
+        "stat_summary_lineitem",
+    ):
+        reg[name] = _wrap(getattr(stats, name))
+
+    for name in (
+        "text_token_stats",
+        "text_quality_score",
+        "text_lang_id",
+        "text_fingerprint",
+    ):
+        reg[name] = _wrap(getattr(text_analysis, name))
+
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+    ):
+        reg[name] = _wrap(getattr(dedup, name))
+
+    for name in ("sim_brute_force_topk", "sim_lsh_bucket_pairs"):
+        reg[name] = _wrap(getattr(similarity, name))
 
     return reg

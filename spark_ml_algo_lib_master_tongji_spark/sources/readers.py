@@ -53,6 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Small fixture tables arrive as a single parquet split, which serializes
+    compute-heavy per-row pipelines (minhash, simhash, cosine) onto one
+    core. A repartition before such compute costs one tiny shuffle of the
+    raw rows and buys full-cluster parallelism — the same reasoning as the
+    reference's ubiquitous ``repartition(pt)`` after load
+    (``KMeansRunner.scala:124``). At real scale the scan already yields many
+    splits, and the shuffle stays negligible relative to the per-row work."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 class Catalog:
     """Lazy handle to the fixture star schema at one scale-factor dir.
 
