@@ -1,0 +1,622 @@
+"""Graph analytics engine over DataFrames (SURVEY §2.3).
+
+The reference runs GraphX / BoostKit graph kernels (PageRank
+``graph/PageRankRunner.scala:108-113``, BFS ``graph/BFSRunner.scala:91-101``,
+CC ``graph/ConnectedComponentsRunner.scala:67``, k-core Pregel
+``graph/KcoreMain.scala:43-77``, triangle count
+``graph/TrangleCountRunner.scala:81``, …). GraphX has no Python API, so this
+engine re-expresses each algorithm as an iterative DataFrame join+aggregate
+loop ("DataFrame Pregel", ``plans/iterative.iterate``) — the same message/
+merge structure as Pregel's vprog/sendMsg/mergeMsg, but declared through
+Catalyst so each superstep is a shuffled hash/sort-merge join+agg that AQE
+can re-plan at runtime.
+
+**Fixed-iteration semantics.** Every operator here runs a *fixed* number of
+supersteps (matching the reference's ``numIter`` variants, e.g.
+``PageRank.run(graph, numIter)``) rather than convergence detection. That
+makes the result a pure deterministic function of the input — exactly
+reproducible by the unrolled-SQL DuckDB oracles in ``graph_oracles.py`` —
+and avoids a driver-side convergence check per superstep.
+
+**Fixture graphs** (derivations are themselves relational operators):
+- *co-purchase graph*: undirected part–part edges, weight = number of times
+  the two parts co-occur in one order (lineitem self-join on l_orderkey).
+- *nation trade graph*: directed nation→nation edges, customer nation →
+  supplier nation per lineitem (the Hive-runner string-id graphs of
+  ``PageRankHiveRunner.scala:41-45`` map to this keyed derivation).
+
+Scale notes (100 TB): the per-superstep shuffle is on the vertex id — the
+same key every round, so executors re-shuffle only the (small) vertex state,
+never the raw fact table. Edges are derived once, projected to (src,dst,w),
+persisted, and reused across supersteps; lineage is truncated every few
+rounds (``plans/iterative``). Skewed high-degree vertices are handled by
+AQE skew-join splitting; nothing here collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+# Shared fixed-point constants — imported by graph_oracles.py so the SQL
+# unroll uses bit-identical literals and iteration counts.
+DAMP = 0.85
+RESET = 1.0 - DAMP
+PR_ITERS = 8
+CC_ITERS = 10
+BFS_ROUNDS = 10
+SSSP_ROUNDS = 10
+LPA_ITERS = 4
+KCORE_K = 4
+KCORE_ROUNDS = 8
+CLOSURE_DOUBLINGS = 5
+TRUST_SEEDS = 5
+INF = 10**15
+
+
+# ---- graph derivations -----------------------------------------------------
+
+
+def copurchase_pairs(cat: Catalog) -> DataFrame:
+    """Canonical undirected part co-purchase edges (src < dst, cnt ≥ 1).
+
+    Maps the reference's edge-list load (``graph/Util.scala:106-136``:
+    comment filter, self-loop drop) onto a relational derivation: the
+    self-join on l_orderkey is a co-partitioned shuffle join; `<` drops
+    self-loops; groupBy dedups parallel edges into a weight (the
+    ``groupEdges`` of ``KcoreMain.scala:117-120``)."""
+    li = cat.lineitem.select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "src")
+    b = li.toDF("ok", "dst")
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def symmetrize(pairs: DataFrame) -> DataFrame:
+    """Undirected → both directions (one row per ordered edge)."""
+    return pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
+        )
+    )
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids of a symmetrized edge list → (v)."""
+    return edges.select(F.col("src").alias("v")).distinct()
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(v, deg, wdeg): distinct-neighbor count + weighted degree.
+    ``graph.degrees`` analogue (``DegreeRunner.scala:96-99``) as one
+    partial+final aggregation."""
+    return edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg"), F.sum("cnt").alias("wdeg")
+    )
+
+
+def nation_trade_edges(cat: Catalog) -> DataFrame:
+    """Directed nation→nation trade edges (customer nation → supplier
+    nation), distinct, self-loops dropped — the string-keyed Hive graph
+    path of ``PageRankHiveRunner.scala:39-45`` re-expressed as joins."""
+    li = cat.lineitem.select("l_orderkey", "l_suppkey")
+    o = cat.orders.select("o_orderkey", "o_custkey")
+    c = cat.customer.select("c_custkey", "c_nationkey")
+    s = cat.supplier.select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+# ---- PageRank family (§2.3 #1-5) ------------------------------------------
+
+
+def _pagerank_loop(
+    edges: DataFrame,
+    verts: DataFrame,
+    reset_dist: DataFrame,
+    weighted: bool,
+    n_iter: int = PR_ITERS,
+) -> DataFrame:
+    """Shared power-iteration core: pr' = reset + DAMP · Σ_in pr/outshare.
+
+    ``reset_dist`` is (v, reset) — uniform for plain PageRank
+    (``lib.PageRank.run``), concentrated for personalized / trust variants
+    (``PersonalizedPageRankRunner.scala:102-114``,
+    ``TrustRankRunner.scala:100-113``). ``weighted`` divides contributions
+    by total out-weight instead of out-degree
+    (``WeightedPageRankRunner.scala:115-119``)."""
+    share = F.col("cnt") / F.col("wdeg") if weighted else F.lit(1.0) / F.col("deg")
+    edges = _cached(edges)
+    e = _cached(
+        edges.join(degrees(edges), edges.src == F.col("v"))
+        .select("src", "dst", share.alias("share"))
+    )
+    state0 = reset_dist.select("v", F.col("reset").alias("pr"))
+    reset = _cached(reset_dist)
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contrib = (
+            e.join(F.broadcast(state), e.src == state.v)
+            .select("dst", (F.col("pr") * F.col("share")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        return reset.join(F.broadcast(contrib), reset.v == contrib.dst, "left").select(
+            "v",
+            (
+                F.col("reset") + F.lit(DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+        )
+
+    # Initial state uses pr0 = reset mass (standard power-iteration seed for
+    # the fixed-iteration variant; identical in the SQL oracle).
+    return iterate(state0, step, n_iter)
+
+
+def pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank → (v, pr). ``PageRankRunner.scala:108-113``
+    (``run(graph, numIter, resetProb=0.15)``)."""
+    verts = _cached(vertices(edges))
+    n = verts.count()
+    reset_dist = verts.select("v", F.lit(RESET / n).alias("reset"))
+    pr = _pagerank_loop(edges, verts, reset_dist, weighted=False, n_iter=n_iter)
+    return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
+
+
+def personalized_pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+    """Personalized PageRank from the minimum vertex id → (v, pr).
+    ``PersonalizedPageRankRunner.scala:102-114`` (single-source
+    ``runWithOptions``): reset mass concentrated on the source."""
+    verts = _cached(vertices(edges))
+    src = verts.agg(F.min("v")).collect()[0][0]  # scalar only
+    reset_dist = verts.select(
+        "v",
+        F.when(F.col("v") == src, F.lit(RESET)).otherwise(F.lit(0.0)).alias("reset"),
+    )
+    pr = _pagerank_loop(edges, verts, reset_dist, weighted=False, n_iter=n_iter)
+    return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
+
+
+def weighted_pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+    """Edge-weight-normalized PageRank → (v, pr).
+    ``WeightedPageRankRunner.scala:115-119`` static variant."""
+    verts = _cached(vertices(edges))
+    n = verts.count()
+    reset_dist = verts.select("v", F.lit(RESET / n).alias("reset"))
+    pr = _pagerank_loop(edges, verts, reset_dist, weighted=True, n_iter=n_iter)
+    return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
+
+
+def trustrank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+    """PageRank personalized to a trusted seed set (the TRUST_SEEDS smallest
+    vertex ids, uniform reset mass) → (v, pr).
+    ``TrustRankRunner.scala:100-113`` (seeds RDD → reset vector)."""
+    verts = _cached(vertices(edges))
+    seeds = verts.orderBy("v").limit(TRUST_SEEDS).select(
+        "v", F.lit(RESET / TRUST_SEEDS).alias("reset")
+    )
+    reset_dist = verts.join(seeds, "v", "left").select(
+        "v", F.coalesce(F.col("reset"), F.lit(0.0)).alias("reset")
+    )
+    pr = _pagerank_loop(edges, verts, reset_dist, weighted=False, n_iter=n_iter)
+    return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
+
+
+# ---- propagation algorithms (§2.3 #6-10,15) --------------------------------
+
+
+def connected_components(edges: DataFrame, n_iter: int = CC_ITERS) -> DataFrame:
+    """Min-label propagation → (v, label).
+    ``ConnectedComponentsRunner.scala:67`` (min-vertex-id component labels);
+    fixed rounds instead of convergence detection."""
+    e = _cached(edges.select("src", "dst"))
+    state0 = vertices(e).select("v", F.col("v").alias("label"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        nbr_min = (
+            e.join(F.broadcast(state), e.src == state.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("label").alias("m"))
+        )
+        return state.join(F.broadcast(nbr_min), "v", "left").select(
+            "v", F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias("label")
+        )
+
+    return iterate(state0, step, n_iter)
+
+
+def bfs(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Hop distance from the minimum vertex id, depth-limited to ``rounds``
+    → (v, dist); unreachable vertices filtered like ``BFSRunner.scala:99``.
+    Frontier expansion is the relaxation join of ``lib.BFS.run(graph,
+    sourceID, isDirect, depthLimit)``."""
+    e = _cached(edges.select("src", "dst"))
+    verts = vertices(e)
+    src = verts.agg(F.min("v")).collect()[0][0]
+    state0 = verts.select(
+        "v", F.when(F.col("v") == src, F.lit(0)).otherwise(F.lit(INF)).cast("long").alias("dist")
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        relax = (
+            e.join(F.broadcast(state), e.src == state.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.lit(1)).alias("m"))
+        )
+        return state.join(F.broadcast(relax), "v", "left").select(
+            "v", F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist"))).alias("dist")
+        )
+
+    out = iterate(state0, step, rounds)
+    return out.where(F.col("dist") < INF)
+
+
+def sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
+    """Bounded-hop single-source shortest path with integer edge weights
+    (cnt) from the minimum vertex id → (v, dist). Bellman-Ford relaxation
+    rounds = the multi-source hop loop of ``MSSPRunner.scala:96-107``
+    restricted to one source; ``rounds`` bounds path hop count."""
+    e = _cached(edges.select("src", "dst", "cnt"))
+    verts = vertices(e)
+    src = verts.agg(F.min("v")).collect()[0][0]
+    state0 = verts.select(
+        "v", F.when(F.col("v") == src, F.lit(0)).otherwise(F.lit(INF)).cast("long").alias("dist")
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        relax = (
+            e.join(F.broadcast(state), e.src == state.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("cnt")).alias("m"))
+        )
+        return state.join(F.broadcast(relax), "v", "left").select(
+            "v", F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist"))).alias("dist")
+        )
+
+    out = iterate(state0, step, rounds)
+    return out.where(F.col("dist") < INF)
+
+
+def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
+    """Synchronous LPA → (v, label): each round every vertex adopts its
+    neighbors' most frequent label, ties broken by smaller label (GraphX
+    ``LabelPropagation.run(graph, maxSteps)``,
+    ``LabelPropagationRunner.scala:71``)."""
+    e = _cached(edges.select("src", "dst"))
+    state0 = vertices(e).select("v", F.col("v").alias("label"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        counts = (
+            e.join(F.broadcast(state), e.src == state.v)
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label").asc())
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", "label")
+        )
+
+    return iterate(state0, step, n_iter)
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core peel → (v, deg): repeatedly drop vertices with degree < k in
+    the remaining subgraph; output survivors with their final subgraph
+    degree. The Pregel peel loop of ``KcoreMain.scala:43-77,113-128``
+    expressed as join-filter rounds."""
+    e = _cached(edges.select("src", "dst"))
+    state0 = vertices(e)
+
+    def step(active: DataFrame, _i: int) -> DataFrame:
+        s = active.select(F.col("v").alias("sv"))
+        t = active.select(F.col("v").alias("tv"))
+        return (
+            e.join(F.broadcast(s), e.src == F.col("sv"))
+            .join(F.broadcast(t), e.dst == F.col("tv"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("v")
+        )
+
+    active = iterate(state0, step, rounds)
+    s = active.select(F.col("v").alias("sv"))
+    t = active.select(F.col("v").alias("tv"))
+    return (
+        e.join(F.broadcast(s), e.src == F.col("sv"))
+        .join(F.broadcast(t), e.dst == F.col("tv"))
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+# ---- triangle family (§2.3 #13-14) ----------------------------------------
+
+
+def triangles(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts → (v, triangles), zero-filled for
+    triangle-free vertices (GraphX ``TriangleCount.run`` on canonical
+    edges, ``TrangleCountRunner.scala:81``). One canonical triangle
+    a<b<c per closed triple via the two-path + closing-edge join."""
+    p = _cached(pairs.select("src", "dst"))
+    e1 = p.toDF("a", "b")
+    e2 = p.toDF("b", "c")
+    e3 = p.toDF("a", "c")
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    verts = vertices(symmetrize(pairs.withColumn("cnt", F.lit(1))))
+    return verts.join(per, "v", "left").select(
+        "v", F.coalesce(F.col("t"), F.lit(0)).alias("triangles")
+    )
+
+
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """Local clustering coefficient → (v, lcc): 2·tri(v) / (deg·(deg−1)),
+    0.0 when deg < 2 (``ClusteringCoefficientRunner.scala:104-113``
+    ``runLocalClusteringCoefficient``)."""
+    tri = triangles(pairs)
+    deg = degrees(symmetrize(pairs.withColumn("cnt", F.lit(1)))).select("v", "deg")
+    return tri.join(deg, "v").select(
+        "v",
+        round_half_up(
+            F.when(
+                F.col("deg") < 2, F.lit(0.0)
+            ).otherwise(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - F.lit(1.0)))
+            ),
+            6,
+        ).alias("lcc"),
+    )
+
+
+def modularity(pairs: DataFrame, communities: DataFrame) -> DataFrame:
+    """Modularity Q of a community assignment → one row (modularity).
+    ``ModularityRunner.scala:84`` (``Modularity.run``): Q = Σ_c [L_c/m −
+    (D_c/2m)²] on the unweighted undirected graph."""
+    edges = _cached(symmetrize(pairs.withColumn("cnt", F.lit(1))))
+    m = pairs.count()
+    lab = communities.select("v", "label")
+    intra = (
+        pairs.join(lab.toDF("v", "lsrc"), pairs.src == F.col("v"))
+        .drop("v")
+        .join(lab.toDF("v", "ldst"), pairs.dst == F.col("v"))
+        .where(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    degc = (
+        degrees(edges)
+        .join(lab, "v")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    per_c = degc.join(intra, "label", "left").select(
+        (
+            F.coalesce(F.col("lc"), F.lit(0)) / F.lit(float(m))
+            - (F.col("dc") / F.lit(2.0 * m)) * (F.col("dc") / F.lit(2.0 * m))
+        ).alias("q")
+    )
+    return per_c.agg(round_half_up(F.sum("q"), 6).alias("modularity"))
+
+
+# ---- nation trade graph: SCC / closeness (§2.3 #9,18) ----------------------
+
+
+def _closure(edges: DataFrame, doublings: int = CLOSURE_DOUBLINGS) -> DataFrame:
+    """Transitive closure by repeated squaring: after i rounds covers paths
+    of ≤ 2^i edges — exact on graphs with diameter < 2^doublings."""
+
+    def step(r: DataFrame, _i: int) -> DataFrame:
+        a = r.toDF("src", "mid")
+        b = r.toDF("mid", "dst")
+        return r.unionByName(a.join(b, "mid").select("src", "dst")).distinct()
+
+    return iterate(edges.select("src", "dst"), step, doublings)
+
+
+def scc(edges: DataFrame) -> DataFrame:
+    """Strongly connected components by mutual reachability over the exact
+    transitive closure → (v, label = min mutually-reachable id, self
+    included). ``StronglyConnectedComponentsRunner.scala:68`` semantics;
+    valid for small-diameter graphs (nation trade graph, ≤ 25 vertices —
+    the closure doubles past the diameter)."""
+    r = _cached(_closure(edges))
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    fwd = r.toDF("u", "v")
+    bwd = r.toDF("v", "u")
+    mutual = fwd.join(bwd, ["u", "v"])
+    m = mutual.groupBy("v").agg(F.min("u").alias("mu"))
+    return verts.join(m, "v", "left").select(
+        "v", F.least(F.col("v"), F.coalesce(F.col("mu"), F.col("v"))).alias("label")
+    )
+
+
+def closeness(edges: DataFrame) -> DataFrame:
+    """Out-closeness on the directed graph via exact min-plus closure →
+    (v, closeness = reached / Σ dist), vertices reaching nobody omitted.
+    ``ClosenessRunner.scala:108-110`` (BoostKit sampled closeness; here
+    exact — the ratio param is 1.0)."""
+
+    def step(d: DataFrame, _i: int) -> DataFrame:
+        a = d.toDF("src", "mid", "d1")
+        b = d.toDF("mid", "dst", "d2")
+        both = d.unionByName(
+            a.join(b, "mid").select("src", "dst", (F.col("d1") + F.col("d2")).alias("dist"))
+        )
+        return both.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+
+    d0 = edges.select("src", "dst", F.lit(1).cast("long").alias("dist"))
+    d = iterate(d0, step, CLOSURE_DOUBLINGS)
+    return (
+        d.where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("v"))
+        .agg(
+            round_half_up(
+                F.count(F.lit(1)) / F.sum("dist").cast("double"), 6
+            ).alias("closeness")
+        )
+    )
+
+
+def nation_degrees(edges: DataFrame) -> DataFrame:
+    """In/out degrees of the directed nation graph → (v, out_deg, in_deg).
+    ``DegreeRunner.scala:95-100`` (``inDegrees``/``outDegrees``)."""
+    out_d = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "v", "full")
+        .select(
+            "v",
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+            F.coalesce(F.col("in_deg"), F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+# ---- subgraph matching (§2.3 #22) ------------------------------------------
+
+
+def subgraph_match_counts(pairs: DataFrame) -> DataFrame:
+    """Template match counts on the co-purchase graph → rows
+    (template, matches) for the triangle and 4-cycle templates —
+    ``SubgraphMatchingRunner.scala:82-94`` (``run(dataGraph, queryEdgeList,
+    …, resultNum)`` returns match counts for small query graphs), expressed
+    as multiway joins. 4-cycles are counted via common-neighbor pairs:
+    Σ_{u<w} C(common(u,w), 2) counts each cycle twice (once per diagonal)."""
+    p = _cached(pairs.select("src", "dst"))
+    e1 = p.toDF("a", "b")
+    e2 = p.toDF("b", "c")
+    e3 = p.toDF("a", "c")
+    tri_n = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+
+    sym = symmetrize(pairs.withColumn("cnt", F.lit(1))).select("src", "dst")
+    s1 = sym.toDF("u", "b")
+    s2 = sym.toDF("b", "w")
+    common = (
+        s1.join(s2, "b")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sq = common.agg(
+        (F.sum(F.col("k") * (F.col("k") - 1) / 2) / 2).cast("long").alias("n")
+    ).collect()[0][0]
+
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [("triangle", int(tri_n)), ("four_cycle", int(sq))], "template string, matches long"
+    )
+
+
+# ---- registry entries ------------------------------------------------------
+
+
+def graph_edges(cat: Catalog) -> DataFrame:
+    return copurchase_pairs(cat)
+
+
+def graph_degrees(cat: Catalog) -> DataFrame:
+    return degrees(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_pagerank(cat: Catalog) -> DataFrame:
+    return pagerank(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_pagerank_personalized(cat: Catalog) -> DataFrame:
+    return personalized_pagerank(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_pagerank_weighted(cat: Catalog) -> DataFrame:
+    return weighted_pagerank(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_trustrank(cat: Catalog) -> DataFrame:
+    return trustrank(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_connected_components(cat: Catalog) -> DataFrame:
+    return connected_components(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_bfs(cat: Catalog) -> DataFrame:
+    return bfs(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_sssp(cat: Catalog) -> DataFrame:
+    return sssp(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_label_propagation(cat: Catalog) -> DataFrame:
+    return label_propagation(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_kcore(cat: Catalog) -> DataFrame:
+    return kcore(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_triangle_count(cat: Catalog) -> DataFrame:
+    return triangles(copurchase_pairs(cat))
+
+
+def graph_clustering_coefficient(cat: Catalog) -> DataFrame:
+    return clustering_coefficient(copurchase_pairs(cat))
+
+
+def graph_modularity(cat: Catalog) -> DataFrame:
+    pairs = copurchase_pairs(cat)
+    return modularity(pairs, label_propagation(symmetrize(pairs)))
+
+
+def graph_scc_nation(cat: Catalog) -> DataFrame:
+    return scc(nation_trade_edges(cat))
+
+
+def graph_closeness_nation(cat: Catalog) -> DataFrame:
+    return closeness(nation_trade_edges(cat))
+
+
+def graph_degrees_nation(cat: Catalog) -> DataFrame:
+    return nation_degrees(nation_trade_edges(cat))
+
+
+def graph_subgraph_matching(cat: Catalog) -> DataFrame:
+    return subgraph_match_counts(copurchase_pairs(cat))

@@ -1,0 +1,279 @@
+"""Deterministic ML operators with exact DuckDB oracles (SURVEY §2.2).
+
+The reference's correctness methodology is differential (raw vs opt outputs,
+``utils/Utils.scala:176-253``). This engine goes further for every ML
+algorithm whose fixed-iteration form is a pure function of the data: the
+Spark implementation and an unrolled-SQL oracle compute the *same* result,
+so the driver's value-hash gate covers the ML surface too — not just
+rows-only checks.
+
+Covered here:
+- OLS linear regression (closed form)         — ``LinRRunner.scala:161-191``
+- Lloyd k-means, fixed seeds + iterations     — ``KMeansRunner.scala:134-154``
+- KNN classifier (vote) / regressor (mean)    — ``KNNClassifier.scala:154-180``,
+                                                 ``KNNRegression.scala:118-132``
+- IDF                                         — ``IDFRunner.scala:102-111``
+- PrefixSpan (patterns ≤ 2, single-item sets) — ``PrefixSpanRunner.scala:150-154``
+
+Determinism rules shared with ``ml_oracles.py``:
+- distances via the dot-product identity |a−b|² = a·a + b·b − 2·a·b with
+  *sequential* array summation (matches DuckDB's list_dot_product order),
+  rounded to 6 decimals before any argmin, ties broken by id;
+- per-dimension means rounded to 9 decimals before re-entering iteration;
+- fitted params rounded before computing downstream metrics.
+
+The spark.ml estimator equivalents (KMeans/LinearRegression/… with their
+fit-overload surface) live in ``ml_estimators.py``; pytest cross-checks
+these exact versions against them within the reference's tolerances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+from spark_ml_algo_lib_master_tongji_spark.functions.text import tokens
+from spark_ml_algo_lib_master_tongji_spark.functions.vectors import as_double_array, dot
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, spread
+
+# Shared constants (imported by ml_oracles.py).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KNN_K = 5
+KNN_QUERY_MOD = 20  # vec_id % MOD == 0 → query set, rest → corpus
+IDF_MIN_DF = 10
+PS_MIN_SUPPORT = 0.4  # fraction of users
+
+
+# ---- OLS linear regression -------------------------------------------------
+
+
+def ml_linreg_ols(cat: Catalog) -> DataFrame:
+    """Closed-form simple OLS of l_extendedprice on l_quantity → one row
+    (slope, intercept, mse). Capability of ``LinRRunner.scala:161-191``
+    (least-squares fit + squared-error summary ``:211-218``); the normal
+    equation solved as two aggregates, metric pass reuses the *rounded*
+    params so both engines score the identical model."""
+    li = cat.lineitem.select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    p = li.agg(
+        round_half_up(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("slope"),
+        F.avg("x").alias("ax"),
+        F.avg("y").alias("ay"),
+    ).select(
+        "slope",
+        round_half_up(F.col("ay") - F.col("slope") * F.col("ax"), 6).alias(
+            "intercept"
+        ),
+    )
+    scored = li.crossJoin(F.broadcast(p))
+    return scored.agg(
+        F.first("slope").alias("slope"),
+        F.first("intercept").alias("intercept"),
+        round_half_up(
+            F.avg(
+                (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+                * (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+            ),
+            2,
+        ).alias("mse"),
+    )
+
+
+# ---- Lloyd k-means ---------------------------------------------------------
+
+
+def _points(cat: Catalog) -> DataFrame:
+    return cat.embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+
+
+def _dist2(v, c):
+    """Rounded squared L2 via the dot identity — sequential summation order
+    matches DuckDB's list_dot_product, so both engines round the same
+    double."""
+    return round_half_up(dot(v, v) + dot(c, c) - 2 * dot(v, c), 6)
+
+
+def _kmeans_assign(points: DataFrame, centers: DataFrame) -> DataFrame:
+    """(vec_id, v, cid): nearest center, ties → smaller cid."""
+    d = points.crossJoin(F.broadcast(centers)).select(
+        "vec_id", "v", "cid", _dist2(F.col("v"), F.col("c")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _kmeans_update(assign: DataFrame) -> DataFrame:
+    """(cid, c): per-dimension mean of members, rounded to 9 decimals."""
+    longf = assign.select("cid", F.posexplode("v").alias("pos", "x"))
+    means = longf.groupBy("cid", "pos").agg(
+        round_half_up(F.avg("x"), 9).alias("m")
+    )
+    return means.groupBy("cid").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "m"))
+        ).alias("pm")
+    ).select("cid", F.col("pm.m").alias("c"))
+
+
+def kmeans_lloyd(cat: Catalog) -> DataFrame:
+    """Fixed-seed fixed-iteration Lloyd's k-means on the embeddings table →
+    final assignment (vec_id, cid). Init = the KMEANS_K smallest vec_ids'
+    vectors (deterministic analogue of the seeded init in
+    ``KMeansRunner.scala:147-154``); KMEANS_ITERS assign/update rounds."""
+    points = _points(cat).persist(StorageLevel.MEMORY_AND_DISK)
+    centers = (
+        points.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    for _ in range(KMEANS_ITERS):
+        assign = _kmeans_assign(points, centers)
+        centers = _kmeans_update(assign)
+    return _kmeans_assign(points, centers).select("vec_id", "cid")
+
+
+def ml_kmeans_lloyd_assign(cat: Catalog) -> DataFrame:
+    return kmeans_lloyd(cat)
+
+
+def ml_kmeans_lloyd_sizes(cat: Catalog) -> DataFrame:
+    """Cluster cardinalities (cid, n) — the WSSSE-style summary surface of
+    ``KMeansRunner.scala:157`` reduced to its deterministic part."""
+    return (
+        kmeans_lloyd(cat)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---- KNN classifier / regressor -------------------------------------------
+
+
+def _knn_neighbors(cat: Catalog) -> DataFrame:
+    """(qid, nid, nlabel, rn): the KNN_K nearest corpus points per query by
+    rounded squared-L2, ties → smaller corpus id. Query/corpus split by
+    vec_id % KNN_QUERY_MOD (the reference splits by row index,
+    ``KNNRunner.scala:155-156``). Broadcast of the query batch mirrors
+    ``KNNRunner.scala:318-327``'s brute-force oracle design."""
+    pts = _points(cat)
+    lab = cat.embeddings.select("vec_id", "label")
+    queries = pts.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    corpus = (
+        spread(pts.where(F.col("vec_id") % KNN_QUERY_MOD != 0))
+        .join(lab, "vec_id")
+        .select(
+            F.col("vec_id").alias("nid"),
+            F.col("v").alias("nv"),
+            F.col("label").alias("nlabel"),
+        )
+    )
+    d = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid", "nid", "nlabel", _dist2(F.col("qv"), F.col("nv")).alias("d2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
+    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KNN_K)
+
+
+def ml_knn_classifier(cat: Catalog) -> DataFrame:
+    """Majority vote over the k nearest labels, ties → smaller label →
+    (qid, predicted). ``KNNClassifier.scala:154-180`` (weighted vote with
+    uniform weights)."""
+    nb = _knn_neighbors(cat)
+    votes = nb.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nlabel").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nlabel").alias("predicted"))
+    )
+
+
+def ml_knn_regressor(cat: Catalog) -> DataFrame:
+    """Mean of the k nearest labels as the regression output →
+    (qid, predicted). ``KNNRegression.scala:118-132``."""
+    nb = _knn_neighbors(cat)
+    return nb.groupBy("qid").agg(
+        round_half_up(F.avg(F.col("nlabel").cast("double")), 6).alias("predicted")
+    )
+
+
+# ---- IDF -------------------------------------------------------------------
+
+
+def ml_idf(cat: Catalog) -> DataFrame:
+    """Per-token inverse document frequency over documents → (token, df,
+    idf) for tokens in ≥ IDF_MIN_DF docs. Same smoothing as spark.ml's IDF:
+    idf = ln((m+1)/(df+1)) (``IDFRunner.scala:102-111``; the vector form is
+    this table keyed by vocabulary index). Explode→distinct→count is the
+    scalable shape: one shuffle keyed by token, partial-agg combined."""
+    docs = cat.documents.select("doc_id", "text")
+    m = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return dfreq.where(F.col("df") >= IDF_MIN_DF).select(
+        "token",
+        "df",
+        round_half_up(
+            F.log(F.lit(float(m + 1)) / (F.col("df") + F.lit(1))), 6
+        ).alias("idf"),
+    )
+
+
+# ---- PrefixSpan (maxPatternLength=2) ---------------------------------------
+
+
+def ml_prefixspan(cat: Catalog) -> DataFrame:
+    """Frequent sequential patterns of length ≤ 2 over per-user event-type
+    sequences (ordered by ts, event_id) → (pattern, support).
+
+    ``PrefixSpanRunner.scala:150-154`` with maxPatternLength=2 and
+    single-item itemsets: a pattern ⟨a,b⟩ is supported by a user iff some
+    occurrence of a strictly precedes some occurrence of b — counted once
+    per user, exactly pyspark.ml.fpm.PrefixSpan's subsequence semantics.
+    Support threshold = ceil-free float compare against
+    PS_MIN_SUPPORT · n_users, like mllib's relative minSupport."""
+    ev = cat.events.select("user_id", "ts", "event_id", "event_type")
+    n_users = ev.select("user_id").distinct().count()
+    min_sup = PS_MIN_SUPPORT * n_users
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id", F.col("event_type").alias("t"), F.row_number().over(w).alias("p")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    l1 = (
+        pos.select("user_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_sup)
+        .select(F.col("t").alias("pattern"), "support")
+    )
+
+    a = pos.toDF("user_id", "ta", "pa")
+    b = pos.toDF("user_id", "tb", "pb")
+    l2 = (
+        a.join(b, "user_id")
+        .where(F.col("pa") < F.col("pb"))
+        .select("user_id", "ta", "tb")
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_sup)
+        .select(F.concat_ws("->", "ta", "tb").alias("pattern"), "support")
+    )
+    return l1.unionByName(l2)

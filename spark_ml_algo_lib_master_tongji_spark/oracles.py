@@ -480,10 +480,15 @@ def fix_rounds(sql: str) -> str:
 
 
 def all_oracles() -> dict[str, str]:
+    from spark_ml_algo_lib_master_tongji_spark.graph_oracles import (
+        build_graph_oracles,
+    )
+
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(STATS_ORACLES)
     out.update(TEXT_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(SIM_ORACLES)
+    out.update(build_graph_oracles())
     return {k: fix_rounds(v) for k, v in out.items()}

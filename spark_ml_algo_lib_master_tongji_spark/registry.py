@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_ml_algo_lib_master_tongji_spark.operators import (
     dedup,
+    graph,
     relational,
     similarity,
     stats,
@@ -76,5 +77,27 @@ def build_registry() -> dict[str, QueryFn]:
 
     for name in ("sim_brute_force_topk", "sim_lsh_bucket_pairs"):
         reg[name] = _wrap(getattr(similarity, name))
+
+    for name in (
+        "graph_edges",
+        "graph_degrees",
+        "graph_pagerank",
+        "graph_pagerank_personalized",
+        "graph_pagerank_weighted",
+        "graph_trustrank",
+        "graph_connected_components",
+        "graph_bfs",
+        "graph_sssp",
+        "graph_label_propagation",
+        "graph_kcore",
+        "graph_triangle_count",
+        "graph_clustering_coefficient",
+        "graph_modularity",
+        "graph_degrees_nation",
+        "graph_scc_nation",
+        "graph_closeness_nation",
+        "graph_subgraph_matching",
+    ):
+        reg[name] = _wrap(getattr(graph, name))
 
     return reg
