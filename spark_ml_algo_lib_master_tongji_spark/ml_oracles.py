@@ -1,0 +1,182 @@
+"""DuckDB oracles for the deterministic ML operators (``operators/ml_exact.py``).
+
+Same discipline as ``graph_oracles.py``: identical expression shapes and
+literals, iteration unrolled into materialized CTE chains, distances via
+list_dot_product (sequential summation = Spark's ``F.aggregate`` order),
+rounding through the shared floor formula before any argmin/compare.
+"""
+
+from __future__ import annotations
+
+from spark_ml_algo_lib_master_tongji_spark.graph_oracles import _materialize
+from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+    IDF_MIN_DF,
+    KMEANS_ITERS,
+    KMEANS_K,
+    KNN_K,
+    KNN_QUERY_MOD,
+    PS_MIN_SUPPORT,
+)
+
+# Squared L2 via the dot identity — mirrors ml_exact._dist2.
+def _d2(v: str, c: str) -> str:
+    return (
+        f"round(list_dot_product({v}, {v}) + list_dot_product({c}, {c}) "
+        f"- 2 * list_dot_product({v}, {c}), 6)"
+    )
+
+
+_PTS = (
+    "pts AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label "
+    "FROM embeddings)"
+)
+
+
+def _kmeans_ctes() -> str:
+    ctes = [
+        _PTS,
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM pts ORDER BY vec_id LIMIT {KMEANS_K})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(
+            f"""a{i} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_d2('p.v', 'c.c')} ASC, c.cid ASC) AS rn
+        FROM pts p CROSS JOIN c{i} c
+    ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, pos, round(avg(x), 9) AS m FROM (
+            SELECT cid,
+                   UNNEST(generate_series(1, len(v))) AS pos,
+                   UNNEST(v) AS x
+            FROM a{i}
+        ) GROUP BY cid, pos
+    ) GROUP BY cid
+)"""
+        )
+    ctes.append(
+        f"""afinal AS (
+    SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_d2('p.v', 'c.c')} ASC, c.cid ASC) AS rn
+        FROM pts p CROSS JOIN c{KMEANS_ITERS} c
+    ) WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+_KNN_CTES = f"""{_PTS},
+q AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id % {KNN_QUERY_MOD} = 0),
+corp AS (SELECT vec_id AS nid, v AS nv, label AS nlabel
+         FROM pts WHERE vec_id % {KNN_QUERY_MOD} <> 0),
+nb AS (
+    SELECT qid, nid, nlabel FROM (
+        SELECT q.qid, corp.nid, corp.nlabel,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {_d2('q.qv', 'corp.nv')} ASC, corp.nid ASC) AS rn
+        FROM corp CROSS JOIN q
+    ) WHERE rn <= {KNN_K}
+)"""
+
+
+def build_ml_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["ml_linreg_ols"] = """
+WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+p0 AS (SELECT round(covar_pop(y, x) / var_pop(x), 6) AS slope,
+              avg(x) AS ax, avg(y) AS ay
+       FROM li),
+p AS (SELECT slope, round(ay - slope * ax, 6) AS intercept FROM p0)
+SELECT p.slope AS slope, p.intercept AS intercept,
+       round(sqrt(avg((y - (intercept + slope * x))
+                      * (y - (intercept + slope * x)))), 4) AS rmse
+FROM li, p
+GROUP BY p.slope, p.intercept
+"""
+
+    o["ml_kmeans_lloyd_assign"] = (
+        _kmeans_ctes() + "\nSELECT vec_id, cid FROM afinal"
+    )
+    o["ml_kmeans_lloyd_sizes"] = (
+        _kmeans_ctes() + "\nSELECT cid, count(*) AS n FROM afinal GROUP BY cid"
+    )
+
+    o["ml_knn_classifier"] = (
+        "WITH "
+        + _KNN_CTES
+        + """
+SELECT qid, nlabel AS predicted FROM (
+    SELECT qid, nlabel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY count(*) DESC, nlabel ASC) AS rn
+    FROM nb GROUP BY qid, nlabel
+) WHERE rn = 1
+"""
+    )
+    o["ml_knn_regressor"] = (
+        "WITH "
+        + _KNN_CTES
+        + """
+SELECT qid, round(avg(CAST(nlabel AS DOUBLE)), 6) AS predicted
+FROM nb GROUP BY qid
+"""
+    )
+
+    o["ml_idf"] = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+),
+dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+SELECT token, df,
+       round(ln((SELECT (count(*) + 1)::DOUBLE FROM documents) / (df + 1)), 6)
+           AS idf
+FROM dfreq WHERE df >= {IDF_MIN_DF}
+"""
+
+    # ts ordering: Spark sees µs-truncated timestamps (readers.py), DuckDB
+    # native ns — order by the truncated integer on both sides.
+    o["ml_prefixspan"] = f"""
+WITH pos AS (
+    SELECT user_id, event_type AS t,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts) // 1000, event_id) AS p
+    FROM events
+),
+ms AS (SELECT CAST({PS_MIN_SUPPORT!r} AS DOUBLE) * count(DISTINCT user_id)
+           AS ms FROM events),
+l1 AS (
+    SELECT t AS pattern, count(*) AS support
+    FROM (SELECT DISTINCT user_id, t FROM pos)
+    GROUP BY t HAVING count(*) >= (SELECT ms FROM ms)
+),
+l2 AS (
+    SELECT ta || '->' || tb AS pattern, count(*) AS support
+    FROM (
+        SELECT DISTINCT a.user_id, a.t AS ta, b.t AS tb
+        FROM pos a JOIN pos b ON a.user_id = b.user_id AND a.p < b.p
+    ) GROUP BY ta, tb HAVING count(*) >= (SELECT ms FROM ms)
+)
+SELECT pattern, support FROM l1
+UNION ALL
+SELECT pattern, support FROM l2
+"""
+
+    # pyspark.ml.fpm.PrefixSpan has exact set semantics → the estimator
+    # shares the deterministic oracle (patterns canonicalized identically).
+    o["ml_est_prefixspan"] = o["ml_prefixspan"]
+
+    return {k: _materialize(v) for k, v in o.items()}

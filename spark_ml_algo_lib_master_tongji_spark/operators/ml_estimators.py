@@ -1,0 +1,409 @@
+"""spark.ml estimator workloads (SURVEY §2.2) — the reference's primary API
+surface re-expressed on the fixture tables.
+
+Each runner mirrors one reference workload's lifecycle (§3.1): load →
+assemble features → fit (seeded) → evaluate → return a small metrics/result
+DataFrame. Fixed seeds follow the reference (``setSeed(2020)``,
+``GBDTRunner.scala:182,198``; ``LDARunner.scala:158``). Iterative model fits
+are not SQL-expressible, so the driver records rows-only checks for these;
+pytest cross-checks the metrics against single-node numpy oracles and
+against the exact deterministic twins in ``ml_exact.py`` using the
+reference's tolerances (rel ≤ 0.005 scalars, 1e-6 |·| matrices,
+``utils/Utils.scala:176-253``).
+
+PrefixSpan is the exception: ``pyspark.ml.fpm.PrefixSpan`` output is exact
+set semantics, so it shares the ``ml_prefixspan`` unrolled-SQL oracle —
+estimator-level parity with a value-hash gate.
+
+Feature columns use VectorUDT only at the estimator boundary
+(``array_to_vector``); everything upstream stays a plain array column so
+Catalyst can prune/push down (readers.py note).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    GBTClassifier,
+    LinearSVC,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+from pyspark.ml.clustering import LDA, KMeans
+from pyspark.ml.evaluation import (
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.feature import PCA, CountVectorizer, IDF
+from pyspark.ml.fpm import PrefixSpan
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.recommendation import ALS
+from pyspark.ml.regression import (
+    DecisionTreeRegressor,
+    GBTRegressor,
+    LinearRegression,
+    RandomForestRegressor,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.functions.text import tokens
+from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import PS_MIN_SUPPORT
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, spread
+
+SEED = 2020  # GBDTRunner.scala:182,198; LDARunner.scala:158
+
+
+def _features(cat: Catalog) -> DataFrame:
+    """(vec_id, features vector, label int, bin_label, y double)."""
+    return spread(cat.embeddings).select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        "label",
+        (F.col("label") % 2).cast("double").alias("bin_label"),
+        F.col("label").cast("double").alias("y"),
+    )
+
+
+def _one_row(spark_df: DataFrame) -> DataFrame:
+    return spark_df
+
+
+def _clf_metrics(pred: DataFrame, label_col: str) -> DataFrame:
+    """Train-set accuracy as a 1-row DataFrame (``LogRRunner.scala:200``:
+    filter(label === prediction) / count — here via the evaluator)."""
+    acc = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="accuracy"
+    ).evaluate(pred)
+    n = pred.count()
+    return pred.sparkSession.createDataFrame(
+        [(round(acc, 4), n)], "accuracy double, n long"
+    )
+
+
+def _reg_metrics(pred: DataFrame, label_col: str) -> DataFrame:
+    rmse = RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="rmse"
+    ).evaluate(pred)
+    n = pred.count()
+    return pred.sparkSession.createDataFrame(
+        [(round(rmse, 4), n)], "rmse double, n long"
+    )
+
+
+# ---- clustering ------------------------------------------------------------
+
+
+def ml_est_kmeans(cat: Catalog) -> DataFrame:
+    """KMeans k=8 (``KMeansRunner.scala:134-154``; k/maxIter from yml
+    ``ml/kmeans/kmeans.yml:4-7`` scaled to fixture size). Output: one row
+    (k, wssse, n) — the WSSSE metric of ``KMeansRunner.scala:157``."""
+    df = _features(cat)
+    model = KMeans(k=8, maxIter=10, seed=SEED, featuresCol="features").fit(df)
+    wssse = model.summary.trainingCost
+    n = df.count()
+    return df.sparkSession.createDataFrame(
+        [(8, round(wssse, 2), n)], "k int, wssse double, n long"
+    )
+
+
+def ml_est_lda(cat: Catalog) -> DataFrame:
+    """LDA topic model (``LDARunner.scala:157-186``): CountVectorizer corpus
+    → online LDA k=5; logLikelihood/logPerplexity eval on the training
+    corpus (``LDARunner.scala:211-219`` uses a seeded sample)."""
+    docs = cat.documents.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    )
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="tf", vocabSize=500, minDF=2.0
+    ).fit(docs)
+    tf = cv.transform(docs)
+    lda = LDA(
+        k=5, maxIter=10, seed=SEED, optimizer="online", featuresCol="tf"
+    ).fit(tf)
+    return docs.sparkSession.createDataFrame(
+        [
+            (
+                5,
+                len(cv.vocabulary),
+                round(lda.logLikelihood(tf), 2),
+                round(lda.logPerplexity(tf), 4),
+            )
+        ],
+        "k int, vocab int, log_likelihood double, log_perplexity double",
+    )
+
+
+# ---- classification --------------------------------------------------------
+
+
+def ml_est_logreg(cat: Catalog) -> DataFrame:
+    """Multinomial elastic-net LR (``LogRRunner.scala:146-179``)."""
+    df = _features(cat)
+    m = LogisticRegression(
+        maxIter=20, regParam=0.01, elasticNetParam=0.5, labelCol="label"
+    ).fit(df)
+    return _clf_metrics(m.transform(df), "label")
+
+
+def ml_est_logreg_bounded(cat: Catalog) -> DataFrame:
+    """Box-constrained binary LR — coefficient lower bounds at 0, the
+    ``lowerBoundsOnCoefficients`` path of ``LogRRunner.scala:152-153``."""
+    from pyspark.ml.linalg import Matrices
+
+    df = _features(cat)
+    dim = len(df.first()["features"])
+    m = LogisticRegression(
+        maxIter=20,
+        labelCol="bin_label",
+        lowerBoundsOnCoefficients=Matrices.dense(1, dim, [0.0] * dim),
+    ).fit(df)
+    return _clf_metrics(m.transform(df), "bin_label")
+
+
+def ml_est_svc(cat: Catalog) -> DataFrame:
+    """LinearSVC binary classification (``SVMRunner.scala:112-143``)."""
+    df = _features(cat)
+    m = LinearSVC(maxIter=20, regParam=0.01, labelCol="bin_label").fit(df)
+    return _clf_metrics(m.transform(df), "bin_label")
+
+
+def ml_est_dt_classifier(cat: Catalog) -> DataFrame:
+    """DecisionTreeClassifier (``DTRunner.scala:236-302``; maxDepth/maxBins
+    from yml)."""
+    df = _features(cat)
+    m = DecisionTreeClassifier(
+        maxDepth=8, maxBins=32, seed=SEED, labelCol="label"
+    ).fit(df)
+    return _clf_metrics(m.transform(df), "label")
+
+
+def ml_est_rf_classifier(cat: Catalog) -> DataFrame:
+    """RandomForestClassifier 20 trees (``RFRunner.scala:210-247``,
+    ``ml/rf/rf_arm.yml:5-19`` scaled)."""
+    df = _features(cat)
+    m = RandomForestClassifier(
+        numTrees=20, maxDepth=8, maxBins=32, seed=SEED, labelCol="label"
+    ).fit(df)
+    return _clf_metrics(m.transform(df), "label")
+
+
+def ml_est_gbt_classifier(cat: Catalog) -> DataFrame:
+    """GBTClassifier on the binary label (``GBDTRunner.scala:167-226``)."""
+    df = _features(cat)
+    m = GBTClassifier(
+        maxIter=20, maxDepth=5, seed=SEED, labelCol="bin_label"
+    ).fit(df)
+    return _clf_metrics(m.transform(df), "bin_label")
+
+
+# ---- regression ------------------------------------------------------------
+
+
+def ml_est_linreg(cat: Catalog) -> DataFrame:
+    """LinearRegression with the exact normal-equation solver on lineitem
+    numerics → extendedprice (``LinRRunner.scala:161-191``; MSE summary
+    ``:211-218``). Deterministic solver; pytest cross-checks the 1-feature
+    case against ``ml_exact.ml_linreg_ols``."""
+    from pyspark.ml.feature import VectorAssembler
+
+    li = spread(
+        cat.lineitem.select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    )
+    df = VectorAssembler(
+        inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
+    ).transform(li)
+    m = LinearRegression(
+        solver="normal", regParam=0.0, labelCol="l_extendedprice"
+    ).fit(df)
+    coefs = [round(float(c), 4) for c in m.coefficients]
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                round(float(m.intercept), 4),
+                coefs[0],
+                coefs[1],
+                coefs[2],
+                round(m.summary.rootMeanSquaredError, 4),
+            )
+        ],
+        "intercept double, b_quantity double, b_discount double, "
+        "b_tax double, rmse double",
+    )
+
+
+def ml_est_dt_regressor(cat: Catalog) -> DataFrame:
+    df = _features(cat)
+    m = DecisionTreeRegressor(maxDepth=8, seed=SEED, labelCol="y").fit(df)
+    return _reg_metrics(m.transform(df), "y")
+
+
+def ml_est_rf_regressor(cat: Catalog) -> DataFrame:
+    df = _features(cat)
+    m = RandomForestRegressor(
+        numTrees=20, maxDepth=8, seed=SEED, labelCol="y"
+    ).fit(df)
+    return _reg_metrics(m.transform(df), "y")
+
+
+def ml_est_gbt_regressor(cat: Catalog) -> DataFrame:
+    df = _features(cat)
+    m = GBTRegressor(maxIter=20, maxDepth=5, seed=SEED, labelCol="y").fit(df)
+    return _reg_metrics(m.transform(df), "y")
+
+
+# ---- decomposition ---------------------------------------------------------
+
+
+def ml_est_pca(cat: Catalog) -> DataFrame:
+    """PCA top-4 explained variance (``PCARunner.scala:154-175``): the
+    variance spectrum is sign-invariant, so it is the stable comparator
+    (SURVEY §5 matrix rule uses |·| for the components)."""
+    df = _features(cat)
+    m = PCA(k=4, inputCol="features", outputCol="pc").fit(df)
+    rows = [(i, round(float(v), 6)) for i, v in enumerate(m.explainedVariance)]
+    return df.sparkSession.createDataFrame(rows, "component int, explained_variance double")
+
+
+def ml_est_svd(cat: Catalog) -> DataFrame:
+    """Truncated SVD singular values via RowMatrix.computeSVD
+    (``SVDRunner.scala:120-155``; mllib RDD API — no DF equivalent in
+    PySpark, mirroring the reference's use)."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    rows = (
+        spread(cat.embeddings)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .rdd.map(lambda r: OldVectors.dense(r["v"]))
+    )
+    svd = RowMatrix(rows).computeSVD(5, computeU=False)
+    out = [(i, round(float(s), 4)) for i, s in enumerate(svd.s)]
+    return cat.spark.createDataFrame(out, "component int, singular_value double")
+
+
+def ml_est_covariance(cat: Catalog) -> DataFrame:
+    """RowMatrix.computeCovariance (``CovRunner.scala:93-116``) over the
+    lineitem numeric columns → long-format (i, j, cov)."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rows = (
+        spread(cat.lineitem.select(*cols))
+        .rdd.map(lambda r: OldVectors.dense([r[c] for c in cols]))
+    )
+    cov = RowMatrix(rows).computeCovariance().toArray()
+    out = [
+        (i, j, round(float(cov[i][j]), 4))
+        for i in range(len(cols))
+        for j in range(len(cols))
+    ]
+    return cat.spark.createDataFrame(out, "i int, j int, cov double")
+
+
+# ---- recommendation --------------------------------------------------------
+
+
+def ratings_table(cat: Catalog) -> DataFrame:
+    """(user, item, rating): customer×part mean ordered quantity — the
+    ratings matrix shape of ``ALSRunner.scala:152-163``."""
+    return (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.avg("l_quantity").alias("rating"))
+    )
+
+
+def _als_run(cat: Catalog, implicit: bool) -> DataFrame:
+    r = spread(ratings_table(cat)).cache()
+    m = ALS(
+        rank=8,
+        maxIter=5,
+        seed=SEED,
+        implicitPrefs=implicit,
+        coldStartStrategy="drop",
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+    ).fit(r)
+    pred = m.transform(r)
+    mse = pred.agg(
+        F.avg(
+            (F.col("rating") - F.col("prediction"))
+            * (F.col("rating") - F.col("prediction"))
+        )
+    ).collect()[0][0]
+    users, items = r.select("user").distinct().count(), r.select("item").distinct().count()
+    return r.sparkSession.createDataFrame(
+        [(round(float(mse), 4), users, items)], "mse double, users long, items long"
+    )
+
+
+def ml_est_als(cat: Catalog) -> DataFrame:
+    """Explicit ALS + train MSE (``ALSRunner.scala:179-208``, eval
+    ``:215-234``)."""
+    return _als_run(cat, implicit=False)
+
+
+def ml_est_als_implicit(cat: Catalog) -> DataFrame:
+    """Implicit-preference ALS (``ALSRunner.scala`` implicit variant)."""
+    return _als_run(cat, implicit=True)
+
+
+# ---- feature weighting -----------------------------------------------------
+
+
+def ml_est_idf(cat: Catalog) -> DataFrame:
+    """spark.ml IDF estimator over a CountVectorizer corpus
+    (``IDFRunner.scala:102-111``) → (df_bucket, n_terms, idf_sum): aggregate
+    of the model's idf vector, stable under vocabulary-order ties."""
+    docs = cat.documents.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="tf", vocabSize=1000).fit(docs)
+    tf = cv.transform(docs)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    vals = sorted(round(float(x), 6) for x in idf_model.idf)
+    return docs.sparkSession.createDataFrame(
+        [(len(vals), round(sum(vals), 4))], "n_terms long, idf_sum double"
+    )
+
+
+# ---- sequential patterns ---------------------------------------------------
+
+
+def ml_est_prefixspan(cat: Catalog) -> DataFrame:
+    """``pyspark.ml.fpm.PrefixSpan`` (``PrefixSpanRunner.scala:150-154``)
+    with maxPatternLength=2 on per-user event-type sequences → (pattern,
+    support). Exact set semantics ⇒ shares the ``ml_prefixspan`` SQL oracle
+    (patterns canonicalized to the same a→b strings, the canonicalization
+    mirror of ``PrefixSpanRunner.scala:156-161``)."""
+    ev = cat.events.select("user_id", "ts", "event_id", "event_type")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=PS_MIN_SUPPORT, maxPatternLength=2, sequenceCol="sequence"
+    )
+    found = ps.findFrequentSequentialPatterns(seqs)
+    return found.select(
+        F.concat_ws(
+            "->", F.transform(F.col("sequence"), lambda s: s.getItem(0))
+        ).alias("pattern"),
+        F.col("freq").alias("support"),
+    )

@@ -70,16 +70,16 @@ def ml_linreg_ols(cat: Catalog) -> DataFrame:
         ),
     )
     scored = li.crossJoin(F.broadcast(p))
-    return scored.agg(
-        F.first("slope").alias("slope"),
-        F.first("intercept").alias("intercept"),
+    return scored.groupBy("slope", "intercept").agg(
         round_half_up(
-            F.avg(
-                (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
-                * (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+            F.sqrt(
+                F.avg(
+                    (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+                    * (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+                )
             ),
-            2,
-        ).alias("mse"),
+            4,
+        ).alias("rmse"),
     )
 
 

@@ -483,6 +483,7 @@ def all_oracles() -> dict[str, str]:
     from spark_ml_algo_lib_master_tongji_spark.graph_oracles import (
         build_graph_oracles,
     )
+    from spark_ml_algo_lib_master_tongji_spark.ml_oracles import build_ml_oracles
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
@@ -491,4 +492,5 @@ def all_oracles() -> dict[str, str]:
     out.update(DEDUP_ORACLES)
     out.update(SIM_ORACLES)
     out.update(build_graph_oracles())
+    out.update(build_ml_oracles())
     return {k: fix_rounds(v) for k, v in out.items()}

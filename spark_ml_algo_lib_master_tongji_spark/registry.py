@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_ml_algo_lib_master_tongji_spark.operators import (
     dedup,
     graph,
+    ml_estimators,
+    ml_exact,
     relational,
     similarity,
     stats,
@@ -99,5 +101,39 @@ def build_registry() -> dict[str, QueryFn]:
         "graph_subgraph_matching",
     ):
         reg[name] = _wrap(getattr(graph, name))
+
+    for name in (
+        "ml_linreg_ols",
+        "ml_kmeans_lloyd_assign",
+        "ml_kmeans_lloyd_sizes",
+        "ml_knn_classifier",
+        "ml_knn_regressor",
+        "ml_idf",
+        "ml_prefixspan",
+    ):
+        reg[name] = _wrap(getattr(ml_exact, name))
+
+    for name in (
+        "ml_est_kmeans",
+        "ml_est_lda",
+        "ml_est_logreg",
+        "ml_est_logreg_bounded",
+        "ml_est_svc",
+        "ml_est_dt_classifier",
+        "ml_est_rf_classifier",
+        "ml_est_gbt_classifier",
+        "ml_est_linreg",
+        "ml_est_dt_regressor",
+        "ml_est_rf_regressor",
+        "ml_est_gbt_regressor",
+        "ml_est_pca",
+        "ml_est_svd",
+        "ml_est_covariance",
+        "ml_est_als",
+        "ml_est_als_implicit",
+        "ml_est_idf",
+        "ml_est_prefixspan",
+    ):
+        reg[name] = _wrap(getattr(ml_estimators, name))
 
     return reg

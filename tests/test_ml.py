@@ -1,0 +1,185 @@
+"""Differential ML tests vs single-node numpy oracles, using the
+reference's tolerances: scalar rel-err ≤ 0.005 (``Utils.scala:176``),
+matrix/vector element-wise ≤ 1e-6 with |·| sign tolerance
+(``Utils.scala:231-253``), exact set equality for patterns
+(``PrefixSpanRunner.scala:167-174``), top-k containment for KNN
+(``KNNRunner.scala:181-218``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    return Catalog(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def emb(cat):
+    rows = cat.embeddings.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    y = np.array([r["label"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    return ids, X, y
+
+
+def test_linreg_matches_numpy_lstsq(cat):
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_linreg,
+    )
+
+    li = cat.lineitem.select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).collect()
+    A = np.array(
+        [[1.0, r["l_quantity"], r["l_discount"], r["l_tax"]] for r in li]
+    )
+    b = np.array([r["l_extendedprice"] for r in li])
+    beta = np.linalg.lstsq(A, b, rcond=None)[0]
+
+    got = ml_est_linreg(cat).collect()[0]
+    want = [beta[0], beta[1], beta[2], beta[3]]
+    have = [got["intercept"], got["b_quantity"], got["b_discount"], got["b_tax"]]
+    for w, h in zip(want, have):
+        assert abs(w - h) <= 0.005 * max(1.0, abs(w)), (want, have)
+
+
+def test_linreg_single_feature_matches_exact_ols(cat):
+    """spark.ml normal-equation solver vs the closed-form ml_exact OLS."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+        ml_linreg_ols,
+    )
+
+    df = VectorAssembler(
+        inputCols=["l_quantity"], outputCol="features"
+    ).transform(cat.lineitem.select("l_quantity", "l_extendedprice"))
+    m = LinearRegression(
+        solver="normal", regParam=0.0, labelCol="l_extendedprice"
+    ).fit(df)
+    exact = ml_linreg_ols(cat).collect()[0]
+    assert abs(float(m.coefficients[0]) - exact["slope"]) <= 0.005 * abs(
+        exact["slope"]
+    )
+    assert abs(float(m.intercept) - exact["intercept"]) <= 0.005 * abs(
+        exact["intercept"]
+    )
+
+
+def test_pca_explained_variance_matches_numpy(cat, emb):
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_pca,
+    )
+
+    _, X, _ = emb
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / (len(X) - 1)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    ratios = eig / eig.sum()
+
+    got = {r["component"]: r["explained_variance"] for r in ml_est_pca(cat).collect()}
+    for i in range(4):
+        assert abs(got[i] - ratios[i]) <= 0.005 * max(1e-9, abs(ratios[i]))
+
+
+def test_svd_singular_values_match_numpy(cat, emb):
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_svd,
+    )
+
+    _, X, _ = emb
+    s = np.linalg.svd(X, compute_uv=False)
+    got = {r["component"]: r["singular_value"] for r in ml_est_svd(cat).collect()}
+    for i in range(5):
+        assert abs(got[i] - s[i]) <= 0.005 * abs(s[i])
+
+
+def test_covariance_matches_numpy(cat):
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_covariance,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rows = cat.lineitem.select(*cols).collect()
+    M = np.array([[r[c] for c in cols] for r in rows])
+    cov = np.cov(M, rowvar=False)  # sample covariance, ddof=1 like mllib
+    got = {(r["i"], r["j"]): r["cov"] for r in ml_est_covariance(cat).collect()}
+    # mllib computes cov via E[xy] − E[x]E[y] (cancellation-prone), so
+    # tolerate relative to the column scales sqrt(var_i·var_j), not the
+    # (possibly near-zero) entry itself.
+    for i in range(4):
+        for j in range(4):
+            scale = max(1e-6, np.sqrt(cov[i][i] * cov[j][j]))
+            # +5e-5: the operator rounds its output to 4 decimals.
+            assert abs(got[(i, j)] - cov[i][j]) <= 0.005 * scale + 5e-5
+
+
+def test_knn_classifier_matches_numpy_brute_force(cat, emb):
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+        KNN_K,
+        KNN_QUERY_MOD,
+        ml_knn_classifier,
+    )
+
+    ids, X, y = emb
+    qmask = ids % KNN_QUERY_MOD == 0
+    got = {r["qid"]: r["predicted"] for r in ml_knn_classifier(cat).collect()}
+    for qi in np.where(qmask)[0]:
+        d2 = ((X[~qmask] - X[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids[~qmask], d2.round(6)))[:KNN_K]
+        votes = y[~qmask][order]
+        vals, counts = np.unique(votes, return_counts=True)
+        pred = vals[counts == counts.max()].min()
+        assert got[ids[qi]] == pred, f"query {ids[qi]}"
+
+
+def test_kmeans_exact_partitions_all_points(cat, emb):
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+        KMEANS_K,
+        ml_kmeans_lloyd_sizes,
+    )
+
+    ids, _, _ = emb
+    sizes = ml_kmeans_lloyd_sizes(cat).collect()
+    assert sum(r["n"] for r in sizes) == len(ids)
+    assert len(sizes) <= KMEANS_K
+
+
+def test_classifier_metrics_beat_chance(cat):
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_logreg,
+        ml_est_rf_classifier,
+    )
+
+    # 10-class problem: chance = 0.1. Regularized LR on raw embeddings is a
+    # weak learner; RF memorizes the train set.
+    for fn, floor in ((ml_est_logreg, 0.2), (ml_est_rf_classifier, 0.5)):
+        acc = fn(cat).collect()[0]["accuracy"]
+        assert acc > floor, fn.__name__
+
+
+def test_fit_overload_surface(cat):
+    """The four fit variants exercised by the reference
+    (``KMeansRunner.scala:147-154``): plain, ParamMap, list-of-ParamMaps."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    df = cat.embeddings.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    est = KMeans(k=3, maxIter=2, seed=2020)
+    m1 = est.fit(df)
+    m2 = est.fit(df, {est.k: 4})
+    m3, m4 = est.fit(df, [{est.k: 4}, {est.k: 5, est.maxIter: 3}])
+    assert len(m1.clusterCenters()) == 3
+    assert len(m2.clusterCenters()) == 4
+    assert [len(m3.clusterCenters()), len(m4.clusterCenters())] == [4, 5]
