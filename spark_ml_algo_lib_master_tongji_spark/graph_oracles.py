@@ -380,4 +380,312 @@ SELECT 'four_cycle' AS template,
        (SELECT CAST(sum(k * (k - 1) / 2) / 2 AS BIGINT) FROM common) AS matches"""
     )
 
+    o.update(_build_graph_extra_oracles())
     return {k: _materialize(v) for k, v in o.items()}
+
+
+# ---- graph_extra oracles ---------------------------------------------------
+
+
+def _pr_round_ctes(
+    prefix: str, es: str, reset_d: str, start: str, n: int
+) -> tuple[list[str], str]:
+    """Unrolled PageRank rounds reading edge-shares from ``es`` and the
+    per-vertex reset column from ``reset_d``, starting at CTE ``start``."""
+    ctes = []
+    cur = start
+    for i in range(n):
+        nxt = f"{prefix}{i + 1}"
+        ctes.append(
+            f"""{nxt} AS (
+    SELECT r.v,
+           r.reset + {DAMP!r} * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS pr
+    FROM {reset_d} r LEFT JOIN (
+        SELECT {es}.dst AS v, sum(p.pr * {es}.share) AS contrib
+        FROM {es} JOIN {cur} p ON {es}.src = p.v
+        GROUP BY {es}.dst
+    ) c ON r.v = c.v
+)"""
+        )
+        cur = nxt
+    return ctes, cur
+
+
+def _build_graph_extra_oracles() -> dict[str, str]:
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import (
+        CLIQUE_MIN_W,
+        H_A,
+        H_B,
+        H_C,
+        INC_CUTOFF,
+        INC_ITERS,
+        LOUVAIN_ROUNDS,
+        RATE_MAX,
+        RATE_MIN,
+        WALK_LEN,
+        WALKS_PER_NODE,
+        WCE_ROUNDS,
+    )
+
+    o: dict[str, str] = {}
+
+    # -- incremental pagerank: prior snapshot PR → warm-started full PR
+    prior_ctes = f"""
+pairsp AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS cnt
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_shipdate < TIMESTAMP '{INC_CUTOFF}'
+      AND b.l_shipdate < TIMESTAMP '{INC_CUTOFF}'
+    GROUP BY 1, 2
+),
+edgesp AS (SELECT src, dst, cnt FROM pairsp
+           UNION ALL SELECT dst AS src, src AS dst, cnt FROM pairsp),
+vertsp AS (SELECT DISTINCT src AS v FROM edgesp),
+degp AS (SELECT src AS v, count(*) AS deg FROM edgesp GROUP BY 1),
+esp AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS share
+        FROM edgesp e JOIN degp d ON e.src = d.v),
+resetp AS (SELECT v, {RESET!r} / (SELECT count(*)::DOUBLE FROM vertsp) AS reset
+           FROM vertsp),
+pp0 AS (SELECT v, reset AS pr FROM resetp)"""
+    prior_rounds, prior_last = _pr_round_ctes("pp", "esp", "resetp", "pp0", PR_ITERS)
+
+    full_ctes = f"""esf AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS share
+       FROM edges e JOIN deg d ON e.src = d.v),
+resetf AS (SELECT v, {RESET!r} / (SELECT count(*)::DOUBLE FROM verts) AS reset
+           FROM verts),
+fi0 AS (
+    SELECT fv.v,
+           coalesce(pp.pr, {RESET!r} / (SELECT count(*)::DOUBLE FROM verts)) AS pr
+    FROM verts fv LEFT JOIN {prior_last} pp ON fv.v = pp.v
+)"""
+    inc_rounds, inc_last = _pr_round_ctes("fi", "esf", "resetf", "fi0", INC_ITERS)
+
+    o["graph_incremental_pagerank"] = (
+        "WITH "
+        + ",\n".join(
+            [PAIRS_CTES.strip(), prior_ctes.strip()]
+            + prior_rounds
+            + [full_ctes.strip()]
+            + inc_rounds
+        )
+        + f"\nSELECT v, round(pr, 6) AS pr FROM {inc_last}"
+    )
+
+    # -- cycle detection with rate constraints on the weighted nation graph
+    rmin = f"CAST({RATE_MIN!r} AS DOUBLE)"
+    rmax = f"CAST({RATE_MAX!r} AS DOUBLE)"
+
+    def rate(wa: str, wb: str) -> str:
+        return f"({wb} / {wa} >= {rmin} AND {wb} / {wa} <= {rmax})"
+
+    o["graph_cycle_detection"] = f"""
+WITH ew AS (
+    SELECT c.c_nationkey::BIGINT AS src, s.s_nationkey::BIGINT AS dst,
+           count(*) AS w
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+),
+c3 AS (
+    SELECT CAST(e1.src AS VARCHAR) || '->' || CAST(e1.dst AS VARCHAR)
+           || '->' || CAST(e2.dst AS VARCHAR) AS cycle, 3 AS len
+    FROM ew e1
+    JOIN ew e2 ON e1.dst = e2.src
+    JOIN ew e3 ON e2.dst = e3.src AND e3.dst = e1.src
+    WHERE e1.src < e1.dst AND e1.src < e2.dst
+      AND {rate('e1.w', 'e2.w')} AND {rate('e2.w', 'e3.w')}
+      AND {rate('e3.w', 'e1.w')}
+),
+c4 AS (
+    SELECT CAST(e1.src AS VARCHAR) || '->' || CAST(e1.dst AS VARCHAR)
+           || '->' || CAST(e2.dst AS VARCHAR)
+           || '->' || CAST(e3.dst AS VARCHAR) AS cycle, 4 AS len
+    FROM ew e1
+    JOIN ew e2 ON e1.dst = e2.src
+    JOIN ew e3 ON e2.dst = e3.src
+    JOIN ew e4 ON e3.dst = e4.src AND e4.dst = e1.src
+    WHERE e1.src < e1.dst AND e1.src < e2.dst AND e1.src < e3.dst
+      AND e1.dst <> e3.dst
+      AND {rate('e1.w', 'e2.w')} AND {rate('e2.w', 'e3.w')}
+      AND {rate('e3.w', 'e4.w')} AND {rate('e4.w', 'e1.w')}
+)
+SELECT cycle, len FROM c3 UNION ALL SELECT cycle, len FROM c4"""
+
+    # -- maximal cliques (size 2-4) on the strong subgraph
+    o["graph_maximal_cliques"] = f"""
+WITH {PAIRS_CTES.strip()},
+p2 AS (SELECT src, dst FROM pairs WHERE cnt >= {CLIQUE_MIN_W}),
+sym2 AS (SELECT src, dst FROM p2 UNION ALL SELECT dst AS src, src AS dst FROM p2),
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM p2 e1 JOIN p2 e2 ON e1.dst = e2.src
+    JOIN p2 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tri_edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM tri
+        UNION ALL SELECT b AS src, c AS dst FROM tri
+        UNION ALL SELECT a AS src, c AS dst FROM tri
+    )
+),
+max2 AS (
+    SELECT CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR) AS clique,
+           2 AS size
+    FROM p2 ANTI JOIN tri_edges USING (src, dst)
+),
+tri_ext AS (
+    SELECT DISTINCT t.a, t.b, t.c
+    FROM tri t
+    JOIN sym2 sa ON t.a = sa.src
+    JOIN sym2 sb ON t.b = sb.src AND sb.dst = sa.dst
+    JOIN sym2 sc ON t.c = sc.src AND sc.dst = sa.dst
+),
+max3 AS (
+    SELECT CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR)
+           || '-' || CAST(c AS VARCHAR) AS clique, 3 AS size
+    FROM tri ANTI JOIN tri_ext USING (a, b, c)
+),
+k4 AS (
+    SELECT t.a, t.b, t.c, p1.dst AS d
+    FROM tri t
+    JOIN p2 p1 ON t.c = p1.src
+    JOIN p2 pa ON pa.src = t.a AND pa.dst = p1.dst
+    JOIN p2 pb ON pb.src = t.b AND pb.dst = p1.dst
+),
+k4_ext AS (
+    SELECT DISTINCT t.a, t.b, t.c, t.d
+    FROM k4 t
+    JOIN sym2 sa ON t.a = sa.src
+    JOIN sym2 sb ON t.b = sb.src AND sb.dst = sa.dst
+    JOIN sym2 sc ON t.c = sc.src AND sc.dst = sa.dst
+    JOIN sym2 sd ON t.d = sd.src AND sd.dst = sa.dst
+),
+max4 AS (
+    SELECT CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR)
+           || '-' || CAST(c AS VARCHAR) || '-' || CAST(d AS VARCHAR) AS clique,
+           4 AS size
+    FROM k4 ANTI JOIN k4_ext USING (a, b, c, d)
+)
+SELECT clique, size FROM max2
+UNION ALL SELECT clique, size FROM max3
+UNION ALL SELECT clique, size FROM max4"""
+
+    # -- weak cliques: min-label components of the strong subgraph
+    wce_ctes = [
+        PAIRS_CTES.strip(),
+        f"p2 AS (SELECT src, dst FROM pairs WHERE cnt >= {CLIQUE_MIN_W})",
+        "sym2 AS (SELECT src, dst FROM p2 UNION ALL "
+        "SELECT dst AS src, src AS dst FROM p2)",
+        "w0 AS (SELECT DISTINCT src AS v, src AS wce_id FROM sym2)",
+    ]
+    for i in range(WCE_ROUNDS):
+        wce_ctes.append(
+            f"""w{i + 1} AS (
+    SELECT t.v, least(t.wce_id, coalesce(m.m, t.wce_id)) AS wce_id
+    FROM w{i} t LEFT JOIN (
+        SELECT s.dst AS v, min(p.wce_id) AS m
+        FROM sym2 s JOIN w{i} p ON s.src = p.v
+        GROUP BY s.dst
+    ) m ON t.v = m.v
+)"""
+        )
+    o["graph_weak_cliques"] = (
+        "WITH "
+        + ",\n".join(wce_ctes)
+        + f"\nSELECT v, wce_id FROM w{WCE_ROUNDS}"
+    )
+
+    # -- Louvain local-move rounds
+    lv_ctes = [
+        PAIRS_CTES.strip(),
+        "wdeg AS (SELECT src AS v, sum(cnt)::BIGINT AS wv FROM edges GROUP BY src)",
+        "tm AS (SELECT sum(wv)::DOUBLE AS tm FROM wdeg)",
+        "lv0 AS (SELECT v, v AS label FROM wdeg)",
+    ]
+    for i in range(LOUVAIN_ROUNDS):
+        lv_ctes.append(
+            f"""kvc{i} AS (
+    SELECT e.src AS v, lb.label AS c, sum(e.cnt)::BIGINT AS k
+    FROM edges e JOIN lv{i} lb ON e.dst = lb.v
+    GROUP BY e.src, lb.label
+)"""
+        )
+        lv_ctes.append(
+            f"""cand{i} AS (
+    SELECT v, c, max(k) AS k FROM (
+        SELECT v, c, k FROM kvc{i}
+        UNION ALL
+        SELECT v, label AS c, CAST(0 AS BIGINT) AS k FROM lv{i}
+    ) GROUP BY v, c
+)"""
+        )
+        lv_ctes.append(
+            f"""sig{i} AS (
+    SELECT lb.label AS c, sum(w.wv)::BIGINT AS stot
+    FROM lv{i} lb JOIN wdeg w ON lb.v = w.v
+    GROUP BY lb.label
+)"""
+        )
+        lv_ctes.append(
+            f"""sc{i} AS (
+    SELECT cand.v, cand.c,
+           round(cand.k - w.wv
+                 * (s.stot - CASE WHEN lb.label = cand.c THEN w.wv ELSE 0 END)
+                 / (SELECT tm FROM tm), 9) AS score
+    FROM cand{i} cand
+    JOIN sig{i} s ON cand.c = s.c
+    JOIN wdeg w ON cand.v = w.v
+    JOIN lv{i} lb ON cand.v = lb.v
+)"""
+        )
+        lv_ctes.append(
+            f"""lv{i + 1} AS (
+    SELECT v, c AS label FROM (
+        SELECT v, c,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY score DESC, c ASC) AS rn
+        FROM sc{i}
+    ) WHERE rn = 1
+)"""
+        )
+    o["graph_louvain"] = (
+        "WITH "
+        + ",\n".join(lv_ctes)
+        + f"\nSELECT v, label AS community FROM lv{LOUVAIN_ROUNDS}"
+    )
+
+    # -- node2vec deterministic walks
+    nv_ctes = [
+        PAIRS_CTES.strip(),
+        "adj AS (SELECT src AS v, list(dst ORDER BY dst) AS nbrs "
+        "FROM edges GROUP BY src)",
+        f"""nv0 AS (
+    SELECT a.v * 10 + t.w AS walk_id, t.w, 0 AS step, a.v AS node
+    FROM adj a CROSS JOIN
+         (SELECT UNNEST(generate_series(0, {WALKS_PER_NODE - 1})) AS w) t
+)""",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        nv_ctes.append(
+            f"""nv{t} AS (
+    SELECT s.walk_id, s.w, {t} AS step,
+           a.nbrs[((s.node * {H_A} + {t} * {H_B} + s.w * {H_C})
+                   % len(a.nbrs)) + 1] AS node
+    FROM nv{t - 1} s JOIN adj a ON s.node = a.v
+)"""
+        )
+    o["graph_node2vec_walks"] = (
+        "WITH "
+        + ",\n".join(nv_ctes)
+        + "\nSELECT walk_id, step, node FROM ("
+        + " UNION ALL ".join(
+            f"SELECT walk_id, step, node FROM nv{t}" for t in range(WALK_LEN + 1)
+        )
+        + ")"
+    )
+
+    return o

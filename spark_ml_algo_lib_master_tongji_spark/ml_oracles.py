@@ -8,7 +8,15 @@ rounding through the shared floor formula before any argmin/compare.
 
 from __future__ import annotations
 
-from spark_ml_algo_lib_master_tongji_spark.graph_oracles import _materialize
+from spark_ml_algo_lib_master_tongji_spark.graph_oracles import (
+    NATION_CTES,
+    _materialize,
+)
+from spark_ml_algo_lib_master_tongji_spark.operators.density import (
+    DBSCAN_CC_ROUNDS,
+    EPS2,
+    MIN_PTS,
+)
 from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
     IDF_MIN_DF,
     KMEANS_ITERS,
@@ -16,6 +24,10 @@ from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
     KNN_K,
     KNN_QUERY_MOD,
     PS_MIN_SUPPORT,
+)
+from spark_ml_algo_lib_master_tongji_spark.operators.simrank import (
+    SIMRANK_C,
+    SIMRANK_ITERS,
 )
 
 # Squared L2 via the dot identity — mirrors ml_exact._dist2.
@@ -179,4 +191,128 @@ SELECT pattern, support FROM l2
     # shares the deterministic oracle (patterns canonicalized identically).
     o["ml_est_prefixspan"] = o["ml_prefixspan"]
 
+    o["ml_dbscan"] = _dbscan_sql() + """
+SELECT p.vec_id,
+       CASE WHEN cl.label IS NOT NULL THEN 0
+            WHEN b.bcluster IS NOT NULL THEN 1
+            ELSE -1 END AS role,
+       coalesce(cl.label, b.bcluster, -1) AS cluster
+FROM pts p
+LEFT JOIN lastlab cl ON p.vec_id = cl.v
+LEFT JOIN border b ON p.vec_id = b.bv"""
+
+    o["ml_dbscan_summary"] = _dbscan_sql() + """
+, final AS (
+    SELECT p.vec_id,
+           CASE WHEN cl.label IS NOT NULL THEN 0
+                WHEN b.bcluster IS NOT NULL THEN 1
+                ELSE -1 END AS role,
+           coalesce(cl.label, b.bcluster, -1) AS cluster
+    FROM pts p
+    LEFT JOIN lastlab cl ON p.vec_id = cl.v
+    LEFT JOIN border b ON p.vec_id = b.bv
+)
+SELECT sum(CASE WHEN role = 0 THEN 1 ELSE 0 END)::BIGINT AS n_core,
+       sum(CASE WHEN role = 1 THEN 1 ELSE 0 END)::BIGINT AS n_border,
+       sum(CASE WHEN role = -1 THEN 1 ELSE 0 END)::BIGINT AS n_noise,
+       count(DISTINCT CASE WHEN cluster >= 0 THEN cluster END) AS n_clusters
+FROM final"""
+
+    o["ml_simrank"] = _simrank_sql()
+
     return {k: _materialize(v) for k, v in o.items()}
+
+
+def _dbscan_sql() -> str:
+    """Unrolled DBSCAN: ε-pairs → core → fixed-round min-label components
+    → border/noise. Mirror of operators/density.py."""
+    ctes = [
+        _PTS,
+        f"""pr AS (
+    SELECT a.vec_id AS i, b.vec_id AS j
+    FROM pts a CROSS JOIN pts b
+    WHERE a.vec_id < b.vec_id
+      AND {_d2('a.v', 'b.v')} <= CAST({EPS2!r} AS DOUBLE)
+)""",
+        "nbr AS (SELECT i AS p, j AS q FROM pr UNION ALL SELECT j AS p, i AS q FROM pr)",
+        "ncnt AS (SELECT p, count(*) AS c FROM nbr GROUP BY p)",
+        f"core AS (SELECT p FROM ncnt WHERE c + 1 >= {MIN_PTS})",
+        "ce AS (SELECT n.p, n.q FROM nbr n JOIN core c1 ON n.p = c1.p "
+        "JOIN core c2 ON n.q = c2.p)",
+        "s0 AS (SELECT p AS v, p AS label FROM core)",
+    ]
+    for i in range(DBSCAN_CC_ROUNDS):
+        ctes.append(
+            f"""s{i + 1} AS (
+    SELECT t.v, least(t.label, coalesce(m.m, t.label)) AS label
+    FROM s{i} t LEFT JOIN (
+        SELECT ce.q AS v, min(p2.label) AS m
+        FROM ce JOIN s{i} p2 ON ce.p = p2.v
+        GROUP BY ce.q
+    ) m ON t.v = m.v
+)"""
+        )
+    ctes.append(f"lastlab AS (SELECT v, label FROM s{DBSCAN_CC_ROUNDS})")
+    ctes.append(
+        """border AS (
+    SELECT n.p AS bv, min(lab.label) AS bcluster
+    FROM nbr n
+    JOIN core c ON n.q = c.p
+    JOIN lastlab lab ON lab.v = n.q
+    WHERE n.p NOT IN (SELECT p FROM core)
+    GROUP BY n.p
+)"""
+    )
+    return "WITH " + ",\n".join(ctes) + "\n"
+
+
+def _simrank_sql() -> str:
+    """Unrolled bipartite SimRank Jacobi iteration. Mirror of
+    operators/simrank.py (same literals, same operand order)."""
+    c = f"CAST({SIMRANK_C!r} AS DOUBLE)"
+    ctes = [
+        NATION_CTES.strip(),
+        "du AS (SELECT src AS a, count(*) AS d FROM tn GROUP BY src)",
+        "di AS (SELECT dst AS a, count(*) AS d FROM tn GROUP BY dst)",
+        "su0 AS (SELECT a, a AS b, CAST(1.0 AS DOUBLE) AS s FROM du)",
+        "si0 AS (SELECT a, a AS b, CAST(1.0 AS DOUBLE) AS s FROM di)",
+    ]
+    for k in range(SIMRANK_ITERS):
+        ctes.append(
+            f"""su{k + 1} AS (
+    SELECT q.a, q.b, {c} / (da.d * db.d) * q.s AS s
+    FROM (
+        SELECT ta.src AS a, tb.src AS b, sum(sp.s) AS s
+        FROM tn ta
+        JOIN si{k} sp ON ta.dst = sp.a
+        JOIN tn tb ON sp.b = tb.dst
+        WHERE ta.src <> tb.src
+        GROUP BY ta.src, tb.src
+    ) q JOIN du da ON q.a = da.a JOIN du db ON q.b = db.a
+    UNION ALL
+    SELECT a, a AS b, CAST(1.0 AS DOUBLE) AS s FROM du
+)"""
+        )
+        ctes.append(
+            f"""si{k + 1} AS (
+    SELECT q.a, q.b, {c} / (da.d * db.d) * q.s AS s
+    FROM (
+        SELECT ta.dst AS a, tb.dst AS b, sum(sp.s) AS s
+        FROM tn ta
+        JOIN su{k} sp ON ta.src = sp.a
+        JOIN tn tb ON sp.b = tb.src
+        WHERE ta.dst <> tb.dst
+        GROUP BY ta.dst, tb.dst
+    ) q JOIN di da ON q.a = da.a JOIN di db ON q.b = db.a
+    UNION ALL
+    SELECT a, a AS b, CAST(1.0 AS DOUBLE) AS s FROM di
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a, b, round(s, 6) AS sim
+FROM su{SIMRANK_ITERS}
+WHERE a < b AND round(s, 6) > 0"""
+    )

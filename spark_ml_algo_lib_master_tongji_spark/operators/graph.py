@@ -138,6 +138,7 @@ def _pagerank_loop(
     reset_dist: DataFrame,
     weighted: bool,
     n_iter: int = PR_ITERS,
+    state0: DataFrame | None = None,
 ) -> DataFrame:
     """Shared power-iteration core: pr' = reset + DAMP · Σ_in pr/outshare.
 
@@ -153,7 +154,8 @@ def _pagerank_loop(
         edges.join(degrees(edges), edges.src == F.col("v"))
         .select("src", "dst", share.alias("share"))
     )
-    state0 = reset_dist.select("v", F.col("reset").alias("pr"))
+    if state0 is None:
+        state0 = reset_dist.select("v", F.col("reset").alias("pr"))
     reset = _cached(reset_dist)
 
     def step(state: DataFrame, _i: int) -> DataFrame:

@@ -13,11 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_ml_algo_lib_master_tongji_spark.operators import (
     dedup,
+    density,
     graph,
+    graph_extra,
     ml_estimators,
     ml_exact,
     relational,
     similarity,
+    simrank,
     stats,
     text_analysis,
 )
@@ -135,5 +138,22 @@ def build_registry() -> dict[str, QueryFn]:
         "ml_est_prefixspan",
     ):
         reg[name] = _wrap(getattr(ml_estimators, name))
+
+    for name in ("ml_dbscan", "ml_dbscan_summary"):
+        reg[name] = _wrap(getattr(density, name))
+
+    reg["ml_simrank"] = _wrap(simrank.ml_simrank)
+
+    for name in (
+        "graph_incremental_pagerank",
+        "graph_cycle_detection",
+        "graph_maximal_cliques",
+        "graph_weak_cliques",
+        "graph_louvain",
+        "graph_node2vec_walks",
+        "graph_node2vec_embeddings",
+        "graph_betweenness",
+    ):
+        reg[name] = _wrap(getattr(graph_extra, name))
 
     return reg

@@ -1,0 +1,120 @@
+"""Oracles for the graph operators whose Spark implementation is not
+SQL-expressible (betweenness via applyInPandas, node2vec embeddings), plus
+structural sanity on the custom community ops. Mirrors the reference's
+top-k set methodology (``BetweennessRunner.scala:92-99``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    return Catalog(spark, SF_SMOKE)
+
+
+def test_betweenness_matches_pair_counting_oracle(cat):
+    """Independent formulation: Floyd-Warshall distances + shortest-path
+    counts, then BC(v) = Σ_{s≠v≠t} σ_st(v)/σ_st with
+    σ_st(v) = σ_sv·σ_vt iff d_sv + d_vt = d_st — algebraically different
+    from the Brandes accumulation used in the operator."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        nation_trade_edges,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import (
+        betweenness,
+    )
+
+    edges = [(r["src"], r["dst"]) for r in nation_trade_edges(cat).collect()]
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    INF = 10**9
+    d = np.full((n, n), INF, dtype=np.int64)
+    sigma = np.zeros((n, n), dtype=np.int64)
+    for v in range(n):
+        d[v][v], sigma[v][v] = 0, 1
+    for s, t in edges:
+        d[idx[s]][idx[t]], sigma[idx[s]][idx[t]] = 1, 1
+    for k in range(n):
+        for i in range(n):
+            for j in range(n):
+                if d[i][k] + d[k][j] < d[i][j]:
+                    d[i][j] = d[i][k] + d[k][j]
+    # path counts by increasing distance (DAG DP over shortest-path edges)
+    sigma = np.zeros((n, n), dtype=np.int64)
+    for s in range(n):
+        sigma[s][s] = 1
+        order = sorted(range(n), key=lambda v: d[s][v])
+        for v in order:
+            if d[s][v] >= INF or v == s:
+                continue
+            sigma[s][v] = sum(
+                sigma[s][u]
+                for u, t in ((idx[a], idx[b]) for a, b in edges)
+                if t == v and d[s][u] + 1 == d[s][v]
+            )
+    bc = {v: 0.0 for v in range(n)}
+    for s in range(n):
+        for t in range(n):
+            if s == t or sigma[s][t] == 0:
+                continue
+            for v in range(n):
+                if v in (s, t):
+                    continue
+                if d[s][v] + d[v][t] == d[s][t]:
+                    bc[v] += sigma[s][v] * sigma[v][t] / sigma[s][t]
+
+    got = {r["v"]: r["betweenness"] for r in betweenness(cat).collect()}
+    for v in nodes:
+        assert abs(got[v] - bc[idx[v]]) <= 1e-5, v
+
+
+def test_louvain_improves_modularity_over_singletons(cat):
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_pairs,
+        modularity,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import louvain
+    from pyspark.sql import functions as F
+
+    pairs = copurchase_pairs(cat)
+    comm = louvain(cat).select("v", F.col("community").alias("label"))
+    q = modularity(pairs, comm).collect()[0]["modularity"]
+    n_comms = comm.select("label").distinct().count()
+    n_v = comm.count()
+    assert n_comms < n_v  # it actually merged vertices
+    assert q > 0.0  # singleton partition scores ≈ −Σ(d/2m)² < 0
+
+
+def test_dbscan_partition_is_total(cat):
+    from spark_ml_algo_lib_master_tongji_spark.operators.density import dbscan
+
+    rows = dbscan(cat).collect()
+    n = cat.embeddings.count()
+    assert len(rows) == n
+    roles = {r["role"] for r in rows}
+    assert roles <= {0, 1, -1}
+    for r in rows:
+        assert (r["cluster"] == -1) == (r["role"] == -1)
+
+
+def test_node2vec_embeddings_cover_vertices(cat):
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_pairs,
+        symmetrize,
+        vertices,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import (
+        node2vec_embeddings,
+    )
+
+    n_v = vertices(symmetrize(copurchase_pairs(cat))).count()
+    row = node2vec_embeddings(cat).collect()[0]
+    assert row["dim"] == 16
+    assert row["n_nodes"] == n_v  # every vertex walked at least once
