@@ -1,0 +1,238 @@
+"""Distributed exact KNN estimator (SURVEY §2.2 #20, §7 Phase 3).
+
+Re-expresses the reference's hybrid spill-tree KNN
+(``org/apache/spark/ml/knn/KNN.scala:380-415`` fit, ``:92-122`` search;
+``MetricTree.scala`` trees) in an idiomatic PySpark shape:
+
+reference design                        → this engine
+----------------------------------------+--------------------------------
+sample → driver-side top metric tree    | sample → driver numpy pivot set
+  (``KNN.scala:387-392``)               |   (seeded farthest-first)
+``KNNPartitioner`` shuffle to leaves    | corpus partitioned by nearest
+  (``KNN.scala:576-586``)               |   pivot (one shuffle)
+per-partition hybrid spill trees       | per-leaf Arrow-batched numpy
+  (``MetricTree.scala:207-248``)       |   block matmul (cogrouped
+                                        |   applyInPandas)
+tau spill fan-out (``KNN.scala:468-516``| two-phase exact search: probe
+  estimates tau by regression)          |   SPILL leaves → kth-distance
+                                        |   bound → triangle-inequality
+                                        |   prune of remaining leaves
+``topByKey`` merge (``KNN.scala:120``)  | window row_number ≤ k merge
+
+The two-phase bound makes the search **exact on any data** (the reference's
+spill trees are exact only when tau is large enough): a leaf can hold a
+better neighbor only if (d(q,pivot) − leaf_radius)² ≤ current kth distance;
+on clustered data nearly every leaf fails the test and is skipped, on
+adversarially uniform high-dimensional data the search degrades gracefully
+toward a partitioned brute-force scan — the correct cost floor (curse of
+dimensionality), paid only by the queries that need it.
+
+Scale: one repartition of corpus + queries by leaf id; per-leaf numpy
+search; the merge shuffles ≤ k rows per (query, probed leaf). Driver holds
+only the pivot sample and per-leaf radii (n_pivots scalars).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_ml_algo_lib_master_tongji_spark.functions.vectors import as_double_array
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, spread
+
+N_PIVOTS = 8
+SPILL = 2  # phase-1 probes per query
+KNN_TOPK = 5
+SAMPLE_N = 512
+SEED = 2020
+
+_HIT_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("d2", T.DoubleType()),
+    ]
+)
+
+
+def _pivots(df: DataFrame, n_pivots: int = N_PIVOTS) -> np.ndarray:
+    """Farthest-first pivot selection on a bounded driver-side sample —
+    the top-tree construction step (``KNN.scala:387-392`` samples to the
+    driver the same way; the sample is capped, never the data)."""
+    sample = np.array(
+        [r["v"] for r in df.select("id", "v").orderBy("id").limit(SAMPLE_N).collect()]
+    )
+    rng = np.random.default_rng(SEED)
+    piv = [sample[int(rng.integers(len(sample)))]]
+    for _ in range(n_pivots - 1):
+        d = np.min([((sample - p) ** 2).sum(axis=1) for p in piv], axis=0)
+        piv.append(sample[int(d.argmax())])
+    return np.stack(piv)
+
+
+def _pivot_dists(df: DataFrame, pivots: np.ndarray) -> DataFrame:
+    """(id, v, leaf, pd2) for every (row, pivot) pair — JVM-side distance
+    against broadcast pivot literals."""
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pivots)],
+        "leaf int, pv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "pv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.crossJoin(F.broadcast(pdf)).select(
+        "id", "v", "leaf", d2.alias("pd2")
+    )
+
+
+def _local_topk_factory(k: int):
+    def local_topk(key, cpdf, qpdf):
+        import pandas as pd
+
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({"qid": [], "nid": [], "d2": []}).astype(
+                {"qid": "int64", "nid": "int64", "d2": "float64"}
+            )
+        C = np.stack(cpdf["v"].to_numpy())
+        Q = np.stack(qpdf["v"].to_numpy())
+        cn = (C * C).sum(axis=1)
+        qn = (Q * Q).sum(axis=1)
+        d2 = np.maximum(qn[:, None] + cn[None, :] - 2.0 * (Q @ C.T), 0.0)
+        kk = min(k, C.shape[0])
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qpdf["id"].to_numpy(), kk),
+                "nid": cpdf["id"].to_numpy()[part.ravel()],
+                "d2": np.take_along_axis(d2, part, axis=1).ravel(),
+            }
+        )
+
+    return local_topk
+
+
+def knn_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = KNN_TOPK,
+    n_pivots: int = N_PIVOTS,
+    spill: int = SPILL,
+) -> DataFrame:
+    """→ (qid, nid, rank, d2): exact k nearest corpus rows per query.
+    corpus/queries: (id long, v array<double>)."""
+    pivots = _pivots(corpus)
+    local_topk = _local_topk_factory(k)
+
+    cd = _pivot_dists(corpus, pivots)
+    wmin = Window.partitionBy("id").orderBy(F.col("pd2").asc(), F.col("leaf").asc())
+    c = (
+        cd.withColumn("rnk", F.row_number().over(wmin))
+        .where(F.col("rnk") == 1)
+        .select("id", "v", "leaf", "pd2")
+        .persist()
+    )
+    # per-leaf radius² — the metric-tree node radius used by the prune bound
+    radii = c.groupBy("leaf").agg(F.max("pd2").alias("r2"))
+
+    qd = _pivot_dists(queries, pivots).persist()
+    wq = Window.partitionBy("id").orderBy(F.col("pd2").asc(), F.col("leaf").asc())
+    qranked = qd.withColumn("rnk", F.row_number().over(wq)).persist()
+
+    # ---- phase 1: probe the SPILL nearest leaves
+    q1 = qranked.where(F.col("rnk") <= spill).select("id", "v", "leaf")
+    hits1 = (
+        c.select("id", "v", "leaf")
+        .groupBy("leaf")
+        .cogroup(q1.groupBy("leaf"))
+        .applyInPandas(local_topk, _HIT_SCHEMA)
+        .persist()
+    )
+    # per-query pruning bound: kth-best distance so far (∞ if < k found)
+    wk = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
+    bound = (
+        hits1.withColumn("rk", F.row_number().over(wk))
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rk") <= k, F.col("d2"))).alias("dk"),
+            F.sum(F.when(F.col("rk") <= k, 1).otherwise(0)).alias("nfound"),
+        )
+        .select(
+            "qid",
+            F.when(F.col("nfound") < k, F.lit(float("inf")))
+            .otherwise(F.col("dk"))
+            .alias("dk"),
+        )
+    )
+
+    # ---- phase 2: remaining leaves that survive the triangle bound
+    # lower bound for any point p in leaf L: d(q,p) ≥ d(q,pivot_L) − r_L
+    lb2 = F.pow(
+        F.greatest(F.lit(0.0), F.sqrt(F.col("pd2")) - F.sqrt(F.col("r2"))), 2
+    )
+    q2 = (
+        qranked.where(F.col("rnk") > spill)
+        .join(F.broadcast(radii), "leaf")
+        .join(bound.withColumnRenamed("qid", "id"), "id")
+        .where(lb2 <= F.col("dk"))
+        .select("id", "v", "leaf")
+    )
+    hits2 = (
+        c.select("id", "v", "leaf")
+        .groupBy("leaf")
+        .cogroup(q2.groupBy("leaf"))
+        .applyInPandas(local_topk, _HIT_SCHEMA)
+    )
+
+    merged = hits1.unionByName(hits2).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("d2", 6).alias("d2"))
+    )
+
+
+def _corpus_queries(cat: Catalog):
+    # Two independent scans (fresh attribute ids) — corpus and queries meet
+    # again in the cogroup, which rejects ambiguous self-join lineage.
+    def pts() -> DataFrame:
+        return spread(cat.embeddings).select(
+            F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+        )
+
+    queries = pts().where(F.col("id") % 20 == 0)
+    corpus = pts().where(F.col("id") % 20 != 0)
+    return corpus, queries
+
+
+def ml_knn_spilltree(cat: Catalog) -> DataFrame:
+    """Registry entry: distributed exact KNN neighbors of the query split
+    (rows-only driver check; pytest applies the reference's brute-force
+    containment rule, ``KNNRunner.scala:181-218``)."""
+    corpus, queries = _corpus_queries(cat)
+    return knn_search(corpus, queries)
+
+
+def ml_knn_spilltree_classifier(cat: Catalog) -> DataFrame:
+    """Weighted-vote classification on top of the distributed search
+    (``KNNClassifier.scala:154-180``): majority label of the k hits,
+    ties → smaller label."""
+    corpus, queries = _corpus_queries(cat)
+    hits = knn_search(corpus, queries)
+    lab = cat.embeddings.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+    )
+    votes = hits.join(lab, "nid").groupBy("qid", "nlabel").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nlabel").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nlabel").alias("predicted"))
+    )

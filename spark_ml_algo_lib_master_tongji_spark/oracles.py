@@ -437,6 +437,89 @@ def _lsh_pairs_oracle() -> str:
 SIM_ORACLES["sim_lsh_bucket_pairs"] = _lsh_pairs_oracle()
 
 
+# Streaming results are checked against their BATCH equivalents —
+# stream/batch equivalence is the streaming correctness property.
+STREAM_ORACLES: dict[str, str] = {
+    "stream_windowed_counts": """
+        SELECT CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000))
+                    AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_distinct_pairs": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # gaps-and-islands sessionization == session_window(gap 30min)
+    "stream_sessionization": """
+        WITH e AS (
+            SELECT user_id, event_id,
+                   make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+            FROM events
+        ),
+        x AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sid
+            FROM x
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+}
+
+# Multimodal payloads are deterministic UTF-8 encodings of documents.text
+# (ASCII fixtures ⇒ byte ops == char ops), so the binary pipeline is
+# exactly reproducible on the source text.
+MM_ORACLES: dict[str, str] = {
+    "mm_manifest": """
+        SELECT doc_id, 'text/plain' AS format,
+               octet_length(encode(text))::INT AS n_bytes,
+               md5(text) AS checksum
+        FROM documents
+    """,
+    "mm_frame_sample": """
+        SELECT doc_id, i AS frame_idx,
+               md5(substring(text, i * 256 + 1, 256)) AS frame_checksum
+        FROM documents,
+             UNNEST(generate_series(
+                 0,
+                 CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1
+             )) AS t(i)
+    """,
+    "mm_byte_features": """
+        SELECT doc_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               (octet_length(encode(text))
+                - octet_length(encode(replace(text, ' ', ''))))::BIGINT
+                   AS n_spaces,
+               (length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT
+                   AS n_digits,
+               (length(text)
+                - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT
+                   AS n_upper
+        FROM documents
+    """,
+    "mm_fake_decode": """
+        SELECT doc_id,
+               (octet_length(encode(text)) % 640 + 1)::INT AS width,
+               (octet_length(encode(text)) % 480 + 1)::INT AS height,
+               3 AS channels
+        FROM documents
+    """,
+}
+
+
 def fix_rounds(sql: str) -> str:
     """Rewrite every ``round(expr, d)`` to ``floor((expr) * 1eD + 0.5) / 1eD``.
 
@@ -493,4 +576,6 @@ def all_oracles() -> dict[str, str]:
     out.update(SIM_ORACLES)
     out.update(build_graph_oracles())
     out.update(build_ml_oracles())
+    out.update(STREAM_ORACLES)
+    out.update(MM_ORACLES)
     return {k: fix_rounds(v) for k, v in out.items()}

@@ -16,6 +16,7 @@ from spark_ml_algo_lib_master_tongji_spark.operators import (
     density,
     graph,
     graph_extra,
+    knn,
     ml_estimators,
     ml_exact,
     relational,
@@ -155,5 +156,26 @@ def build_registry() -> dict[str, QueryFn]:
         "graph_betweenness",
     ):
         reg[name] = _wrap(getattr(graph_extra, name))
+
+    for name in ("ml_knn_spilltree", "ml_knn_spilltree_classifier"):
+        reg[name] = _wrap(getattr(knn, name))
+
+    from spark_ml_algo_lib_master_tongji_spark.multimodal import media
+    from spark_ml_algo_lib_master_tongji_spark.streaming import pipeline
+
+    for name in (
+        "stream_windowed_counts",
+        "stream_distinct_pairs",
+        "stream_sessionization",
+    ):
+        reg[name] = getattr(pipeline, name)  # already (spark, sf_dir) shaped
+
+    for name in (
+        "mm_manifest",
+        "mm_frame_sample",
+        "mm_byte_features",
+        "mm_fake_decode",
+    ):
+        reg[name] = _wrap(getattr(media, name))
 
     return reg

@@ -1,0 +1,138 @@
+"""Structured Streaming pipeline over the events table.
+
+The reference is 100% batch (SURVEY §2.1: no watermark, no windows, no
+stateful ops anywhere) — streaming is a beyond-reference capability of this
+engine (BASELINE.json north star). Everything here follows the canonical
+shape: ``readStream`` (file source) → event-time transformations with
+watermarks → sink; each operator runs the stream to completion with an
+``availableNow`` trigger into a memory sink and returns the result as a
+DataFrame, so the registry/driver contract (batch DataFrame out) holds and
+every streaming result is value-hash checked against a *batch* SQL oracle —
+stream/batch equivalence is the correctness property streaming engines are
+judged on.
+
+At scale the same code runs continuously: the file source becomes Kafka,
+``availableNow`` becomes a processing-time trigger, the memory sink becomes
+Delta/parquet; watermarks bound state exactly as configured here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+
+SESSION_GAP = "30 minutes"
+WATERMARK = "1 day"
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The parquet file source streams *directories* of files; the fixture
+    is one file among unrelated tables, so stage a hardlink/copy of
+    events.parquet into a per-SF cache dir inside the repo (fixtures are
+    read-only)."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    dst_dir = (
+        Path(__file__).resolve().parents[2]
+        / ".stream_cache"
+        / Path(sf_dir).name
+        / "events"
+    )
+    dst = dst_dir / "events.parquet"
+    if not dst.exists() or dst.stat().st_mtime < src.stat().st_mtime:
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    return str(dst_dir)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with the same ns→µs timestamp
+    normalization as the batch reader (readers.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = _staged_events_dir(sf_dir)
+    schema = spark.read.parquet(d).schema
+    raw = spark.readStream.schema(schema).parquet(d)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_table(result: DataFrame, name: str) -> DataFrame:
+    """Execute with availableNow into a memory sink, await, return rows."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows with a watermark → (window_start,
+    event_type, n, sum_value). The canonical watermark + windowed-agg
+    pattern; oracle = batch date_trunc aggregation (stream/batch
+    equivalence)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _run_to_table(agg, "stream_windowed_counts")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: watermarked dropDuplicates on
+    (user_id, event_type) → the distinct key set (order-independent, so the
+    arbitrary surviving row never shows). Oracle = batch SELECT DISTINCT."""
+    ev = events_stream(spark, sf_dir)
+    dd = (
+        ev.withWatermark("ts", WATERMARK)
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(dd, "stream_distinct_pairs")
+    return out.select("user_id", "event_type")
+
+
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows per user (gap = 30 min) → (user_id,
+    session_start, n_events, sum_value). ``session_window`` keeps per-key
+    merging state bounded by the watermark; oracle = the batch
+    gaps-and-islands SQL — exact equivalence of a *stateful* streaming
+    operator."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _run_to_table(agg, "stream_sessionization")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )

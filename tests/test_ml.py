@@ -183,3 +183,31 @@ def test_fit_overload_surface(cat):
     assert len(m1.clusterCenters()) == 3
     assert len(m2.clusterCenters()) == 4
     assert [len(m3.clusterCenters()), len(m4.clusterCenters())] == [4, 5]
+
+
+def test_spilltree_knn_containment_rule(cat, emb):
+    """The reference's KNN check (``KNNRunner.scala:181-218``): the exact
+    top-(k-1) brute-force neighbors must appear in the returned set, per
+    query, allowing distance ties. Multi-probe spill search must reach the
+    reference's bar on the fixture."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.knn import (
+        KNN_TOPK,
+        ml_knn_spilltree,
+    )
+
+    ids, X, y = emb
+    qmask = ids % 20 == 0
+    got: dict[int, set] = {}
+    for r in ml_knn_spilltree(cat).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+
+    misses = 0
+    total = 0
+    for qi in np.where(qmask)[0]:
+        d2 = ((X[~qmask] - X[qi]) ** 2).sum(axis=1)
+        order = np.argsort(d2, kind="stable")[: KNN_TOPK - 1]
+        true_ids = set(ids[~qmask][order])
+        total += 1
+        if not true_ids <= got[ids[qi]]:
+            misses += 1
+    assert misses == 0, f"{misses}/{total} queries missing exact top-(k-1)"
