@@ -40,13 +40,24 @@ DBSCAN_CC_ROUNDS = 12
 
 
 def _eps_pairs(pts: DataFrame) -> DataFrame:
-    """(i, j) with i<j and rounded |vi−vj|² ≤ EPS2."""
-    a = pts.toDF("i", "va")
-    b = pts.toDF("j", "vb")
+    """(i, j) with i<j and rounded |vi−vj|² ≤ EPS2. Per-point norms are
+    hoisted out of the quadratic predicate (identical doubles — the same
+    dot(v,v) value, computed n instead of n² times)."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import dot
+
+    withn = pts.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("nn"))
+    a = withn.toDF("i", "va", "na")
+    b = withn.toDF("j", "vb", "nb")
+    d2 = round_half_up(
+        F.col("na") + F.col("nb") - 2 * dot(F.col("va"), F.col("vb")), 6
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .where(F.col("i") < F.col("j"))
-        .where(_dist2(F.col("va"), F.col("vb")) <= EPS2)
+        .where(d2 <= EPS2)
         .select("i", "j")
     )
 
@@ -55,11 +66,10 @@ def dbscan(cat: Catalog) -> DataFrame:
     """→ (vec_id, role, cluster): role ∈ {0 core, 1 border, −1 noise},
     cluster = min core id of the component (−1 for noise)."""
     pts = _cached(_points(cat))
+    pr = _cached(_eps_pairs(pts))  # the quadratic block — computed once
     nbr = _cached(
-        _eps_pairs(pts)
-        .select(F.col("i").alias("p"), F.col("j").alias("q"))
-        .unionByName(
-            _eps_pairs(pts).select(F.col("j").alias("p"), F.col("i").alias("q"))
+        pr.select(F.col("i").alias("p"), F.col("j").alias("q")).unionByName(
+            pr.select(F.col("j").alias("p"), F.col("i").alias("q"))
         )
     )
     ncnt = nbr.groupBy("p").agg(F.count(F.lit(1)).alias("c"))

@@ -62,6 +62,21 @@ INF = 10**15
 # ---- graph derivations -----------------------------------------------------
 
 
+# Session-scoped cache of the fixture-graph derivations: every graph query
+# starts from the same lineitem self-join, and the registry/driver run many
+# queries against one session — materializing the derivation once is the
+# "load the graph, then run algorithms on it" lifecycle of the reference
+# (edges loaded once per runner, ``graph/Util.scala:106-136``).
+_DERIV_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _derived(cat: Catalog, name: str, build) -> DataFrame:
+    key = (id(cat.spark), cat.sf_dir, name)
+    if key not in _DERIV_CACHE:
+        _DERIV_CACHE[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
+    return _DERIV_CACHE[key]
+
+
 def copurchase_pairs(cat: Catalog) -> DataFrame:
     """Canonical undirected part co-purchase edges (src < dst, cnt ≥ 1).
 
@@ -70,15 +85,19 @@ def copurchase_pairs(cat: Catalog) -> DataFrame:
     self-join on l_orderkey is a co-partitioned shuffle join; `<` drops
     self-loops; groupBy dedups parallel edges into a weight (the
     ``groupEdges`` of ``KcoreMain.scala:117-120``)."""
-    li = cat.lineitem.select("l_orderkey", "l_partkey")
-    a = li.toDF("ok", "src")
-    b = li.toDF("ok", "dst")
-    return (
-        a.join(b, "ok")
-        .where(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+
+    def build() -> DataFrame:
+        li = cat.lineitem.select("l_orderkey", "l_partkey")
+        a = li.toDF("ok", "src")
+        b = li.toDF("ok", "dst")
+        return (
+            a.join(b, "ok")
+            .where(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return _derived(cat, "copurchase_pairs", build)
 
 
 def symmetrize(pairs: DataFrame) -> DataFrame:
@@ -108,21 +127,24 @@ def nation_trade_edges(cat: Catalog) -> DataFrame:
     """Directed nation→nation trade edges (customer nation → supplier
     nation), distinct, self-loops dropped — the string-keyed Hive graph
     path of ``PageRankHiveRunner.scala:39-45`` re-expressed as joins."""
-    li = cat.lineitem.select("l_orderkey", "l_suppkey")
-    o = cat.orders.select("o_orderkey", "o_custkey")
-    c = cat.customer.select("c_custkey", "c_nationkey")
-    s = cat.supplier.select("s_suppkey", "s_nationkey")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(
-            F.col("c_nationkey").cast("long").alias("src"),
-            F.col("s_nationkey").cast("long").alias("dst"),
+    def build() -> DataFrame:
+        li = cat.lineitem.select("l_orderkey", "l_suppkey")
+        o = cat.orders.select("o_orderkey", "o_custkey")
+        c = cat.customer.select("c_custkey", "c_nationkey")
+        s = cat.supplier.select("s_suppkey", "s_nationkey")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .where(F.col("c_nationkey") != F.col("s_nationkey"))
+            .select(
+                F.col("c_nationkey").cast("long").alias("src"),
+                F.col("s_nationkey").cast("long").alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    return _derived(cat, "nation_trade_edges", build)
 
 
 def _cached(df: DataFrame) -> DataFrame:

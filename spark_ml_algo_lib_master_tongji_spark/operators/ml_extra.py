@@ -1,0 +1,127 @@
+"""Remaining §2.2 surface: sparse PCA, XGBoost (optional dep), and the
+SQL/Hive entry path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.functions.text import tokens
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, spread
+
+SPCA_VOCAB = 256
+SPCA_K = 4
+
+
+def ml_est_pca_sparse(cat: Catalog) -> DataFrame:
+    """Sparse PCA (SURVEY §2.2 #10): COO term-frequency input → sparse
+    vectors → spark.ml PCA → (component, explained_variance).
+
+    ``SPCARunner.scala:165-195`` runs BoostKit SPCA vs plain PCA on sparse
+    COO matrices; ``PCARunner.scala:133-149`` shows the COO→sparse-vector
+    assembly this mirrors. Vocabulary = the SPCA_VOCAB most frequent tokens
+    (ties → lexicographic) so the matrix is deterministic."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    docs = cat.documents.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = (
+        docs.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "col",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("token").asc())
+            )
+            - 1,
+        )
+        .where(F.col("col") < SPCA_VOCAB)
+        .select("token", "col")
+    )
+    coo = (
+        docs.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id", "col")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    assembled = coo.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("col", "value"))).alias("cells")
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def to_sparse(cells):
+        return Vectors.sparse(
+            SPCA_VOCAB, [c["col"] for c in cells], [c["value"] for c in cells]
+        )
+
+    vecs = spread(assembled).select(to_sparse("cells").alias("features"))
+    m = PCA(k=SPCA_K, inputCol="features", outputCol="pc").fit(vecs)
+    rows = [(i, round(float(v), 6)) for i, v in enumerate(m.explainedVariance)]
+    return cat.spark.createDataFrame(rows, "component int, explained_variance double")
+
+
+def ml_est_xgboost(cat: Catalog) -> DataFrame:
+    """XGBoost classification (SURVEY §2.2 #8, ``XGBTRunner.scala:163-191``)
+    behind an import guard: ``xgboost.spark.SparkXGBClassifier`` when the
+    optional dep is present (hist tree method like ``xgbt_x86.yml:5-17``),
+    documented GBT fallback otherwise → one row (backend, accuracy, n)."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    df = spread(cat.embeddings).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        (F.col("label") % 2).cast("double").alias("bin_label"),
+    )
+    try:
+        from xgboost.spark import SparkXGBClassifier  # optional dep
+
+        model = SparkXGBClassifier(
+            features_col="features",
+            label_col="bin_label",
+            tree_method="hist",
+            n_estimators=50,
+            max_depth=5,
+        ).fit(df)
+        backend = "xgboost"
+    except ImportError:
+        from pyspark.ml.classification import GBTClassifier
+
+        model = GBTClassifier(
+            maxIter=20, maxDepth=5, seed=2020, labelCol="bin_label"
+        ).fit(df)
+        backend = "gbt-fallback"
+    pred = model.transform(df)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="bin_label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(pred)
+    return cat.spark.createDataFrame(
+        [(backend, round(acc, 4), pred.count())], "backend string, accuracy double, n long"
+    )
+
+
+def q_sql_entry_top_suppliers(cat: Catalog) -> DataFrame:
+    """The SQL/Hive entry path (``PageRankHiveRunner.scala:39-40``:
+    ``spark.sql(select * from $table)`` → Catalyst): fixture tables
+    registered as views, the whole query expressed as a SQL string —
+    top supplier per region by lineitem revenue, ranked with a window."""
+    cat.register_all()
+    return cat.spark.sql(
+        """
+        WITH rev AS (
+            SELECT r.r_name AS region, s.s_name AS supplier,
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e4
+                         + 0.5) / 1e4 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, s.s_name
+        )
+        SELECT region, supplier, revenue FROM (
+            SELECT region, supplier, revenue,
+                   row_number() OVER (PARTITION BY region
+                                      ORDER BY revenue DESC, supplier) AS rn
+            FROM rev
+        ) WHERE rn <= 3
+        """
+    )

@@ -437,6 +437,29 @@ def _lsh_pairs_oracle() -> str:
 SIM_ORACLES["sim_lsh_bucket_pairs"] = _lsh_pairs_oracle()
 
 
+# The spark.sql entry path runs the same SQL text on both engines (modulo
+# the shared floor-rounding form already written into the query).
+SQL_ENTRY_ORACLES: dict[str, str] = {
+    "q_sql_entry_top_suppliers": """
+        WITH rev AS (
+            SELECT r.r_name AS region, s.s_name AS supplier,
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e4
+                         + 0.5) / 1e4 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, s.s_name
+        )
+        SELECT region, supplier, revenue FROM (
+            SELECT region, supplier, revenue,
+                   row_number() OVER (PARTITION BY region
+                                      ORDER BY revenue DESC, supplier) AS rn
+            FROM rev
+        ) WHERE rn <= 3
+    """,
+}
+
 # Streaming results are checked against their BATCH equivalents —
 # stream/batch equivalence is the streaming correctness property.
 STREAM_ORACLES: dict[str, str] = {
@@ -578,4 +601,5 @@ def all_oracles() -> dict[str, str]:
     out.update(build_ml_oracles())
     out.update(STREAM_ORACLES)
     out.update(MM_ORACLES)
+    out.update(SQL_ENTRY_ORACLES)
     return {k: fix_rounds(v) for k, v in out.items()}

@@ -160,6 +160,11 @@ def build_registry() -> dict[str, QueryFn]:
     for name in ("ml_knn_spilltree", "ml_knn_spilltree_classifier"):
         reg[name] = _wrap(getattr(knn, name))
 
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_extra
+
+    for name in ("ml_est_pca_sparse", "ml_est_xgboost", "q_sql_entry_top_suppliers"):
+        reg[name] = _wrap(getattr(ml_extra, name))
+
     from spark_ml_algo_lib_master_tongji_spark.multimodal import media
     from spark_ml_algo_lib_master_tongji_spark.streaming import pipeline
 

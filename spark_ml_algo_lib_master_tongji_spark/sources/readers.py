@@ -170,11 +170,13 @@ def read_edge_list(
     lines skipped, self-loops dropped, optional third weight column."""
     lines = spark.read.text(path).filter(~F.col("value").startswith(comment))
     toks = lines.select(F.split(F.trim("value"), sep).alias("t"))
+    # F.get is null-safe on short rows (ANSI mode makes element_at throw
+    # on out-of-bounds — optional weight columns need the null path)
     edges = toks.select(
-        F.element_at("t", 1).cast("long").alias("src"),
-        F.element_at("t", 2).cast("long").alias("dst"),
+        F.get("t", 0).cast("long").alias("src"),
+        F.get("t", 1).cast("long").alias("dst"),
         F.coalesce(
-            F.element_at("t", 3).cast("double"), F.lit(float(default_weight))
+            F.get("t", 2).cast("double"), F.lit(float(default_weight))
         ).alias("weight"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if drop_self_loops:

@@ -1,0 +1,92 @@
+"""Round-trip tests for the non-parquet source adapters (SURVEY §2.1 scan
+rows: libsvm, delimited feature text, labeled text, edge-list text, COO
+text) and the run-report artifact."""
+
+from __future__ import annotations
+
+
+def test_read_libsvm(spark, tmp_path):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import read_libsvm
+
+    p = tmp_path / "data.libsvm"
+    p.write_text("1.0 1:0.5 3:2.0\n0.0 2:1.5\n")
+    df = read_libsvm(spark, str(p), num_features=4)
+    rows = {r["label"]: r["features"] for r in df.collect()}
+    assert rows[1.0].toArray().tolist() == [0.5, 0.0, 2.0, 0.0]
+    assert rows[0.0].toArray().tolist() == [0.0, 1.5, 0.0, 0.0]
+
+
+def test_read_features_csv(spark, tmp_path):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        read_features_csv,
+    )
+
+    p = tmp_path / "feat.txt"
+    p.write_text("# comment line\n1.0,2.0,3.0\n4.0,5.0,6.0\n")
+    rows = sorted(
+        r["features"] for r in read_features_csv(spark, str(p)).collect()
+    )
+    assert rows == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+
+
+def test_read_labeled_text(spark, tmp_path):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        read_labeled_text,
+    )
+
+    p = tmp_path / "svm.txt"
+    p.write_text("1,0.5 0.25\n-1,1.0 2.0\n")
+    rows = {r["label"]: r["features"] for r in read_labeled_text(spark, str(p)).collect()}
+    assert rows[1.0] == [0.5, 0.25]
+    assert rows[-1.0] == [1.0, 2.0]
+
+
+def test_read_edge_list(spark, tmp_path):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import read_edge_list
+
+    p = tmp_path / "edges.txt"
+    p.write_text("# header\n1 2\n2 3 0.5\n4 4\n3 1\n")
+    rows = sorted(
+        (r["src"], r["dst"], r["weight"]) for r in read_edge_list(spark, str(p)).collect()
+    )
+    # self-loop 4→4 dropped; default weight 1.0 applied
+    assert rows == [(1, 2, 1.0), (2, 3, 0.5), (3, 1, 1.0)]
+
+
+def test_read_coo_text(spark, tmp_path):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import read_coo_text
+
+    p = tmp_path / "coo.txt"
+    p.write_text("0,1,2.5\n1,0,-1.0\n")
+    rows = sorted(
+        (r["row"], r["col"], r["value"]) for r in read_coo_text(spark, str(p)).collect()
+    )
+    assert rows == [(0, 1, 2.5), (1, 0, -1.0)]
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    """Sink parity (§2.1): text/SequenceFile sinks standardize on parquet —
+    write, re-read, compare."""
+    df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
+    out = str(tmp_path / "sink")
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert sorted(r["dbl"] for r in back.collect()) == [2 * i for i in range(100)]
+
+
+def test_run_report_artifact(tmp_path):
+    from spark_ml_algo_lib_master_tongji_spark.report import write_run_report
+
+    p = write_run_report(
+        "KMeans",
+        {"k": 8, "maxIter": 10, "dataset": "embeddings"},
+        cost_time_s=1.234,
+        evaluation={"wssse": 42.5},
+        load_time_s=0.5,
+        out_dir=tmp_path,
+    )
+    text = p.read_text()
+    assert "algorithmName: KMeans" in text
+    assert "costTime: 1.234" in text
+    assert "loadDataTime: 0.5" in text
+    assert "wssse: 42.5" in text
