@@ -33,14 +33,31 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    rows: dict[str, int] = {}
     for name, fn in build_registry().items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
+        rows[name] = n
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    # Reference-protocol run report (Utils.scala:150-161): params + costTime
+    # + evaluation per bench invocation, one YAML artifact.
+    try:
+        from spark_ml_algo_lib_master_tongji_spark.report import write_run_report
+
+        write_run_report(
+            "bench",
+            {"sf_dir": sf_dir, "n_queries": len(timings)},
+            cost_time_s=total,
+            evaluation={f"rows_{k}": v for k, v in sorted(rows.items())[:5]},
+            out_dir=os.path.join(os.path.dirname(__file__), "report"),
+        )
+    except Exception as exc:  # noqa: BLE001 - report failure must not fail bench
+        print(f"# report write skipped: {exc}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -107,6 +107,52 @@ def ml_est_kmeans(cat: Catalog) -> DataFrame:
     )
 
 
+def ml_est_kmeans_rdd(cat: Catalog) -> DataFrame:
+    """The RDD-API dispatch arm (``KMeansRunner.scala:96-99`` routes
+    ``dataframe | rdd``; ``:177-180`` is the mllib path): mllib
+    ``KMeans.train`` on an RDD of vectors → one row (k, wssse, n). pytest
+    cross-checks WSSSE against the DataFrame estimator within the
+    reference's 0.5% scalar tolerance."""
+    from pyspark.mllib.clustering import KMeans as MllibKMeans
+    from pyspark.mllib.linalg import Vectors as OldVectors
+
+    rdd = (
+        spread(cat.embeddings)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .rdd.map(lambda r: OldVectors.dense(r["v"]))
+        .cache()
+    )
+    model = MllibKMeans.train(
+        rdd, k=8, maxIterations=10, seed=SEED, initializationMode="k-means||"
+    )
+    wssse = model.computeCost(rdd)
+    return cat.spark.createDataFrame(
+        [(8, round(float(wssse), 2), rdd.count())], "k int, wssse double, n long"
+    )
+
+
+def ml_est_pearson_rdd(cat: Catalog) -> DataFrame:
+    """mllib ``Statistics.corr`` RDD arm (``PearsonRunner.scala:108-113``
+    dispatches the same statistic through both APIs) → long-format
+    (i, j, corr); pytest checks it equals the DataFrame-aggregate Pearson
+    within 1e-6."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.stat import Statistics
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rdd = (
+        spread(cat.lineitem.select(*cols))
+        .rdd.map(lambda r: OldVectors.dense([r[c] for c in cols]))
+    )
+    m = Statistics.corr(rdd, method="pearson")
+    out = [
+        (i, j, round(float(m[i][j]), 6))
+        for i in range(len(cols))
+        for j in range(len(cols))
+    ]
+    return cat.spark.createDataFrame(out, "i int, j int, corr double")
+
+
 def ml_est_lda(cat: Catalog) -> DataFrame:
     """LDA topic model (``LDARunner.scala:157-186``): CountVectorizer corpus
     → online LDA k=5; logLikelihood/logPerplexity eval on the training
@@ -358,6 +404,62 @@ def ml_est_als_implicit(cat: Catalog) -> DataFrame:
 
 
 # ---- feature weighting -----------------------------------------------------
+
+
+def ml_est_gbt_pipeline(cat: Catalog) -> DataFrame:
+    """The reference's full GBDT pipeline (``GBDTRunner.scala:150-203``):
+    StringIndexer → VectorIndexer → GBTClassifier → IndexToString, assembled
+    as a spark.ml Pipeline → one row (accuracy, n, stages)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IndexToString, StringIndexer, VectorIndexer
+
+    df = _features(cat).withColumn(
+        "label_str", F.concat(F.lit("c"), (F.col("label") % 2).cast("string"))
+    )
+    si = StringIndexer(inputCol="label_str", outputCol="indexedLabel")
+    vi = VectorIndexer(
+        inputCol="features", outputCol="indexedFeatures", maxCategories=4
+    )
+    gbt = GBTClassifier(
+        labelCol="indexedLabel",
+        featuresCol="indexedFeatures",
+        maxIter=10,
+        maxDepth=5,
+        seed=SEED,
+    )
+    sim = si.fit(df)
+    its = IndexToString(
+        inputCol="prediction", outputCol="predictedLabel", labels=sim.labels
+    )
+    model = Pipeline(stages=[si, vi, gbt, its]).fit(df)
+    pred = model.transform(df)
+    acc = pred.where(F.col("label_str") == F.col("predictedLabel")).count() / pred.count()
+    return df.sparkSession.createDataFrame(
+        [(round(acc, 4), pred.count(), 4)], "accuracy double, n long, stages int"
+    )
+
+
+def ml_est_als_recommend(cat: Catalog) -> DataFrame:
+    """Top-3 item recommendations per user for the 50 smallest user ids —
+    the recommendation-serving surface over the fitted ALS factors
+    (``ALSRunner.scala`` predicts held-out ratings; ``recommendForAllUsers``
+    is the spark.ml API for the same factors)."""
+    r = spread(ratings_table(cat)).cache()
+    m = ALS(
+        rank=8,
+        maxIter=5,
+        seed=SEED,
+        coldStartStrategy="drop",
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+    ).fit(r)
+    users = r.select("user").distinct().orderBy("user").limit(50)
+    recs = m.recommendForUserSubset(users, 3)
+    return recs.select(
+        "user",
+        F.transform(F.col("recommendations"), lambda s: s["item"]).alias("items"),
+    )
 
 
 def ml_est_idf(cat: Catalog) -> DataFrame:

@@ -119,6 +119,8 @@ def build_registry() -> dict[str, QueryFn]:
 
     for name in (
         "ml_est_kmeans",
+        "ml_est_kmeans_rdd",
+        "ml_est_pearson_rdd",
         "ml_est_lda",
         "ml_est_logreg",
         "ml_est_logreg_bounded",
@@ -135,6 +137,8 @@ def build_registry() -> dict[str, QueryFn]:
         "ml_est_covariance",
         "ml_est_als",
         "ml_est_als_implicit",
+        "ml_est_als_recommend",
+        "ml_est_gbt_pipeline",
         "ml_est_idf",
         "ml_est_prefixspan",
     ):

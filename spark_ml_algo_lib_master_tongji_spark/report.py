@@ -9,6 +9,7 @@ needed for a flat mapping), one file per run.
 
 from __future__ import annotations
 
+import sys
 import time
 from pathlib import Path
 
@@ -47,5 +48,9 @@ def write_run_report(
     for k, v in (evaluation or {}).items():
         lines.append(f"{k}: {_yaml_scalar(v)}")
     path.write_text("\n".join(lines) + "\n", encoding="utf-8")
-    print(f"Exec Successful: costTime: {round(cost_time_s, 4)}s ({algo})")
+    # stderr: callers like bench.py reserve stdout for their JSON contract
+    print(
+        f"Exec Successful: costTime: {round(cost_time_s, 4)}s ({algo})",
+        file=sys.stderr,
+    )
     return path

@@ -211,3 +211,31 @@ def test_spilltree_knn_containment_rule(cat, emb):
         if not true_ids <= got[ids[qi]]:
             misses += 1
     assert misses == 0, f"{misses}/{total} queries missing exact top-(k-1)"
+
+
+def test_rdd_api_dispatch_matches_dataframe_api(cat):
+    """The reference runs each workload through BOTH the spark.ml and mllib
+    APIs (``KMeansRunner.scala:96-99``, ``PearsonRunner.scala:108-113``);
+    the two arms must agree — rel ≤ 0.005 scalars, 1e-6 matrix entries
+    (``Utils.scala:176,238``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_kmeans,
+        ml_est_kmeans_rdd,
+        ml_est_pearson_rdd,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        stat_pearson_lineitem,
+    )
+
+    df_row = ml_est_kmeans(cat).collect()[0]
+    rdd_row = ml_est_kmeans_rdd(cat).collect()[0]
+    assert rdd_row["n"] == df_row["n"]
+    assert abs(rdd_row["wssse"] - df_row["wssse"]) <= 0.005 * df_row["wssse"]
+
+    wide = stat_pearson_lineitem(cat).collect()[0].asDict()
+    long = {(r["i"], r["j"]): r["corr"] for r in ml_est_pearson_rdd(cat).collect()}
+    names = ["quantity", "extendedprice", "discount", "tax"]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            # wide side rounds to 4 decimals; rdd side to 6
+            assert abs(long[(i, j)] - wide[f"corr_{names[i]}_{names[j]}"]) <= 5.1e-5
