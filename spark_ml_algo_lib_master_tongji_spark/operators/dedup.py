@@ -226,3 +226,82 @@ def dedup_simhash_pairs(cat: Catalog, max_hamming: int = 6) -> DataFrame:
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_ngram_jaccard(cat: Catalog) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with prefix blocking →
+    (doc_a, doc_b, jaccard ≥ threshold).
+
+    Candidate generation: documents sharing any of each other's K=3
+    lexicographically-smallest shingles (the prefix filter of set-similarity
+    joins — a true near-dup at J ≥ t shares a small prefix with high
+    probability, and the block key bounds the join fan-out). Exact Jaccard
+    then runs only on candidates. Deterministic ⇒ exact SQL oracle."""
+    docs = spread(cat.documents.select("doc_id", "text"))
+    sh = shingle_sets(docs).persist()
+    pref = sh.select(
+        "doc_id", F.explode(F.slice(F.array_sort("sh"), 1, 3)).alias("p")
+    )
+    a = pref.toDF("doc_a", "p")
+    b = pref.toDF("doc_b", "p")
+    cand = (
+        a.join(b, "p")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    j = (
+        cand.join(
+            sh.toDF("doc_a", "sh_a"), "doc_a"
+        )
+        .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", round_half_up("jaccard", 4).alias("jaccard")
+    )
+
+
+def dedup_embedding_cosine(cat: Catalog) -> DataFrame:
+    """Embedding-cosine near-dup canonicalization → (vec_id, keeper):
+    keeper = min(vec_id, smallest id among cosine-neighbors ≥ threshold).
+    Single-hop representative election over the ε-similarity graph (the
+    full transitive closure is ``graph_connected_components`` on these
+    pairs; one hop is the usual first-pass dedup)."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    pts = spread(cat.embeddings).select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    a = pts.toDF("ia", "va")
+    b = pts.toDF("ib", "vb")
+    nbr_min = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .where(
+            round_half_up(cosine_similarity(F.col("va"), F.col("vb")), 4)
+            >= 0.35
+        )
+        .groupBy(F.col("ia").alias("vec_id"))
+        .agg(F.min("ib").alias("mn"))
+    )
+    return (
+        pts.select("vec_id")
+        .join(nbr_min, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce(F.col("mn"), F.col("vec_id"))
+            ).alias("keeper"),
+        )
+    )

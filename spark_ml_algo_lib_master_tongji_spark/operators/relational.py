@@ -237,3 +237,23 @@ def q_events_type_rollup(cat: Catalog) -> DataFrame:
         round_half_up(F.avg("value"), 4).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def q_skew_salted_user_counts(cat: Catalog) -> DataFrame:
+    """Two-stage salted aggregation → (user_id, n, total_value).
+
+    The skew pattern for heavy-hitter keys at cluster scale: stage 1
+    aggregates on (key, salt) so a hot key's rows spread over SALT
+    reducers; stage 2 merges the SALT partials per key. The result is
+    identical to the direct groupBy (the oracle is the plain aggregation) —
+    only the shuffle distribution changes. AQE's skew handling covers joins;
+    salting is the aggregation-side counterpart."""
+    SALT = 8
+    ev = cat.events.select("user_id", "event_id", "value")
+    stage1 = ev.groupBy(
+        "user_id", (F.col("event_id") % SALT).alias("salt")
+    ).agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    return stage1.groupBy("user_id").agg(
+        F.sum("pn").alias("n"),
+        round_half_up(F.sum("pv"), 4).alias("total_value"),
+    )

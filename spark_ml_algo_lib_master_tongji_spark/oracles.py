@@ -437,6 +437,50 @@ def _lsh_pairs_oracle() -> str:
 SIM_ORACLES["sim_lsh_bucket_pairs"] = _lsh_pairs_oracle()
 
 
+DEDUP_ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH {_SHINGLES_CTE},
+    sh2 AS (SELECT doc_id, s FROM sh),
+    pref AS (
+        SELECT doc_id, UNNEST(list_sort(s)[1:3]) AS p FROM sh2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(x.s, y.s)) * 1.0
+                 / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+    FROM cand
+    JOIN sh2 x ON cand.doc_a = x.doc_id
+    JOIN sh2 y ON cand.doc_b = y.doc_id
+    WHERE len(list_intersect(x.s, y.s)) * 1.0
+          / len(list_distinct(list_concat(x.s, y.s))) >= 0.2
+"""
+
+DEDUP_ORACLES["dedup_embedding_cosine"] = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    nbr AS (
+        SELECT a.vec_id AS vec_id, min(b.vec_id) AS mn
+        FROM e a CROSS JOIN e b
+        WHERE a.vec_id <> b.vec_id
+          AND round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 4)
+              >= CAST(0.35 AS DOUBLE)
+        GROUP BY a.vec_id
+    )
+    SELECT e.vec_id, least(e.vec_id, coalesce(n.mn, e.vec_id)) AS keeper
+    FROM e LEFT JOIN nbr n ON e.vec_id = n.vec_id
+"""
+
+RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
+    SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+"""
+
 # The spark.sql entry path runs the same SQL text on both engines (modulo
 # the shared floor-rounding form already written into the query).
 SQL_ENTRY_ORACLES: dict[str, str] = {
@@ -471,6 +515,12 @@ STREAM_ORACLES: dict[str, str] = {
     """,
     "stream_distinct_pairs": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # applyInPandasWithState running totals == batch aggregation
+    "stream_user_totals_stateful": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
     """,
     # gaps-and-islands sessionization == session_window(gap 30min)
     "stream_sessionization": """

@@ -54,6 +54,7 @@ def build_registry() -> dict[str, QueryFn]:
         "q_grouped_having",
         "q_events_first_per_user",
         "q_events_type_rollup",
+        "q_skew_salted_user_counts",
     ):
         reg[name] = _wrap(getattr(relational, name))
 
@@ -78,6 +79,8 @@ def build_registry() -> dict[str, QueryFn]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
     ):
         reg[name] = _wrap(getattr(dedup, name))
 
@@ -176,6 +179,7 @@ def build_registry() -> dict[str, QueryFn]:
         "stream_windowed_counts",
         "stream_distinct_pairs",
         "stream_sessionization",
+        "stream_user_totals_stateful",
     ):
         reg[name] = getattr(pipeline, name)  # already (spark, sf_dir) shaped
 

@@ -136,3 +136,70 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState`` →
+    (user_id, n_events, total_value).
+
+    The arbitrary-state API the built-in aggregations can't express
+    (per-key custom accumulators, timeouts, emit policies): state holds a
+    running (count, sum) per user across micro-batches; each batch emits
+    the updated totals. Oracle = the batch groupBy — state-machine /
+    batch equivalence."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        sc = 10_000.0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                # shared floor rounding so the value-hash matches the oracle
+                "total_value": [__import__("math").floor(s * sc + 0.5) / sc],
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    spark_df = result
+    q = (
+        spark_df.writeStream.format("memory")
+        .queryName("stream_user_totals_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # single-file source ⇒ one micro-batch ⇒ one emission per user
+    return spark.table("stream_user_totals_stateful")
