@@ -90,3 +90,38 @@ def test_run_report_artifact(tmp_path):
     assert "costTime: 1.234" in text
     assert "loadDataTime: 0.5" in text
     assert "wssse: 42.5" in text
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing parity (SURVEY §2.1 'co-located joins'): two tables
+    bucketed+sorted on the join key join without any Exchange — the
+    pre-shuffled layout a 100 TB fact/fact join relies on."""
+    import io
+    import contextlib
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10_000).withColumn("va", F.col("id") * 2)
+        b = spark.range(10_000).withColumn("vb", F.col("id") * 3)
+        for name, df in (("bt_a", a), ("bt_b", b)):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "id")
+                .sortBy("id")
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+        j = spark.table("bt_a").join(spark.table("bt_b"), "id")
+        assert j.count() == 10_000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
