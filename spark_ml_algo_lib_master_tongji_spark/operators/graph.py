@@ -551,6 +551,11 @@ def subgraph_match_counts(pairs: DataFrame) -> DataFrame:
     e3 = p.toDF("a", "c")
     tri_n = e1.join(e2, "b").join(e3, ["a", "c"]).count()
 
+    # wedge enumeration as a codegen'd self-join: an adjacency-array explode
+    # (collect_list + nested transform) was tried and ran 3.6× slower — the
+    # higher-order array functions fall back to interpreted eval, and hub
+    # vertices build multi-MB arrays; the join keeps whole-stage codegen and
+    # feeds partial aggregation directly
     sym = symmetrize(pairs.withColumn("cnt", F.lit(1))).select("src", "dst")
     s1 = sym.toDF("u", "b")
     s2 = sym.toDF("b", "w")
