@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_ml_algo_lib_master_tongji_spark.operators.graph import _cached
-from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import _dist2, _points
+from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import _points
 from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 

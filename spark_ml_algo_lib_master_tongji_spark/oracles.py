@@ -630,7 +630,10 @@ def fix_rounds(sql: str) -> str:
         expr = sql[start:comma].strip()
         digits = int(sql[comma + 1 : k].strip())
         scale = f"1e{digits}"
-        out.append(f"floor(({expr}) * {scale} + 0.5) / {scale}")
+        # recurse: the extracted expression may itself contain round() calls
+        # (found by the hypothesis property test — a nested native round
+        # would silently diverge from the Spark floor form)
+        out.append(f"floor(({fix_rounds(expr)}) * {scale} + 0.5) / {scale}")
         i = k + 1
     return "".join(out)
 

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+machinery — the layer every value-hash comparison rests on. The reference
+has no property tests (SURVEY §5); these guard this engine's additions."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+@settings(max_examples=200, deadline=None)
+@given(x=finite_doubles, d=st.integers(min_value=0, max_value=6))
+def test_fix_rounds_rewrite_equals_floor_formula(con, x, d):
+    """`oracles.fix_rounds` must rewrite round(expr, d) into exactly the
+    floor form the Spark side computes (functions/rounding.round_half_up):
+    floor(x·10^d + 0.5)/10^d — for any finite double where the product
+    stays in the exact-integer range of float64."""
+    from spark_ml_algo_lib_master_tongji_spark.oracles import fix_rounds
+
+    if abs(x) * 10**d >= 2**52:  # documented validity bound
+        return
+    sql = f"SELECT round(CAST({x!r} AS DOUBLE), {d}) AS v"
+    rewritten = fix_rounds(sql)
+    assert "round(" not in rewritten
+    got = con.execute(rewritten).fetchone()[0]
+    want = math.floor(x * float(10**d) + 0.5) / float(10**d)
+    assert got == want or (math.isnan(got) and math.isnan(want)), (x, d)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    inner=st.integers(min_value=0, max_value=4),
+    outer=st.integers(min_value=0, max_value=4),
+    x=finite_doubles,
+)
+def test_fix_rounds_handles_nested_rounds(con, inner, outer, x):
+    """Nested round() calls rewrite independently (balanced-paren parse)."""
+    from spark_ml_algo_lib_master_tongji_spark.oracles import fix_rounds
+
+    if abs(x) * 10**4 >= 2**52:
+        return
+    sql = (
+        f"SELECT round(round(CAST({x!r} AS DOUBLE), {inner}) + 1.5, {outer}) AS v"
+    )
+    rewritten = fix_rounds(sql)
+    assert "round(" not in rewritten
+    ri = math.floor(x * float(10**inner) + 0.5) / float(10**inner)
+    want = math.floor((ri + 1.5) * float(10**outer) + 0.5) / float(10**outer)
+    got = con.execute(rewritten).fetchone()[0]
+    assert got == want, (x, inner, outer)
+
+
+@settings(max_examples=100, deadline=None)
+@given(vals=st.lists(finite_doubles, min_size=1, max_size=20))
+def test_norm_rows_is_order_invariant(vals):
+    """tests/compare._norm_rows must hash-compare equal under any row
+    permutation — the driver's order-insensitive contract."""
+    from tests.compare import _norm_rows
+
+    rows = [(v,) for v in vals]
+    a = _norm_rows(["x"], rows)
+    b = _norm_rows(["x"], list(reversed(rows)))
+    assert a == b
