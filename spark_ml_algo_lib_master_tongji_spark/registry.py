@@ -55,6 +55,7 @@ def build_registry() -> dict[str, QueryFn]:
         "q_events_first_per_user",
         "q_events_type_rollup",
         "q_skew_salted_user_counts",
+        "q_string_id_dictionary",
     ):
         reg[name] = _wrap(getattr(relational, name))
 
