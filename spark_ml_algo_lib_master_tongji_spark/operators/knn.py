@@ -236,3 +236,57 @@ def ml_knn_spilltree_classifier(cat: Catalog) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("qid", F.col("nlabel").alias("predicted"))
     )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = KNN_TOPK,
+    n_probes: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k → (qid, nid, rank, d2): probe only the
+    ``n_probes`` nearest inverted lists (pivot leaves), skip the exactness
+    bound of ``knn_search``. The recall/fan-out dial of a billion-vector
+    deployment: candidate volume is n_probes/n_pivots of the corpus
+    regardless of data distribution, and pytest measures the recall it buys
+    on the fixture (adversarially uniform embeddings — the worst case)."""
+    pivots = _pivots(corpus)
+    local_topk = _local_topk_factory(k)
+    c = _assign_leaf_nearest(corpus, pivots)
+    qd = _pivot_dists(queries, pivots)
+    wq = Window.partitionBy("id").orderBy(F.col("pd2").asc(), F.col("leaf").asc())
+    q = (
+        qd.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= n_probes)
+        .select("id", "v", "leaf")
+    )
+    hits = (
+        c.select("id", "v", "leaf")
+        .groupBy("leaf")
+        .cogroup(q.groupBy("leaf"))
+        .applyInPandas(local_topk, _HIT_SCHEMA)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
+    return (
+        hits.dropDuplicates(["qid", "nid"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("d2", 6).alias("d2"))
+    )
+
+
+def _assign_leaf_nearest(df: DataFrame, pivots) -> DataFrame:
+    cd = _pivot_dists(df, pivots)
+    w = Window.partitionBy("id").orderBy(F.col("pd2").asc(), F.col("leaf").asc())
+    return (
+        cd.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("id", "v", "leaf")
+    )
+
+
+def sim_ivf_topk(cat: Catalog) -> DataFrame:
+    """Registry entry: IVF approximate neighbors of the query split
+    (rows-only driver check; pytest measures recall vs the exact search)."""
+    corpus, queries = _corpus_queries(cat)
+    return ivf_search(corpus, queries)

@@ -165,7 +165,7 @@ def build_registry() -> dict[str, QueryFn]:
     ):
         reg[name] = _wrap(getattr(graph_extra, name))
 
-    for name in ("ml_knn_spilltree", "ml_knn_spilltree_classifier"):
+    for name in ("ml_knn_spilltree", "ml_knn_spilltree_classifier", "sim_ivf_topk"):
         reg[name] = _wrap(getattr(knn, name))
 
     from spark_ml_algo_lib_master_tongji_spark.operators import ml_extra

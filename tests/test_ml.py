@@ -239,3 +239,26 @@ def test_rdd_api_dispatch_matches_dataframe_api(cat):
         for j in range(i + 1, 4):
             # wide side rounds to 4 decimals; rdd side to 6
             assert abs(long[(i, j)] - wide[f"corr_{names[i]}_{names[j]}"]) <= 5.1e-5
+
+
+def test_ivf_recall_vs_exact_search(cat):
+    """IVF approximate search must reach a measured recall floor against
+    the exact two-phase search on the fixture — the worst case (near-
+    uniform 64-d embeddings), so the bar is modest; clustered data recalls
+    far higher at the same probe count."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.knn import (
+        ml_knn_spilltree,
+        sim_ivf_topk,
+    )
+
+    exact: dict[int, set] = {}
+    for r in ml_knn_spilltree(cat).collect():
+        exact.setdefault(r["qid"], set()).add(r["nid"])
+    approx: dict[int, set] = {}
+    for r in sim_ivf_topk(cat).collect():
+        approx.setdefault(r["qid"], set()).add(r["nid"])
+
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.35, f"recall {recall:.2f}"
