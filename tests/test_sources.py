@@ -125,3 +125,21 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_seeded_sample_is_reproducible(spark):
+    """Seeded sampling parity (SURVEY §2.1: `data.sample(false, frac, seed)`,
+    ``KNN.scala:387``, ``LDARunner.scala:212-217``): the same seed over the
+    same partitioning yields the same sample."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    a = sorted(
+        r["l_orderkey"] * 10 + r["l_linenumber"]
+        for r in df.sample(fraction=0.1, seed=2020).collect()
+    )
+    b = sorted(
+        r["l_orderkey"] * 10 + r["l_linenumber"]
+        for r in df.sample(fraction=0.1, seed=2020).collect()
+    )
+    assert a == b and len(a) > 0
