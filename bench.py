@@ -59,15 +59,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - report failure must not fail bench
         print(f"# report write skipped: {exc}", file=sys.stderr)
 
+    # Stdout carries EXACTLY one line, compact separators + 2-decimal
+    # timings, so the driver's tail-capture can parse it whole (round-1
+    # BENCH_r01.json recorded ``"parsed": null`` — the default-separator,
+    # 4-decimal line was truncated mid-JSON by the capture window).
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
-                "value": round(total, 4),
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

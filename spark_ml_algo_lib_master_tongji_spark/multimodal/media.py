@@ -146,3 +146,12 @@ def mm_fake_decode(cat: Catalog) -> DataFrame:
         (F.col("meta.n_bytes") % 480 + 1).alias("height"),
         F.lit(3).alias("channels"),
     )
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "mm_manifest",
+    "mm_frame_sample",
+    "mm_byte_features",
+    "mm_fake_decode",
+)

@@ -305,3 +305,14 @@ def dedup_embedding_cosine(cat: Catalog) -> DataFrame:
             ).alias("keeper"),
         )
     )
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+)

@@ -138,3 +138,10 @@ def ml_dbscan_summary(cat: Catalog) -> DataFrame:
             F.when(F.col("cluster") >= 0, F.col("cluster"))
         ).alias("n_clusters"),
     )
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "ml_dbscan",
+    "ml_dbscan_summary",
+)

@@ -649,3 +649,26 @@ def graph_degrees_nation(cat: Catalog) -> DataFrame:
 
 def graph_subgraph_matching(cat: Catalog) -> DataFrame:
     return subgraph_match_counts(copurchase_pairs(cat))
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "graph_edges",
+    "graph_degrees",
+    "graph_pagerank",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "graph_trustrank",
+    "graph_connected_components",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_modularity",
+    "graph_degrees_nation",
+    "graph_scc_nation",
+    "graph_closeness_nation",
+    "graph_subgraph_matching",
+)

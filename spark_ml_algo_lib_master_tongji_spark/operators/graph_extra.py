@@ -518,3 +518,16 @@ def graph_node2vec_embeddings(cat: Catalog) -> DataFrame:
 
 def graph_betweenness(cat: Catalog) -> DataFrame:
     return betweenness(cat)
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "graph_incremental_pagerank",
+    "graph_cycle_detection",
+    "graph_maximal_cliques",
+    "graph_weak_cliques",
+    "graph_louvain",
+    "graph_node2vec_walks",
+    "graph_node2vec_embeddings",
+    "graph_betweenness",
+)

@@ -290,3 +290,11 @@ def sim_ivf_topk(cat: Catalog) -> DataFrame:
     (rows-only driver check; pytest measures recall vs the exact search)."""
     corpus, queries = _corpus_queries(cat)
     return ivf_search(corpus, queries)
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "ml_knn_spilltree",
+    "ml_knn_spilltree_classifier",
+    "sim_ivf_topk",
+)

@@ -509,3 +509,31 @@ def ml_est_prefixspan(cat: Catalog) -> DataFrame:
         ).alias("pattern"),
         F.col("freq").alias("support"),
     )
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "ml_est_kmeans",
+    "ml_est_kmeans_rdd",
+    "ml_est_pearson_rdd",
+    "ml_est_lda",
+    "ml_est_logreg",
+    "ml_est_logreg_bounded",
+    "ml_est_svc",
+    "ml_est_dt_classifier",
+    "ml_est_rf_classifier",
+    "ml_est_gbt_classifier",
+    "ml_est_linreg",
+    "ml_est_dt_regressor",
+    "ml_est_rf_regressor",
+    "ml_est_gbt_regressor",
+    "ml_est_pca",
+    "ml_est_svd",
+    "ml_est_covariance",
+    "ml_est_als",
+    "ml_est_als_implicit",
+    "ml_est_als_recommend",
+    "ml_est_gbt_pipeline",
+    "ml_est_idf",
+    "ml_est_prefixspan",
+)

@@ -277,3 +277,15 @@ def ml_prefixspan(cat: Catalog) -> DataFrame:
         .select(F.concat_ws("->", "ta", "tb").alias("pattern"), "support")
     )
     return l1.unionByName(l2)
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "ml_linreg_ols",
+    "ml_kmeans_lloyd_assign",
+    "ml_kmeans_lloyd_sizes",
+    "ml_knn_classifier",
+    "ml_knn_regressor",
+    "ml_idf",
+    "ml_prefixspan",
+)

@@ -125,3 +125,11 @@ def q_sql_entry_top_suppliers(cat: Catalog) -> DataFrame:
         ) WHERE rn <= 3
         """
     )
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "ml_est_pca_sparse",
+    "ml_est_xgboost",
+    "q_sql_entry_top_suppliers",
+)

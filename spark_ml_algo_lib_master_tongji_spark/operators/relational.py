@@ -301,3 +301,23 @@ def q_string_id_dictionary(cat: Catalog) -> DataFrame:
     )
     # decode round-trip: join ids back to names and verify identity mapping
     return enc.select("src_name", "dst_name", "src_id", "dst_id")
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_top_unshipped_orders",
+    "q_broadcast_dim_join",
+    "q_anti_join_customers_without_orders",
+    "q_semi_join_suppliers_with_big_lineitems",
+    "q_union_distinct_nations",
+    "q_topk_per_group",
+    "q_sort_limit_top_orders",
+    "q_case_conditional_agg",
+    "q_grouped_having",
+    "q_events_first_per_user",
+    "q_events_type_rollup",
+    "q_skew_salted_user_counts",
+    "q_string_id_dictionary",
+)

@@ -111,3 +111,10 @@ def sim_lsh_bucket_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "sim_brute_force_topk",
+    "sim_lsh_bucket_pairs",
+)

@@ -93,3 +93,9 @@ def simrank(cat: Catalog, n_iter: int = SIMRANK_ITERS) -> DataFrame:
 
 def ml_simrank(cat: Catalog) -> DataFrame:
     return simrank(cat)
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "ml_simrank",
+)

@@ -109,3 +109,12 @@ def stat_covariance_lineitem(cat: Catalog) -> DataFrame:
 
 def stat_summary_lineitem(cat: Catalog) -> DataFrame:
     return summary_stats(cat.lineitem, LINEITEM_NUMERIC)
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "stat_pearson_lineitem",
+    "stat_spearman_lineitem",
+    "stat_covariance_lineitem",
+    "stat_summary_lineitem",
+)

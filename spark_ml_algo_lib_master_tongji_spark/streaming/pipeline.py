@@ -203,3 +203,12 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     # single-file source ⇒ one micro-batch ⇒ one emission per user
     return spark.table("stream_user_totals_stateful")
+
+
+#: registry-exported query names (ordering lives in registry._ORDER)
+QUERIES = (
+    "stream_windowed_counts",
+    "stream_distinct_pairs",
+    "stream_sessionization",
+    "stream_user_totals_stateful",
+)
