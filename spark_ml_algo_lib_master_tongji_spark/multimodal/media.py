@@ -59,13 +59,20 @@ def mm_frame_sample(cat: Catalog) -> DataFrame:
     Python, stays in whole-stage codegen."""
     m = media_table(cat)
     n_frames = F.ceil(F.col("meta.n_bytes") / F.lit(FRAME_BYTES)).cast("int")
+    # Slice the BINARY payload directly — ``substring`` on binary is
+    # byte-indexed, so frame boundaries agree with the byte-derived frame
+    # count for any payload (round-1 ADVICE: the previous cast-to-string
+    # slice counted characters, misaligning non-ASCII frames). The DuckDB
+    # oracle stays char-based, which is equivalent on the ASCII fixtures
+    # (DuckDB cannot slice BLOBs); ``test_frame_sample_bytes_non_ascii``
+    # pins the byte semantics where the oracle can't reach.
     frames = m.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_frames - 1),
                 lambda i: F.substring(
-                    F.col("payload").cast("string"),
+                    F.col("payload"),
                     (i * FRAME_BYTES + 1).cast("int"),
                     FRAME_BYTES,
                 ),
@@ -73,7 +80,7 @@ def mm_frame_sample(cat: Catalog) -> DataFrame:
         ).alias("frame_idx", "frame"),
     )
     return frames.select(
-        "doc_id", "frame_idx", F.md5(F.encode("frame", "UTF-8")).alias("frame_checksum")
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_checksum")
     )
 
 

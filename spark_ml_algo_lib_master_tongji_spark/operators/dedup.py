@@ -269,32 +269,21 @@ def dedup_ngram_jaccard(cat: Catalog) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine(cat: Catalog) -> DataFrame:
-    """Embedding-cosine near-dup canonicalization → (vec_id, keeper):
-    keeper = min(vec_id, smallest id among cosine-neighbors ≥ threshold).
-    Single-hop representative election over the ε-similarity graph (the
-    full transitive closure is ``graph_connected_components`` on these
-    pairs; one hop is the usual first-pass dedup)."""
-    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import (
-        as_double_array,
-        cosine_similarity,
-    )
+COSINE_DEDUP_THRESHOLD = 0.35
 
-    pts = spread(cat.embeddings).select(
-        "vec_id", as_double_array("embedding").alias("v")
+
+def _keeper_election(pts: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(vec_id, keeper) from undirected near-dup pairs (vec_a < vec_b):
+    keeper = min(vec_id, smallest neighbor id). Single-hop representative
+    election over the similarity graph (the full transitive closure is
+    ``graph_connected_components`` on these pairs; one hop is the usual
+    first-pass dedup)."""
+    directed = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nb"))
     )
-    a = pts.toDF("ia", "va")
-    b = pts.toDF("ib", "vb")
-    nbr_min = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("ia") != F.col("ib"))
-        .where(
-            round_half_up(cosine_similarity(F.col("va"), F.col("vb")), 4)
-            >= 0.35
-        )
-        .groupBy(F.col("ia").alias("vec_id"))
-        .agg(F.min("ib").alias("mn"))
-    )
+    nbr_min = directed.groupBy("vec_id").agg(F.min("nb").alias("mn"))
     return (
         pts.select("vec_id")
         .join(nbr_min, "vec_id", "left")
@@ -307,6 +296,74 @@ def dedup_embedding_cosine(cat: Catalog) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(cat: Catalog) -> DataFrame:
+    """Exact embedding-cosine near-dup canonicalization → (vec_id, keeper).
+
+    The ε-similarity pairs come from the blocked triangular join
+    (``operators/pairs``) — exact all-pairs semantics with no cartesian
+    node, bounded task memory, and a vectorized cosine kernel whose
+    arithmetic (sequential-fold dots, half-up rounding at 4 decimals)
+    matches the SQL oracle bit-for-bit. Exact all-pairs work is Θ(n²);
+    ``dedup_embedding_cosine_lsh`` is the candidate-bounded scale path."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import (
+        as_double_array,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        blocked_apply,
+        round_half_up_np,
+        seq_dot,
+        seq_self_dot,
+    )
+
+    pts = spread(cat.embeddings).select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).persist()
+
+    def kernel(ids_a, mat_a, ids_b, mat_b, same) -> pd.DataFrame:
+        na, nb = seq_self_dot(mat_a), seq_self_dot(mat_b)
+        cos = seq_dot(mat_a, mat_b) / (
+            np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
+        )
+        keep = round_half_up_np(cos, 4) >= COSINE_DEDUP_THRESHOLD
+        if same:
+            keep &= ids_a[:, None] < ids_b[None, :]
+        ai, bj = np.nonzero(keep)
+        lo, hi = ids_a[ai], ids_b[bj]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(lo, hi), "vec_b": np.maximum(lo, hi)}
+        )
+
+    pairs = blocked_apply(pts, kernel, "vec_a long, vec_b long")
+    return _keeper_election(pts, pairs)
+
+
+def dedup_embedding_cosine_lsh(cat: Catalog) -> DataFrame:
+    """LSH-candidate embedding dedup → (vec_id, keeper) — the 100 TB path.
+
+    Near-dup pairs are restricted to sign-bit LSH bucket collisions
+    (``similarity.lsh_candidate_pairs``) before the exact cosine check, so
+    candidate volume is O(collisions), never O(n²). Recall contract: a pair
+    above the threshold whose signatures differ is *not* merged (recall < 1
+    vs ``dedup_embedding_cosine``; raise n_planes×bands for tighter
+    recall). The oracle replicates the identical bucketing in SQL, so the
+    differential check is exact for these semantics."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import (
+        as_double_array,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    pts = spread(cat.embeddings).select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    pairs = lsh_candidate_pairs(pts, threshold=COSINE_DEDUP_THRESHOLD)
+    return _keeper_election(pts, pairs)
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "dedup_exact",
@@ -315,4 +372,5 @@ QUERIES = (
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
 )

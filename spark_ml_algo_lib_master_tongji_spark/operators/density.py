@@ -10,28 +10,47 @@ oracle-checkable:
 - ε-neighbor pairs by *rounded* squared L2 (6 decimals, dot-product
   identity — same bits in Spark and DuckDB);
 - core = |N_ε(p)| + 1 ≥ minPts (self included, standard);
-- clusters = fixed-round min-label components over the core-core ε-graph
-  (DBSCAN_CC_ROUNDS supersteps — deterministic whether or not converged);
+- clusters = min-label components over the core-core ε-graph
+  (DBSCAN_CC_ROUNDS supersteps, with a fixed-point guard — a graph whose
+  component diameter exceeds the budget raises instead of mislabeling);
 - border points take the *minimum* cluster label among their core
   neighbors (plain DBSCAN leaves this arbitrary);
 - roles encoded core=0 / border=1 / noise=−1 like ``DBSCANRunner.scala:61-72``.
 
-Scale: the ε-pair join here is the quadratic brute-force block (fine at
-fixture scale, and the broadcast side is the smaller relation). The 100 TB
-path documented in SURVEY §7 — partition by grid cell of the first
-principal dims so candidate pairs are cell-local (the reference's
-partition-local clustering + merge design) — changes only ``_eps_pairs``;
-everything downstream is partition-oblivious.
+Scale: ``_eps_pairs`` is a blocked triangular ε-join (``operators/pairs``)
+— an equi-join on block-pair keys with an Arrow-batched numpy distance
+kernel per block pair. No cartesian / broadcast-nested-loop node appears
+in the plan; task memory is bounded by the block size; the distance
+arithmetic is vectorized instead of the interpreted ``aggregate``-HOF
+expression (which dominated round-1 wall time).
+
+Why not a grid-cell candidate join: the fixture embeddings are uniform on
+the 64-d unit sphere (measured: per-axis range 0.77 < ε 1.18, label-
+conditional neighbor rates identical), so every axis-aligned or projected
+grid with exact guarantees degenerates to ≤4 occupied cells — the same
+all-pairs work with skew on top. For *clusterable* corpora the cell-local
+design in SURVEY §7 applies as a pre-filter in front of this kernel;
+for isotropic data the exact ε-join is irreducibly Θ(n²) candidate checks
+(distance concentration), and the blocked join distributes that work
+evenly, which is the best exact shape at scale.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_ml_algo_lib_master_tongji_spark.operators.graph import _cached
+from spark_ml_algo_lib_master_tongji_spark.operators.graph import _bc, _cached
 from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import _points
-from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate
+from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+    blocked_apply,
+    round_half_up_np,
+    seq_dot,
+    seq_self_dot,
+)
+from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate, unchanged
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 EPS2 = 1.4  # squared-L2 radius (≈1% quantile of pairwise distances)
@@ -40,33 +59,30 @@ DBSCAN_CC_ROUNDS = 12
 
 
 def _eps_pairs(pts: DataFrame) -> DataFrame:
-    """(i, j) with i<j and rounded |vi−vj|² ≤ EPS2. Per-point norms are
-    hoisted out of the quadratic predicate (identical doubles — the same
-    dot(v,v) value, computed n instead of n² times)."""
-    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
-        round_half_up,
-    )
-    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import dot
+    """(i, j) with i<j and rounded |vi−vj|² ≤ EPS2 — exact, via the blocked
+    triangular self-join (d² by the dot identity, sequential-fold
+    summation, half-up rounding at 6 decimals — all matching the SQL
+    oracle's arithmetic exactly)."""
 
-    withn = pts.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("nn"))
-    a = withn.toDF("i", "va", "na")
-    b = withn.toDF("j", "vb", "nb")
-    d2 = round_half_up(
-        F.col("na") + F.col("nb") - 2 * dot(F.col("va"), F.col("vb")), 6
-    )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("i") < F.col("j"))
-        .where(d2 <= EPS2)
-        .select("i", "j")
-    )
+    def kernel(ids_a, mat_a, ids_b, mat_b, same) -> pd.DataFrame:
+        na, nb = seq_self_dot(mat_a), seq_self_dot(mat_b)
+        d2 = (na[:, None] + nb[None, :]) - 2 * seq_dot(mat_a, mat_b)
+        keep = round_half_up_np(d2, 6) <= EPS2
+        if same:
+            keep &= ids_a[:, None] < ids_b[None, :]
+        ai, bj = np.nonzero(keep)
+        lo, hi = ids_a[ai], ids_b[bj]
+        return pd.DataFrame({"i": np.minimum(lo, hi), "j": np.maximum(lo, hi)})
+
+    return blocked_apply(pts, kernel, "i long, j long")
 
 
 def dbscan(cat: Catalog) -> DataFrame:
     """→ (vec_id, role, cluster): role ∈ {0 core, 1 border, −1 noise},
     cluster = min core id of the component (−1 for noise)."""
     pts = _cached(_points(cat))
-    pr = _cached(_eps_pairs(pts))  # the quadratic block — computed once
+    n_pts = pts.count()
+    pr = _cached(_eps_pairs(pts))  # the blocked ε-join — computed once
     nbr = _cached(
         pr.select(F.col("i").alias("p"), F.col("j").alias("q")).unionByName(
             pr.select(F.col("j").alias("p"), F.col("i").alias("q"))
@@ -85,18 +101,20 @@ def dbscan(cat: Catalog) -> DataFrame:
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         m = (
-            ce.join(F.broadcast(state), ce.p == state.v)
+            ce.join(_bc(state, n_pts), ce.p == state.v)
             .groupBy(F.col("q").alias("v"))
             .agg(F.min("label").alias("m"))
         )
-        return state.join(F.broadcast(m), "v", "left").select(
+        return state.join(_bc(m, n_pts), "v", "left").select(
             "v",
             F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
                 "label"
             ),
         )
 
-    corelab = _cached(iterate(state0, step, DBSCAN_CC_ROUNDS))
+    corelab = _cached(
+        iterate(state0, step, DBSCAN_CC_ROUNDS, verify_fixpoint=unchanged)
+    )
 
     border = (
         nbr.join(corelab.toDF("v", "qlab"), nbr.q == F.col("v"))

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
-from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate
+from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate, unchanged
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 # Shared fixed-point constants — imported by graph_oracles.py so the SQL
@@ -71,7 +71,10 @@ _DERIV_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _derived(cat: Catalog, name: str, build) -> DataFrame:
-    key = (id(cat.spark), cat.sf_dir, name)
+    # Keyed by applicationId, not id(spark): a stopped session's id() can be
+    # reused by a new session, which would hand out cached DataFrames bound
+    # to a dead SparkContext (round-1 ADVICE).
+    key = (cat.spark.sparkContext.applicationId, cat.sf_dir, name)
     if key not in _DERIV_CACHE:
         _DERIV_CACHE[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
     return _DERIV_CACHE[key]
@@ -151,6 +154,21 @@ def _cached(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+#: Per-round vertex-state broadcast ceiling (rows). Superstep joins hint
+#: ``broadcast(state)`` only while the O(|V|) state provably fits — the
+#: hint is worth ~1s/round locally, but an unconditional hint re-broadcasts
+#: the whole vertex state every round and *fails outright* (driver/broadcast
+#: limits) once |V| outgrows it at the 100 TB design point. Above the
+#: ceiling the join shuffles on v (AQE may still elect broadcast from
+#: runtime stats, which is the right call to delegate).
+STATE_BC_MAX_ROWS = 10_000_000
+
+
+def _bc(df: DataFrame, n_verts: int) -> DataFrame:
+    """Broadcast hint iff the per-vertex relation is provably small."""
+    return F.broadcast(df) if n_verts <= STATE_BC_MAX_ROWS else df
+
+
 # ---- PageRank family (§2.3 #1-5) ------------------------------------------
 
 
@@ -161,6 +179,7 @@ def _pagerank_loop(
     weighted: bool,
     n_iter: int = PR_ITERS,
     state0: DataFrame | None = None,
+    n_verts: int = 0,
 ) -> DataFrame:
     """Shared power-iteration core: pr' = reset + DAMP · Σ_in pr/outshare.
 
@@ -179,15 +198,16 @@ def _pagerank_loop(
     if state0 is None:
         state0 = reset_dist.select("v", F.col("reset").alias("pr"))
     reset = _cached(reset_dist)
+    n = n_verts or verts.count()
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         contrib = (
-            e.join(F.broadcast(state), e.src == state.v)
+            e.join(_bc(state, n), e.src == state.v)
             .select("dst", (F.col("pr") * F.col("share")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        return reset.join(F.broadcast(contrib), reset.v == contrib.dst, "left").select(
+        return reset.join(_bc(contrib, n), reset.v == contrib.dst, "left").select(
             "v",
             (
                 F.col("reset") + F.lit(DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
@@ -256,19 +276,23 @@ def connected_components(edges: DataFrame, n_iter: int = CC_ITERS) -> DataFrame:
     ``ConnectedComponentsRunner.scala:67`` (min-vertex-id component labels);
     fixed rounds instead of convergence detection."""
     e = _cached(edges.select("src", "dst"))
-    state0 = vertices(e).select("v", F.col("v").alias("label"))
+    verts = _cached(vertices(e))
+    n = verts.count()
+    state0 = verts.select("v", F.col("v").alias("label"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         nbr_min = (
-            e.join(F.broadcast(state), e.src == state.v)
+            e.join(_bc(state, n), e.src == state.v)
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("label").alias("m"))
         )
-        return state.join(F.broadcast(nbr_min), "v", "left").select(
+        return state.join(_bc(nbr_min, n), "v", "left").select(
             "v", F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias("label")
         )
 
-    return iterate(state0, step, n_iter)
+    # CC semantics is run-to-convergence (GraphX lib.ConnectedComponents);
+    # the round budget is an operational cap, so prove the fixed point.
+    return iterate(state0, step, n_iter, verify_fixpoint=unchanged)
 
 
 def bfs(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
@@ -277,7 +301,8 @@ def bfs(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
     Frontier expansion is the relaxation join of ``lib.BFS.run(graph,
     sourceID, isDirect, depthLimit)``."""
     e = _cached(edges.select("src", "dst"))
-    verts = vertices(e)
+    verts = _cached(vertices(e))
+    n = verts.count()
     src = verts.agg(F.min("v")).collect()[0][0]
     state0 = verts.select(
         "v", F.when(F.col("v") == src, F.lit(0)).otherwise(F.lit(INF)).cast("long").alias("dist")
@@ -285,14 +310,16 @@ def bfs(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         relax = (
-            e.join(F.broadcast(state), e.src == state.v)
+            e.join(_bc(state, n), e.src == state.v)
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min(F.col("dist") + F.lit(1)).alias("m"))
         )
-        return state.join(F.broadcast(relax), "v", "left").select(
+        return state.join(_bc(relax, n), "v", "left").select(
             "v", F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist"))).alias("dist")
         )
 
+    # ``rounds`` is the reference's explicit depthLimit (lib.BFS), not a
+    # convergence budget — depth-truncated distances are the semantics.
     out = iterate(state0, step, rounds)
     return out.where(F.col("dist") < INF)
 
@@ -303,7 +330,8 @@ def sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
     rounds = the multi-source hop loop of ``MSSPRunner.scala:96-107``
     restricted to one source; ``rounds`` bounds path hop count."""
     e = _cached(edges.select("src", "dst", "cnt"))
-    verts = vertices(e)
+    verts = _cached(vertices(e))
+    n = verts.count()
     src = verts.agg(F.min("v")).collect()[0][0]
     state0 = verts.select(
         "v", F.when(F.col("v") == src, F.lit(0)).otherwise(F.lit(INF)).cast("long").alias("dist")
@@ -311,15 +339,17 @@ def sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         relax = (
-            e.join(F.broadcast(state), e.src == state.v)
+            e.join(_bc(state, n), e.src == state.v)
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min(F.col("dist") + F.col("cnt")).alias("m"))
         )
-        return state.join(F.broadcast(relax), "v", "left").select(
+        return state.join(_bc(relax, n), "v", "left").select(
             "v", F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist"))).alias("dist")
         )
 
-    out = iterate(state0, step, rounds)
+    # Bellman-Ford must relax to quiescence for the distances to be true
+    # shortest paths — prove the fixed point rather than trust the budget.
+    out = iterate(state0, step, rounds, verify_fixpoint=unchanged)
     return out.where(F.col("dist") < INF)
 
 
@@ -329,11 +359,13 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
     ``LabelPropagation.run(graph, maxSteps)``,
     ``LabelPropagationRunner.scala:71``)."""
     e = _cached(edges.select("src", "dst"))
-    state0 = vertices(e).select("v", F.col("v").alias("label"))
+    verts = _cached(vertices(e))
+    n = verts.count()
+    state0 = verts.select("v", F.col("v").alias("label"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         counts = (
-            e.join(F.broadcast(state), e.src == state.v)
+            e.join(_bc(state, n), e.src == state.v)
             .groupBy(F.col("dst").alias("v"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -353,26 +385,29 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
     degree. The Pregel peel loop of ``KcoreMain.scala:43-77,113-128``
     expressed as join-filter rounds."""
     e = _cached(edges.select("src", "dst"))
-    state0 = vertices(e)
+    state0 = _cached(vertices(e))
+    n = state0.count()
 
     def step(active: DataFrame, _i: int) -> DataFrame:
         s = active.select(F.col("v").alias("sv"))
         t = active.select(F.col("v").alias("tv"))
         return (
-            e.join(F.broadcast(s), e.src == F.col("sv"))
-            .join(F.broadcast(t), e.dst == F.col("tv"))
+            e.join(_bc(s, n), e.src == F.col("sv"))
+            .join(_bc(t, n), e.dst == F.col("tv"))
             .groupBy(F.col("src").alias("v"))
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
             .select("v")
         )
 
-    active = iterate(state0, step, rounds)
+    # The peel must reach its fixed point — a truncated peel reports
+    # vertices as k-core members that one more round would evict.
+    active = iterate(state0, step, rounds, verify_fixpoint=unchanged)
     s = active.select(F.col("v").alias("sv"))
     t = active.select(F.col("v").alias("tv"))
     return (
-        e.join(F.broadcast(s), e.src == F.col("sv"))
-        .join(F.broadcast(t), e.dst == F.col("tv"))
+        e.join(_bc(s, n), e.src == F.col("sv"))
+        .join(_bc(t, n), e.dst == F.col("tv"))
         .groupBy(F.col("src").alias("v"))
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -465,7 +500,11 @@ def _closure(edges: DataFrame, doublings: int = CLOSURE_DOUBLINGS) -> DataFrame:
         b = r.toDF("mid", "dst")
         return r.unionByName(a.join(b, "mid").select("src", "dst")).distinct()
 
-    return iterate(edges.select("src", "dst"), step, doublings)
+    # Exactness of SCC depends on the closure being complete — verify the
+    # squaring reached its fixed point (diameter < 2^doublings).
+    return iterate(
+        edges.select("src", "dst"), step, doublings, verify_fixpoint=unchanged
+    )
 
 
 def scc(edges: DataFrame) -> DataFrame:
@@ -504,7 +543,7 @@ def closeness(edges: DataFrame) -> DataFrame:
         return both.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
 
     d0 = edges.select("src", "dst", F.lit(1).cast("long").alias("dist"))
-    d = iterate(d0, step, CLOSURE_DOUBLINGS)
+    d = iterate(d0, step, CLOSURE_DOUBLINGS, verify_fixpoint=unchanged)
     return (
         d.where(F.col("src") != F.col("dst"))
         .groupBy(F.col("src").alias("v"))

@@ -19,6 +19,7 @@ from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
     CC_ITERS,
     PR_ITERS,
     RESET,
+    _bc,
     _cached,
     _pagerank_loop,
     copurchase_pairs,
@@ -27,7 +28,7 @@ from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
     symmetrize,
     vertices,
 )
-from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate
+from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate, unchanged
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 INC_CUTOFF = "1997-07-01"
@@ -258,24 +259,26 @@ def weak_cliques(cat: Catalog) -> DataFrame:
     sym = _cached(
         p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
-    state0 = vertices(sym.withColumn("cnt", F.lit(1))).select(
-        "v", F.col("v").alias("wce_id")
-    )
+    verts = _cached(vertices(sym.withColumn("cnt", F.lit(1))))
+    n = verts.count()
+    state0 = verts.select("v", F.col("v").alias("wce_id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         m = (
-            sym.join(F.broadcast(state), sym.src == state.v)
+            sym.join(_bc(state, n), sym.src == state.v)
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("wce_id").alias("m"))
         )
-        return state.join(F.broadcast(m), "v", "left").select(
+        return state.join(_bc(m, n), "v", "left").select(
             "v",
             F.least(F.col("wce_id"), F.coalesce(F.col("m"), F.col("wce_id"))).alias(
                 "wce_id"
             ),
         )
 
-    return iterate(state0, step, WCE_ROUNDS)
+    # Group membership is component membership — prove the propagation
+    # reached its fixed point rather than trust the round budget.
+    return iterate(state0, step, WCE_ROUNDS, verify_fixpoint=unchanged)
 
 
 # ---- Louvain phase-1 (§2.3 #11) --------------------------------------------
@@ -301,11 +304,13 @@ def louvain(cat: Catalog) -> DataFrame:
 
     state0 = wdeg.select("v", F.col("v").alias("label"))
 
+    n_verts = wdeg.count()
+
     def step(state: DataFrame, _i: int) -> DataFrame:
         lab = state
         # k_v,c: weight from v to community c (via neighbor labels)
         kvc = (
-            sym.join(F.broadcast(lab.toDF("u", "c")), sym.dst == F.col("u"))
+            sym.join(_bc(lab.toDF("u", "c"), n_verts), sym.dst == F.col("u"))
             .groupBy(F.col("src").alias("v"), "c")
             .agg(F.sum("cnt").alias("k"))
         )
@@ -319,9 +324,9 @@ def louvain(cat: Catalog) -> DataFrame:
             F.sum("wv").alias("stot")
         )
         scored = (
-            cand.join(F.broadcast(sigma), "c")
-            .join(F.broadcast(wdeg), "v")
-            .join(F.broadcast(lab), "v")
+            cand.join(_bc(sigma, n_verts), "c")
+            .join(_bc(wdeg, n_verts), "v")
+            .join(_bc(lab, n_verts), "v")
             .select(
                 "v",
                 "c",

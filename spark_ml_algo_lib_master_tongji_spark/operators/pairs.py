@@ -1,0 +1,108 @@
+"""Blocked all-pairs joins over vector tables — the engine's exact
+pairwise-compute primitive (DBSCAN ε-pairs, embedding-cosine dedup).
+
+Shape: points are hashed into B blocks, each point is replicated to its B
+block-pair groups, and one Arrow-batched numpy kernel per (block_a,
+block_b) group emits qualifying pairs. Properties that matter at scale:
+
+- the plan is an equi-join/groupBy on explicit block keys — no
+  ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` node anywhere;
+- task memory is bounded by 2·(n/B)·dim doubles regardless of n;
+- work (n² pair checks) distributes evenly across B·(B+1)/2 tasks;
+- the kernel is vectorized numpy instead of interpreted ``aggregate``-HOF
+  expressions (measured ~5× on the round-1 DBSCAN ε-join).
+
+Exact all-pairs work is irreducibly Θ(n²); for corpora where candidates
+can be pruned (clusterable / near-dup regimes) put a candidate generator
+(LSH buckets, grid cells, prefix filters — see dedup.py/similarity.py) in
+front and keep this as the verification kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: target points per block — the task-memory / BLAS-batch dial.
+BLOCK_ROWS = 512
+
+#: kernel(ids_a, mat_a, ids_b, mat_b, same_block) → output frame. When
+#: same_block, ids_a is ids_b and the kernel must emit each unordered pair
+#: once (strict upper triangle); across blocks every cross pair appears in
+#: exactly one group.
+PairKernel = Callable[[np.ndarray, np.ndarray, np.ndarray, np.ndarray, bool], pd.DataFrame]
+
+
+def seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(na, nb) pairwise dot products with a *sequential* per-pair fold
+    (acc = ((0 + a₀b₀) + a₁b₁) + …), vectorized across pairs. Bit-identical
+    to ``functions.vectors.dot`` (``F.aggregate`` left fold) and DuckDB's
+    list_dot_product, so downstream half-up rounding agrees across all
+    three engines."""
+    acc = np.zeros((a.shape[0], b.shape[0]))
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d, None] * b[None, :, d]
+    return acc
+
+
+def seq_self_dot(a: np.ndarray) -> np.ndarray:
+    """Per-row ⟨v,v⟩ with the same sequential fold."""
+    acc = np.zeros(a.shape[0])
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * a[:, d]
+    return acc
+
+
+def round_half_up_np(x: np.ndarray, digits: int) -> np.ndarray:
+    """numpy twin of ``functions.rounding.round_half_up`` — same IEEE
+    multiply/add/floor/divide sequence."""
+    scale = float(10**digits)
+    return np.floor(x * scale + 0.5) / scale
+
+
+def blocked_apply(
+    pts: DataFrame,
+    kernel: PairKernel,
+    out_schema: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    block_rows: int = BLOCK_ROWS,
+    max_blocks: int = 64,
+) -> DataFrame:
+    """Run ``kernel`` over every pair of blocks of ``pts``.
+
+    ``pts`` must be cheap to count (cache it first); the count only sizes
+    the block grid, it never affects results."""
+    n = pts.count()
+    n_blocks = max(1, min(max_blocks, -(-n // block_rows)))
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(key[0]), int(key[1])
+        pa = pdf[pdf["g"] == ga]
+        ids_a = pa[id_col].to_numpy()
+        mat_a = np.stack(pa[vec_col].to_numpy())
+        if ga == gb:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            pb = pdf[pdf["g"] == gb]
+            ids_b = pb[id_col].to_numpy()
+            mat_b = np.stack(pb[vec_col].to_numpy())
+        return kernel(ids_a, mat_a, ids_b, mat_b, ga == gb)
+
+    replicated = pts.select(
+        id_col,
+        vec_col,
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("h"),
+    ).select(
+        F.least("g", "h").alias("ga"),
+        F.greatest("g", "h").alias("gb"),
+        id_col,
+        vec_col,
+        "g",
+    )
+    return replicated.groupBy("ga", "gb").applyInPandas(run, out_schema)

@@ -76,25 +76,36 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
-def sim_lsh_bucket_pairs(
-    cat: Catalog, n_planes: int = 8, threshold: float = 0.35
-) -> DataFrame:
-    """Random-hyperplane LSH near-dup pairs: sign-bit signature → bucket
-    self-join → exact cosine on candidates ≥ threshold.
+def embedding_dim(emb: DataFrame, vec_col: str = "v") -> int:
+    """Vector width read from the data (one-row action). Round-1 ADVICE:
+    a hardcoded dim silently zero-padded ``zip_with`` dot products on any
+    other corpus, collapsing every vector into bucket 0 — derive it."""
+    row = emb.select(F.size(vec_col).alias("d")).head()
+    return int(row["d"]) if row else 0
 
-    The hyperplanes are literal arrays in the plan (dim×planes doubles —
-    trivially broadcast); the self-join keys on the 8-bit bucket so shuffle
-    volume is O(collisions)."""
-    emb = spread(cat.embeddings).select(
-        "vec_id", V.as_double_array("embedding").alias("v")
-    )
-    dim = 64
+
+def bucket_expr(v_col, dim: int, n_planes: int = 8):
+    """Sign-bit LSH bucket id (0..2^n_planes−1) for a vector column. The
+    hyperplanes are literal arrays in the plan (dim×planes doubles —
+    trivially shipped with the plan, no broadcast needed)."""
     bucket = F.lit(0)
     for p in range(n_planes):
         plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-        bit = F.when(V.dot(F.col("v"), plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bit = F.when(V.dot(v_col, plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bucket + bit
-    sigs = emb.select("vec_id", "v", bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame, n_planes: int = 8, threshold: float = 0.35
+) -> DataFrame:
+    """(vec_a < vec_b, cosine): bucket self-join candidates with exact
+    rounded cosine ≥ threshold. Shuffle volume is O(bucket collisions);
+    recall < 1 by construction (pairs split across buckets are unseen) —
+    callers own that contract."""
+    sigs = emb.select(
+        "vec_id", "v", bucket_expr(F.col("v"), embedding_dim(emb), n_planes).alias("bucket")
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
@@ -111,6 +122,17 @@ def sim_lsh_bucket_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def sim_lsh_bucket_pairs(
+    cat: Catalog, n_planes: int = 8, threshold: float = 0.35
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs: sign-bit signature → bucket
+    self-join → exact cosine on candidates ≥ threshold."""
+    emb = spread(cat.embeddings).select(
+        "vec_id", V.as_double_array("embedding").alias("v")
+    )
+    return lsh_candidate_pairs(emb, n_planes, threshold)
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)

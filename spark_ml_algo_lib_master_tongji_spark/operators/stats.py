@@ -34,25 +34,66 @@ def _short(c: str) -> str:
     return c.split("_", 1)[-1]
 
 
+def _fractional_ranks(df: DataFrame, col: str, n_parts: int = 32) -> DataFrame:
+    """(value, _frank): average-ties fractional rank per distinct value of
+    ``col``, computed distributed — the mllib-Spearman two-phase shape.
+
+    frank(v) = |{x < v}| + (|{x = v}| + 1)/2. Phase 1 aggregates rows to
+    (value, count) — one hash shuffle, data volume drops to the distinct
+    count. Phase 2 range-partitions the value table and turns the global
+    prefix sum into per-partition prefix sums plus partition offsets; the
+    only single-partition window runs over the ``n_parts``-row totals
+    table, never over data. (Round-1 carried an un-partitioned
+    ``Window.orderBy`` that pulled the whole table through one task.)
+
+    All terms are integers or exact halves in fp64, so the result is
+    bit-identical to the windowed ``rank() + (ties−1)/2`` formula the SQL
+    oracle uses."""
+    vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+    vc = vc.repartitionByRange(n_parts, F.col(col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = vc.groupBy("_pid").agg(F.sum("_cnt").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        vc.withColumn("_lt", F.coalesce(F.sum("_cnt").over(w_local), F.lit(0)))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            col,
+            (
+                F.col("_off") + F.col("_lt") + (F.col("_cnt") + 1) / 2.0
+            ).alias("_frank"),
+        )
+    )
+
+
 def correlation_pairs(
     df: DataFrame, cols: tuple[str, ...], method: str = "pearson", digits: int = 4
 ) -> DataFrame:
     """Pairwise correlation of ``cols`` → one wide row
     (corr_<a>_<b> per pair). method ∈ {pearson, spearman}.
 
-    Spearman = Pearson on average-ties ranks: rank() + (tie_count-1)/2,
-    matching the standard fractional-rank definition (and the reference's
-    ``Correlation.corr(..., "spearman")`` semantics)."""
+    Spearman = Pearson on average-ties fractional ranks (the reference's
+    ``Correlation.corr(..., "spearman")`` semantics), with the ranks
+    computed by the distributed two-phase scheme in ``_fractional_ranks``
+    and joined back to rows on the value (one row per distinct value —
+    many-to-one)."""
     if method == "spearman":
-        df = df.select(
-            *[
-                (
-                    F.rank().over(Window.orderBy(c))
-                    + (F.count(F.lit(1)).over(Window.partitionBy(c)) - 1) / 2.0
-                ).alias(c)
-                for c in cols
-            ]
-        )
+        ranked = df.select(*cols)
+        for c in cols:
+            ranked = ranked.join(
+                _fractional_ranks(df, c).withColumnRenamed("_frank", f"_r_{c}"),
+                c,
+            )
+        df = ranked.select(*[F.col(f"_r_{c}").alias(c) for c in cols])
     aggs = [
         round_half_up(F.corr(a, b), digits).alias(f"corr_{_short(a)}_{_short(b)}")
         for a, b in combinations(cols, 2)

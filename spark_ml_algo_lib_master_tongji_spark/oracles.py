@@ -400,9 +400,10 @@ SIM_ORACLES: dict[str, str] = {
 }
 
 
-def _lsh_pairs_oracle() -> str:
-    """Mirror operators/similarity.py sim_lsh_bucket_pairs: identical
-    md5-derived hyperplane constants rendered as SQL literals."""
+def _lsh_pairs_ctes() -> str:
+    """The shared LSH-candidate CTE chain (mirrors
+    operators/similarity.py lsh_candidate_pairs: identical md5-derived
+    hyperplane constants rendered as SQL literals)."""
     import hashlib
 
     planes = []
@@ -430,11 +431,13 @@ def _lsh_pairs_oracle() -> str:
             FROM sigs a JOIN sigs b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
-        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
     """
 
 
-SIM_ORACLES["sim_lsh_bucket_pairs"] = _lsh_pairs_oracle()
+SIM_ORACLES["sim_lsh_bucket_pairs"] = (
+    _lsh_pairs_ctes()
+    + " SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35"
+)
 
 
 DEDUP_ORACLES["dedup_ngram_jaccard"] = f"""
@@ -475,6 +478,24 @@ DEDUP_ORACLES["dedup_embedding_cosine"] = """
     SELECT e.vec_id, least(e.vec_id, coalesce(n.mn, e.vec_id)) AS keeper
     FROM e LEFT JOIN nbr n ON e.vec_id = n.vec_id
 """
+
+# Same election restricted to LSH-bucket candidate pairs — replicates the
+# Spark operator's candidate generation exactly (same hyperplane literals),
+# so the differential check is exact for the candidate-bounded semantics.
+DEDUP_ORACLES["dedup_embedding_cosine_lsh"] = (
+    _lsh_pairs_ctes()
+    + """
+    , cand AS (SELECT vec_a, vec_b FROM pairs WHERE cosine >= 0.35),
+    directed AS (
+        SELECT vec_a AS vec_id, vec_b AS nb FROM cand
+        UNION ALL
+        SELECT vec_b AS vec_id, vec_a AS nb FROM cand
+    ),
+    nbr AS (SELECT vec_id, min(nb) AS mn FROM directed GROUP BY vec_id)
+    SELECT e.vec_id, least(e.vec_id, coalesce(n.mn, e.vec_id)) AS keeper
+    FROM e LEFT JOIN nbr n ON e.vec_id = n.vec_id
+"""
+)
 
 RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value

@@ -24,12 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
+class NotConvergedError(RuntimeError):
+    """A fixed-round loop whose semantics require a fixed point did not
+    reach one within its round budget — the result would be silently wrong
+    (truncated label/distance propagation), so fail loudly instead."""
+
+
 def iterate(
     state: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
     n_iter: int,
     checkpoint_every: int = 1,
     reliable: bool = False,
+    verify_fixpoint: Callable[[DataFrame, DataFrame], bool] | None = None,
 ) -> DataFrame:
     """Run ``state = step(state, i)`` for ``n_iter`` rounds with lineage
     control.
@@ -44,6 +51,7 @@ def iterate(
     (``SimRankOpenSource.scala:128-150``). Rounds between checkpoints are
     cached lazily."""
     prev: DataFrame | None = None
+    penult: DataFrame | None = None
     for i in range(n_iter):
         state = step(state, i)
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
@@ -54,6 +62,33 @@ def iterate(
         else:
             state = state.persist(StorageLevel.MEMORY_AND_DISK)
         if prev is not None:
-            prev.unpersist(blocking=False)
+            if verify_fixpoint is not None and i == n_iter - 1:
+                penult = prev  # keep round R−1 alive for the fixpoint check
+            else:
+                prev.unpersist(blocking=False)
         prev = state
+    if verify_fixpoint is not None and n_iter > 0:
+        # Convergence guard (run-to-fixpoint semantics on a fixed round
+        # budget): the differential oracles unroll exactly ``n_iter``
+        # rounds, so an unconverged loop would agree with its oracle while
+        # both diverge from the reference's run-to-convergence semantics —
+        # this turns that silent divergence into a loud error. Cheap path:
+        # if rounds R−1 and R are identical, R−1 was already a fixed point
+        # (steps are stationary) — no extra superstep. Otherwise one probe
+        # superstep must be a no-op.
+        converged = penult is not None and verify_fixpoint(penult, state)
+        if penult is not None:
+            penult.unpersist(blocking=False)
+        if not converged and not verify_fixpoint(state, step(state, n_iter)):
+            raise NotConvergedError(
+                f"state still changing after {n_iter} rounds; raise the "
+                "round budget for this graph"
+            )
     return state
+
+
+def unchanged(before: DataFrame, after: DataFrame) -> bool:
+    """True iff the two state DataFrames hold identical row sets — the
+    default ``verify_fixpoint`` predicate (exceptAll is null-safe and
+    duplicate-aware; states are one row per vertex so the diff is tiny)."""
+    return after.exceptAll(before).limit(1).count() == 0

@@ -126,6 +126,7 @@ _ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "stat_spearman_lineitem",
     "sim_lsh_bucket_pairs",
+    "dedup_embedding_cosine_lsh",
     # (new round-2 queries are inserted here as they land: graph_mssp,
     #  graph_ppr_multi, graph_node2vec_biased_walks, graph_betweenness_sampled)
     # -- tier 2: Pregel loops re-verified after the join-strategy change ----
