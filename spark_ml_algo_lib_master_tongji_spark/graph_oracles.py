@@ -28,6 +28,7 @@ from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
     KCORE_K,
     KCORE_ROUNDS,
     LPA_ITERS,
+    PPR_SOURCES,
     PR_ITERS,
     RESET,
     SSSP_ROUNDS,
@@ -128,6 +129,76 @@ def _min_propagation_sql(
 )"""
         )
     return "WITH " + ",\n".join(ctes) + f"\n{final_select.format(last=f's{rounds}')}"
+
+
+def _ppr_multi_sql(n_sources: int = PPR_SOURCES, iters: int = PR_ITERS) -> str:
+    """Tall unroll of the parallel-personalized power iteration (mirror of
+    ``graph.ppr_multi``: source set = n_sources smallest vertex ids, reset
+    mass RESET concentrated per source, same recurrence as the
+    single-source oracle keyed (v, source))."""
+    ctes = [
+        PAIRS_CTES.strip().rstrip(","),
+        f"srcs AS (SELECT v AS source FROM verts ORDER BY v LIMIT {n_sources})",
+        f"es AS (SELECT e.src, e.dst, {_UNWEIGHTED_SHARE} AS share\n"
+        "        FROM edges e JOIN deg d ON e.src = d.v)",
+        f"""reset_d AS (
+    SELECT verts.v, srcs.source,
+           CASE WHEN verts.v = srcs.source THEN {RESET!r}
+                ELSE CAST(0.0 AS DOUBLE) END AS reset
+    FROM verts CROSS JOIN srcs
+)""",
+        "pr0 AS (SELECT v, source, reset AS pr FROM reset_d)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""pr{i + 1} AS (
+    SELECT r.v, r.source,
+           r.reset + {DAMP!r} * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS pr
+    FROM reset_d r LEFT JOIN (
+        SELECT es.dst AS v, p.source, sum(p.pr * es.share) AS contrib
+        FROM es JOIN pr{i} p ON es.src = p.v
+        GROUP BY es.dst, p.source
+    ) c ON r.v = c.v AND r.source = c.source
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, source, round(pr, 6) AS pr FROM pr{iters}"
+    )
+
+
+def _mssp_sql(n_sources: int = TRUST_SEEDS, rounds: int = SSSP_ROUNDS) -> str:
+    """Tall unroll of the multi-landmark hop relaxation (mirror of
+    ``graph.mssp``: seed set = n_sources smallest vertex ids, +1 per hop,
+    unreachable rows filtered). The SQL state is (v, landmark) tall — the
+    Spark side's per-landmark columns are just the pivoted layout of the
+    same recurrence, so the final flattened rows agree bit-for-bit."""
+    ctes = [
+        PAIRS_CTES.strip().rstrip(","),
+        f"lms AS (SELECT v AS landmark FROM verts ORDER BY v LIMIT {n_sources})",
+        f"""s0 AS (
+    SELECT verts.v, lms.landmark,
+           CASE WHEN verts.v = lms.landmark THEN 0 ELSE {INF} END::BIGINT AS x
+    FROM verts CROSS JOIN lms
+)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""s{i + 1} AS (
+    SELECT t.v, t.landmark, least(t.x, coalesce(n.m, t.x)) AS x
+    FROM s{i} t LEFT JOIN (
+        SELECT e.dst AS v, p.landmark, min(p.x + 1) AS m
+        FROM edges e JOIN s{i} p ON e.src = p.v
+        GROUP BY e.dst, p.landmark
+    ) n ON t.v = n.v AND t.landmark = n.landmark
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, landmark, x AS dist FROM s{rounds} WHERE x < {INF}"
+    )
 
 
 def _lpa_sql(iters: int = LPA_ITERS) -> str:
@@ -273,6 +344,9 @@ def build_graph_oracles() -> dict[str, str]:
         SSSP_ROUNDS,
         f"SELECT v, x AS dist FROM {{last}} WHERE x < {INF}",
     )
+
+    o["graph_mssp"] = _mssp_sql()
+    o["graph_ppr_multi"] = _ppr_multi_sql()
 
     o["graph_label_propagation"] = _lpa_sql()
     o["graph_kcore"] = _kcore_sql()
@@ -420,6 +494,9 @@ def _build_graph_extra_oracles() -> dict[str, str]:
         INC_CUTOFF,
         INC_ITERS,
         LOUVAIN_ROUNDS,
+        N2V_W_FAR,
+        N2V_W_NEAR,
+        N2V_W_RETURN,
         RATE_MAX,
         RATE_MIN,
         WALK_LEN,
@@ -599,63 +676,115 @@ UNION ALL SELECT clique, size FROM max4"""
         + f"\nSELECT v, wce_id FROM w{WCE_ROUNDS}"
     )
 
-    # -- Louvain local-move rounds
-    lv_ctes = [
-        PAIRS_CTES.strip(),
-        "wdeg AS (SELECT src AS v, sum(cnt)::BIGINT AS wv FROM edges GROUP BY src)",
-        "tm AS (SELECT sum(wv)::DOUBLE AS tm FROM wdeg)",
-        "lv0 AS (SELECT v, v AS label FROM wdeg)",
-    ]
-    for i in range(LOUVAIN_ROUNDS):
-        lv_ctes.append(
-            f"""kvc{i} AS (
+    # -- Louvain: local-move rounds (mirror of _louvain_local_move; k_v,c
+    # excludes self-loops, wdeg/Σtot include them), one level per edge CTE
+    def _louvain_level(edges_cte: str, pfx: str) -> list[str]:
+        ctes = [
+            f"{pfx}wdeg AS (SELECT src AS v, sum(cnt)::BIGINT AS wv "
+            f"FROM {edges_cte} GROUP BY src)",
+            f"{pfx}lv0 AS (SELECT v, v AS label FROM {pfx}wdeg)",
+        ]
+        for i in range(LOUVAIN_ROUNDS):
+            ctes.append(
+                f"""{pfx}kvc{i} AS (
     SELECT e.src AS v, lb.label AS c, sum(e.cnt)::BIGINT AS k
-    FROM edges e JOIN lv{i} lb ON e.dst = lb.v
+    FROM {edges_cte} e JOIN {pfx}lv{i} lb ON e.dst = lb.v
+    WHERE e.src <> e.dst
     GROUP BY e.src, lb.label
 )"""
-        )
-        lv_ctes.append(
-            f"""cand{i} AS (
+            )
+            ctes.append(
+                f"""{pfx}cand{i} AS (
     SELECT v, c, max(k) AS k FROM (
-        SELECT v, c, k FROM kvc{i}
+        SELECT v, c, k FROM {pfx}kvc{i}
         UNION ALL
-        SELECT v, label AS c, CAST(0 AS BIGINT) AS k FROM lv{i}
+        SELECT v, label AS c, CAST(0 AS BIGINT) AS k FROM {pfx}lv{i}
     ) GROUP BY v, c
 )"""
-        )
-        lv_ctes.append(
-            f"""sig{i} AS (
+            )
+            ctes.append(
+                f"""{pfx}sig{i} AS (
     SELECT lb.label AS c, sum(w.wv)::BIGINT AS stot
-    FROM lv{i} lb JOIN wdeg w ON lb.v = w.v
+    FROM {pfx}lv{i} lb JOIN {pfx}wdeg w ON lb.v = w.v
     GROUP BY lb.label
 )"""
-        )
-        lv_ctes.append(
-            f"""sc{i} AS (
+            )
+            ctes.append(
+                f"""{pfx}sc{i} AS (
     SELECT cand.v, cand.c,
            round(cand.k - w.wv
                  * (s.stot - CASE WHEN lb.label = cand.c THEN w.wv ELSE 0 END)
                  / (SELECT tm FROM tm), 9) AS score
-    FROM cand{i} cand
-    JOIN sig{i} s ON cand.c = s.c
-    JOIN wdeg w ON cand.v = w.v
-    JOIN lv{i} lb ON cand.v = lb.v
+    FROM {pfx}cand{i} cand
+    JOIN {pfx}sig{i} s ON cand.c = s.c
+    JOIN {pfx}wdeg w ON cand.v = w.v
+    JOIN {pfx}lv{i} lb ON cand.v = lb.v
 )"""
-        )
-        lv_ctes.append(
-            f"""lv{i + 1} AS (
+            )
+            ctes.append(
+                f"""{pfx}lv{i + 1} AS (
     SELECT v, c AS label FROM (
         SELECT v, c,
                row_number() OVER (PARTITION BY v
                                   ORDER BY score DESC, c ASC) AS rn
-        FROM sc{i}
+        FROM {pfx}sc{i}
     ) WHERE rn = 1
 )"""
-        )
+            )
+        return ctes
+
+    # Unweighted modularity of a (v, label) CTE — mirror of
+    # graph.modularity (m = |pairs|, deg from the sym edge list).
+    def _q_cte(lab_cte: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT round(sum(
+        coalesce(i.lc, 0) / (SELECT count(*)::DOUBLE FROM pairs)
+        - (d.dc / (2.0 * (SELECT count(*)::DOUBLE FROM pairs)))
+          * (d.dc / (2.0 * (SELECT count(*)::DOUBLE FROM pairs)))
+    ), 6) AS q
+    FROM (
+        SELECT l.label, sum(g.deg)::BIGINT AS dc
+        FROM deg g JOIN {lab_cte} l ON g.v = l.v
+        GROUP BY l.label
+    ) d LEFT JOIN (
+        SELECT ls.label, count(*) AS lc
+        FROM pairs p
+        JOIN {lab_cte} ls ON p.src = ls.v
+        JOIN {lab_cte} ld ON p.dst = ld.v
+        WHERE ls.label = ld.label
+        GROUP BY ls.label
+    ) i ON d.label = i.label
+)"""
+
+    lv_ctes = [
+        PAIRS_CTES.strip(),
+        "tm AS (SELECT sum(cnt)::DOUBLE AS tm FROM edges)",
+        *_louvain_level("edges", ""),
+        f"""coarse AS (
+    SELECT la.label AS src, lb.label AS dst, sum(e.cnt)::BIGINT AS cnt
+    FROM edges e
+    JOIN lv{LOUVAIN_ROUNDS} la ON e.src = la.v
+    JOIN lv{LOUVAIN_ROUNDS} lb ON e.dst = lb.v
+    GROUP BY la.label, lb.label
+)""",
+        *_louvain_level("coarse", "g2"),
+        f"""comp AS (
+    SELECT l1.v, l1.label AS c1, l2.label AS c2
+    FROM lv{LOUVAIN_ROUNDS} l1 JOIN g2lv{LOUVAIN_ROUNDS} l2 ON l1.label = l2.v
+)""",
+        _q_cte(f"lv{LOUVAIN_ROUNDS}", "q1"),
+        "compl AS (SELECT v, c2 AS label FROM comp)",
+        _q_cte("compl", "q2"),
+    ]
+    # The coarse level is accepted only when it improves rounded Q —
+    # mirror of the accept-if-improves rule in graph_extra.louvain.
     o["graph_louvain"] = (
         "WITH "
         + ",\n".join(lv_ctes)
-        + f"\nSELECT v, label AS community FROM lv{LOUVAIN_ROUNDS}"
+        + """
+SELECT v, CASE WHEN (SELECT q FROM q2) > (SELECT q FROM q1)
+               THEN c2 ELSE c1 END AS community
+FROM comp"""
     )
 
     # -- node2vec deterministic walks
@@ -684,6 +813,70 @@ UNION ALL SELECT clique, size FROM max4"""
         + "\nSELECT walk_id, step, node FROM ("
         + " UNION ALL ".join(
             f"SELECT walk_id, step, node FROM nv{t}" for t in range(WALK_LEN + 1)
+        )
+        + ")"
+    )
+
+    # -- node2vec biased walks: inverse-CDF pick over integer 2nd-order
+    # weights (mirror of graph_extra.node2vec_biased_walks; step 1 uniform)
+    bw_ctes = [
+        PAIRS_CTES.strip(),
+        "adj AS (SELECT src AS v, list(dst ORDER BY dst) AS nbrs "
+        "FROM edges GROUP BY src)",
+        f"""bw0 AS (
+    SELECT a.v * 10 + t.w AS walk_id, t.w, 0 AS step,
+           CAST(NULL AS BIGINT) AS prev, a.v AS node
+    FROM adj a CROSS JOIN
+         (SELECT UNNEST(generate_series(0, {WALKS_PER_NODE - 1})) AS w) t
+)""",
+        f"""bw1 AS (
+    SELECT s.walk_id, s.w, 1 AS step, s.node AS prev,
+           a.nbrs[((s.node * {H_A} + 1 * {H_B} + s.w * {H_C})
+                   % len(a.nbrs)) + 1] AS node
+    FROM bw0 s JOIN adj a ON s.node = a.v
+)""",
+    ]
+    for t in range(2, WALK_LEN + 1):
+        bw_ctes.append(
+            f"""bwex{t} AS (
+    SELECT s.walk_id, s.w, s.node, s.prev,
+           generate_subscripts(a.nbrs, 1) AS ord,
+           unnest(a.nbrs) AS cand,
+           p.nbrs AS pnbrs
+    FROM bw{t - 1} s
+    JOIN adj a ON s.node = a.v
+    JOIN adj p ON s.prev = p.v
+)"""
+        )
+        bw_ctes.append(
+            f"""bww{t} AS (
+    SELECT walk_id, w, node, ord, cand,
+           CASE WHEN cand = prev THEN {N2V_W_RETURN}
+                WHEN list_contains(pnbrs, cand) THEN {N2V_W_NEAR}
+                ELSE {N2V_W_FAR} END::BIGINT AS wt
+    FROM bwex{t}
+)"""
+        )
+        bw_ctes.append(
+            f"""bw{t} AS (
+    SELECT walk_id, w, {t} AS step, node AS prev, cand AS node FROM (
+        SELECT walk_id, w, node, cand,
+               row_number() OVER (PARTITION BY walk_id ORDER BY ord) AS rn
+        FROM (
+            SELECT *,
+                   sum(wt) OVER (PARTITION BY walk_id ORDER BY ord) AS cum,
+                   sum(wt) OVER (PARTITION BY walk_id) AS tot
+            FROM bww{t}
+        ) WHERE cum > (node * {H_A} + {t} * {H_B} + w * {H_C}) % tot
+    ) WHERE rn = 1
+)"""
+        )
+    o["graph_node2vec_biased_walks"] = (
+        "WITH "
+        + ",\n".join(bw_ctes)
+        + "\nSELECT walk_id, step, node FROM ("
+        + " UNION ALL ".join(
+            f"SELECT walk_id, step, node FROM bw{t}" for t in range(WALK_LEN + 1)
         )
         + ")"
     )

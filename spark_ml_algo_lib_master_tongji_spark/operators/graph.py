@@ -56,6 +56,7 @@ KCORE_K = 4
 KCORE_ROUNDS = 8
 CLOSURE_DOUBLINGS = 5
 TRUST_SEEDS = 5
+PPR_SOURCES = 3
 INF = 10**15
 
 
@@ -243,6 +244,79 @@ def personalized_pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
 
 
+def ppr_multi(
+    edges: DataFrame, n_sources: int = PPR_SOURCES, n_iter: int = PR_ITERS
+) -> DataFrame:
+    """Parallel personalized PageRank from a source set → (v, source, pr) —
+    ``PersonalizedPageRankRunner.scala:102-114`` ``fixMS`` arm
+    (``PageRank.runParallelPersonalizedPageRank(graph, numIter, resetProb,
+    sourcesId)``): GraphX's per-vertex pr *vector* (one entry per source)
+    flattened to rows. Source set = the ``n_sources`` smallest vertex ids.
+
+    Like ``mssp``, the loop state carries one pr column per source on a
+    single row per vertex — every power-iteration round joins |E| rows
+    exactly once and one hash-agg pass sums all per-source contributions,
+    so k sources cost one loop, not k loops (the whole point of the
+    reference's parallel variant)."""
+    edges = _cached(edges)
+    verts = _cached(vertices(edges))
+    n = verts.count()
+    sources = [r["v"] for r in verts.orderBy("v").limit(n_sources).collect()]
+    e = _cached(
+        edges.join(degrees(edges), edges.src == F.col("v")).select(
+            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("share")
+        )
+    )
+    cols = [f"p{k}" for k in range(len(sources))]
+    reset = _cached(
+        verts.select(
+            "v",
+            *[
+                F.when(F.col("v") == s, F.lit(RESET))
+                .otherwise(F.lit(0.0))
+                .alias(f"r{k}")
+                for k, s in enumerate(sources)
+            ],
+        )
+    )
+    state0 = reset.select(
+        "v", *[F.col(f"r{k}").alias(c) for k, c in enumerate(cols)]
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contrib = (
+            e.join(_bc(state, n), e.src == state.v)
+            .groupBy("dst")
+            .agg(
+                *[
+                    F.sum(F.col(c) * F.col("share")).alias(f"c{k}")
+                    for k, c in enumerate(cols)
+                ]
+            )
+        )
+        return reset.join(_bc(contrib, n), reset.v == contrib.dst, "left").select(
+            "v",
+            *[
+                (
+                    F.col(f"r{k}")
+                    + F.lit(DAMP) * F.coalesce(F.col(f"c{k}"), F.lit(0.0))
+                ).alias(c)
+                for k, c in enumerate(cols)
+            ],
+        )
+
+    out = iterate(state0, step, n_iter)
+    return out.select(
+        "v",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(s).cast("long") for s in sources]),
+                F.array(*[round_half_up(F.col(c), 6) for c in cols]),
+            )
+        ).alias("source", "pr"),
+    )
+
+
 def weighted_pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
     """Edge-weight-normalized PageRank → (v, pr).
     ``WeightedPageRankRunner.scala:115-119`` static variant."""
@@ -351,6 +425,68 @@ def sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
     # shortest paths — prove the fixed point rather than trust the budget.
     out = iterate(state0, step, rounds, verify_fixpoint=unchanged)
     return out.where(F.col("dist") < INF)
+
+
+def mssp(
+    edges: DataFrame, n_sources: int = TRUST_SEEDS, rounds: int = SSSP_ROUNDS
+) -> DataFrame:
+    """Multi-source shortest paths (hop counts) to a landmark seed set →
+    (v, landmark, dist) — ``MSSPRunner.scala:96-107``
+    (``ShortestPaths.run(inputGraph, source.collect.toSeq)``): GraphX's
+    per-vertex (landmark → hops) map flattened to rows, unreachable
+    (landmark, v) pairs absent, seed set = the ``n_sources`` smallest
+    vertex ids (the same convention as the TrustRank seed whitelist).
+
+    The loop state carries one distance *column per landmark* on a single
+    row per vertex, so every relaxation round joins |E| rows exactly like
+    the single-source loop — the landmark fan-out happens inside the
+    aggregate expressions (one hash-agg pass computes all per-landmark
+    minima), not in the join volume. A tall (v, landmark) state would
+    multiply the per-round shuffle by the seed count."""
+    e = _cached(edges.select("src", "dst"))
+    verts = _cached(vertices(e))
+    n = verts.count()
+    landmarks = [
+        r["v"] for r in verts.orderBy("v").limit(n_sources).collect()
+    ]
+    cols = [f"x{k}" for k in range(len(landmarks))]
+    state0 = verts.select(
+        "v",
+        *[
+            F.when(F.col("v") == lm, F.lit(0))
+            .otherwise(F.lit(INF))
+            .cast("long")
+            .alias(c)
+            for c, lm in zip(cols, landmarks)
+        ],
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        relax = (
+            e.join(_bc(state, n), e.src == state.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(*[F.min(F.col(c) + F.lit(1)).alias(f"m{k}") for k, c in enumerate(cols)])
+        )
+        return state.join(_bc(relax, n), "v", "left").select(
+            "v",
+            *[
+                F.least(F.col(c), F.coalesce(F.col(f"m{k}"), F.col(c))).alias(c)
+                for k, c in enumerate(cols)
+            ],
+        )
+
+    # ShortestPaths runs to convergence — prove the fixed point.
+    out = iterate(state0, step, rounds, verify_fixpoint=unchanged)
+    stacked = out.select(
+        "v",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(lm).cast("long") for lm in landmarks]),
+                F.array(*[F.col(c) for c in cols]),
+            )
+        ).alias("landmark", "dist"),
+    )
+    return stacked.where(F.col("dist") < INF)
 
 
 def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
@@ -576,25 +712,44 @@ def nation_degrees(edges: DataFrame) -> DataFrame:
 
 # ---- subgraph matching (§2.3 #22) ------------------------------------------
 
+#: Edge ceiling for the CSR-broadcast counting strategy (~8 bytes/edge as
+#: int32 neighbor+indptr arrays → ≤ ~200 MB broadcast at the ceiling).
+ADJ_BC_MAX_EDGES = 25_000_000
 
-def subgraph_match_counts(pairs: DataFrame) -> DataFrame:
-    """Template match counts on the co-purchase graph → rows
-    (template, matches) for the triangle and 4-cycle templates —
-    ``SubgraphMatchingRunner.scala:82-94`` (``run(dataGraph, queryEdgeList,
-    …, resultNum)`` returns match counts for small query graphs), expressed
-    as multiway joins. 4-cycles are counted via common-neighbor pairs:
-    Σ_{u<w} C(common(u,w), 2) counts each cycle twice (once per diagonal)."""
+
+def csr_broadcast(pairs: DataFrame):
+    """Symmetrized CSR adjacency of an undirected (src<dst) pair list,
+    shipped once as a Spark broadcast → (broadcast of (indptr, nbrs),
+    n_vertices). Shared by the kernel-strategy operators (subgraph
+    matching, sampled betweenness); gate callers on ``ADJ_BC_MAX_EDGES`` —
+    the broadcast is O(|E|)."""
+    import numpy as np
+
+    edges = pairs.select("src", "dst").toPandas()
+    srcs = edges["src"].to_numpy()
+    dsts = edges["dst"].to_numpy()
+    n = int(max(srcs.max(), dsts.max())) + 1
+    deg = np.bincount(srcs, minlength=n) + np.bincount(dsts, minlength=n)
+    order = np.argsort(np.concatenate([srcs, dsts]), kind="stable")
+    nbrs = np.concatenate([dsts, srcs])[order].astype(np.int32)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    return pairs.sparkSession.sparkContext.broadcast((indptr, nbrs)), n
+
+
+def _match_counts_wedge_join(pairs: DataFrame) -> tuple[int, int]:
+    """(triangles, four_cycles) by relational joins — the sparse/large-graph
+    strategy. Work is Σ C(deg,2) wedge rows; the (u,w) aggregation shuffles
+    O(distinct endpoint pairs).
+
+    An adjacency-array explode (collect_list + nested transform) was tried
+    and ran 3.6× slower — the higher-order array functions fall back to
+    interpreted eval; the join keeps whole-stage codegen."""
     p = _cached(pairs.select("src", "dst"))
     e1 = p.toDF("a", "b")
     e2 = p.toDF("b", "c")
     e3 = p.toDF("a", "c")
     tri_n = e1.join(e2, "b").join(e3, ["a", "c"]).count()
 
-    # wedge enumeration as a codegen'd self-join: an adjacency-array explode
-    # (collect_list + nested transform) was tried and ran 3.6× slower — the
-    # higher-order array functions fall back to interpreted eval, and hub
-    # vertices build multi-MB arrays; the join keeps whole-stage codegen and
-    # feeds partial aggregation directly
     sym = symmetrize(pairs.withColumn("cnt", F.lit(1))).select("src", "dst")
     s1 = sym.toDF("u", "b")
     s2 = sym.toDF("b", "w")
@@ -607,10 +762,90 @@ def subgraph_match_counts(pairs: DataFrame) -> DataFrame:
     sq = common.agg(
         (F.sum(F.col("k") * (F.col("k") - 1) / 2) / 2).cast("long").alias("n")
     ).collect()[0][0]
+    return int(tri_n), int(sq)
+
+
+def _match_counts_csr_kernel(pairs: DataFrame) -> tuple[int, int]:
+    """(triangles, four_cycles) by a broadcast-CSR bincount kernel — the
+    dense/moderate-graph strategy.
+
+    The co-purchase graph is near-regular and nearly dense (sf0.1: 20k
+    vertices, 1.2M undirected edges, 148M wedges with ~101M *distinct*
+    endpoint pairs), so the wedge join's partial aggregation compresses
+    nothing and the plan shuffles ~100M (u,w) rows. Here the symmetric
+    adjacency ships once as a CSR broadcast; each task scans a vertex range
+    and, per vertex u, bincounts all wedge endpoints reachable through
+    N(u) in one vectorized pass:
+
+    - four-cycles: Σ_{u<w} C(common(u,w), 2) counts each cycle twice
+      (once per diagonal), so the grand total halves at the end;
+    - triangles:   Σ_{(u,w)∈E, u<w} common(u,w) counts each triangle three
+      times (once per edge).
+
+    Only two partial-sum rows per task move over the wire — no pair
+    shuffle at all. Identical counts to the join strategy (pytest pins
+    equality on the fixture); gated by ``ADJ_BC_MAX_EDGES`` because the
+    broadcast is O(|E|) — past the ceiling the wedge join takes over,
+    mirroring the ``STATE_BC_MAX_ROWS`` pattern."""
+    import numpy as np
+    import pandas as pd
 
     spark = pairs.sparkSession
+    bc, n = csr_broadcast(pairs)
+
+    def kern(pdf_iter):
+        ip, nb = bc.value
+        nn = len(ip) - 1
+        for pdf in pdf_iter:
+            tot_sq = 0
+            tot_tri = 0
+            for u in pdf["u"].to_numpy():
+                nu = nb[ip[u] : ip[u + 1]]
+                if len(nu) == 0:
+                    continue
+                ws = np.concatenate([nb[ip[b] : ip[b + 1]] for b in nu])
+                cnt = np.bincount(ws, minlength=nn)
+                k = cnt[u + 1 :].astype(np.int64)
+                tot_sq += int((k * (k - 1) // 2).sum())
+                wu = nu[nu > u].astype(np.int64)
+                tot_tri += int(cnt[wu].sum())
+            yield pd.DataFrame({"sq": [tot_sq], "tri": [tot_tri]})
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    totals = (
+        spark.range(0, n)
+        .toDF("u")
+        .repartition(parts)
+        .mapInPandas(kern, "sq long, tri long")
+        .groupBy()
+        .agg(F.sum("sq").alias("sq"), F.sum("tri").alias("tri"))
+        .collect()[0]
+    )
+    bc.unpersist(blocking=False)
+    return int(totals["tri"]) // 3, int(totals["sq"]) // 2
+
+
+def subgraph_match_counts(
+    pairs: DataFrame, adj_bc_max_edges: int = ADJ_BC_MAX_EDGES
+) -> DataFrame:
+    """Template match counts on the co-purchase graph → rows
+    (template, matches) for the triangle and 4-cycle templates —
+    ``SubgraphMatchingRunner.scala:82-94`` (``run(dataGraph, queryEdgeList,
+    …, resultNum)`` returns match counts for small query graphs).
+
+    Strategy dispatch on |E|: a CSR-broadcast bincount kernel while the
+    adjacency provably fits a broadcast (dense-ish fixture graphs — no pair
+    shuffle), the wedge-enumeration join past the ceiling (sparse giant
+    graphs — work scales with actual wedge count, AQE handles skew). Both
+    produce identical exact counts."""
+    n_edges = pairs.count()
+    if n_edges <= adj_bc_max_edges:
+        tri_n, sq = _match_counts_csr_kernel(pairs)
+    else:
+        tri_n, sq = _match_counts_wedge_join(pairs)
+    spark = pairs.sparkSession
     return spark.createDataFrame(
-        [("triangle", int(tri_n)), ("four_cycle", int(sq))], "template string, matches long"
+        [("triangle", tri_n), ("four_cycle", sq)], "template string, matches long"
     )
 
 
@@ -633,6 +868,10 @@ def graph_pagerank_personalized(cat: Catalog) -> DataFrame:
     return personalized_pagerank(symmetrize(copurchase_pairs(cat)))
 
 
+def graph_ppr_multi(cat: Catalog) -> DataFrame:
+    return ppr_multi(symmetrize(copurchase_pairs(cat)))
+
+
 def graph_pagerank_weighted(cat: Catalog) -> DataFrame:
     return weighted_pagerank(symmetrize(copurchase_pairs(cat)))
 
@@ -651,6 +890,10 @@ def graph_bfs(cat: Catalog) -> DataFrame:
 
 def graph_sssp(cat: Catalog) -> DataFrame:
     return sssp(symmetrize(copurchase_pairs(cat)))
+
+
+def graph_mssp(cat: Catalog) -> DataFrame:
+    return mssp(symmetrize(copurchase_pairs(cat)))
 
 
 def graph_label_propagation(cat: Catalog) -> DataFrame:
@@ -696,11 +939,13 @@ QUERIES = (
     "graph_degrees",
     "graph_pagerank",
     "graph_pagerank_personalized",
+    "graph_ppr_multi",
     "graph_pagerank_weighted",
     "graph_trustrank",
     "graph_connected_components",
     "graph_bfs",
     "graph_sssp",
+    "graph_mssp",
     "graph_label_propagation",
     "graph_kcore",
     "graph_triangle_count",

@@ -284,33 +284,32 @@ def weak_cliques(cat: Catalog) -> DataFrame:
 # ---- Louvain phase-1 (§2.3 #11) --------------------------------------------
 
 
-def louvain(cat: Catalog) -> DataFrame:
-    """Deterministic synchronous Louvain local-move phase → (v, community).
+def _louvain_local_move(
+    sym: DataFrame, two_m: float, rounds: int = LOUVAIN_ROUNDS
+) -> DataFrame:
+    """One Louvain local-move phase on a symmetric weighted edge list
+    (self-loops allowed — coarse graphs carry them) → (v, label).
 
-    ``LouvainRunner.scala:92-99`` (BoostKit ``run(edgeRDD, maxIter,
-    isDirected, partitions)`` → (Q, communities)). Implemented: the
-    modularity local-move phase on the weighted co-purchase graph —
-    LOUVAIN_ROUNDS synchronous rounds where every vertex moves to the
-    candidate community (neighbor communities ∪ its own) maximizing
+    ``rounds`` synchronous rounds where every vertex moves to the candidate
+    community (neighbor communities ∪ its own) maximizing
     ΔQ ∝ k_v,c − wdeg_v·Σtot(c∖v)/2m, score rounded to 9 decimals, ties to
-    the smaller community id. Deterministic ⇒ exactly oracle-checked; the
-    coarsening phase (graph aggregation) is intentionally out of scope for
-    parity — community quality is judged via ``graph_modularity``."""
-    sym = _cached(symmetrize(copurchase_pairs(cat)))
+    the smaller community id — fully deterministic, so the SQL oracle
+    replays it exactly. k_v,c excludes self-loops (their modularity
+    contribution is community-invariant and must not bias staying);
+    wdeg/Σtot include them (standard Louvain accounting)."""
+    sym = _cached(sym)
     wdeg = _cached(
         sym.groupBy(F.col("src").alias("v")).agg(F.sum("cnt").alias("wv"))
     )
-    two_m = float(wdeg.agg(F.sum("wv")).collect()[0][0])
-
     state0 = wdeg.select("v", F.col("v").alias("label"))
-
     n_verts = wdeg.count()
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         lab = state
         # k_v,c: weight from v to community c (via neighbor labels)
         kvc = (
-            sym.join(_bc(lab.toDF("u", "c"), n_verts), sym.dst == F.col("u"))
+            sym.where(F.col("src") != F.col("dst"))
+            .join(_bc(lab.toDF("u", "c"), n_verts), F.col("dst") == F.col("u"))
             .groupBy(F.col("src").alias("v"), "c")
             .agg(F.sum("cnt").alias("k"))
         )
@@ -353,8 +352,50 @@ def louvain(cat: Catalog) -> DataFrame:
             .select("v", F.col("c").alias("label"))
         )
 
-    out = iterate(state0, step, LOUVAIN_ROUNDS)
-    return out.select("v", F.col("label").alias("community"))
+    return iterate(state0, step, rounds)
+
+
+def louvain(cat: Catalog) -> DataFrame:
+    """Deterministic two-level Louvain → (v, community).
+
+    ``LouvainRunner.scala:92-99`` (BoostKit ``run(edgeRDD, maxIter,
+    isDirected, partitions)`` → (Q, communities)): the modularity
+    local-move phase on the weighted co-purchase graph, then one
+    *coarsening* level — communities become vertices, edge weights
+    aggregate (intra-community weight folds into a self-loop), and the
+    local-move phase reruns on the aggregate graph with the same 2m;
+    community of v = level-2 label of v's level-1 community. The coarse
+    level is *accepted only if it improves Q* (on the rounded unweighted
+    modularity of ``graph.modularity``) — the multi-level loop's
+    stop-when-no-improvement rule, needed here because a synchronous
+    local-move round is not monotone in Q the way Blondel's sequential
+    scan is. Every step is deterministic ⇒ exactly oracle-checked;
+    ``test_louvain_coarsening_does_not_hurt_modularity`` pins Q(two-level)
+    ≥ Q(one-level)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import modularity
+
+    pairs = copurchase_pairs(cat)
+    sym = _cached(symmetrize(pairs))
+    two_m = float(sym.agg(F.sum("cnt")).collect()[0][0])
+    l1 = _cached(_louvain_local_move(sym, two_m))
+    n1 = l1.count()
+    coarse = (
+        sym.join(_bc(l1.toDF("sv", "c1"), n1), sym.src == F.col("sv"))
+        .join(_bc(l1.toDF("dv", "c2"), n1), sym.dst == F.col("dv"))
+        .groupBy(F.col("c1").alias("src"), F.col("c2").alias("dst"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    l2 = _louvain_local_move(coarse, two_m)
+    composed = _cached(
+        l1.join(l2.toDF("label", "community"), "label").select("v", "community")
+    )
+    q1 = modularity(pairs, l1).collect()[0]["modularity"]
+    q2 = modularity(
+        pairs, composed.select("v", F.col("community").alias("label"))
+    ).collect()[0]["modularity"]
+    if q2 > q1:
+        return composed
+    return l1.select("v", F.col("label").alias("community"))
 
 
 # ---- node2vec (§2.3 #23) ---------------------------------------------------
@@ -402,6 +443,116 @@ def node2vec_walks(cat: Catalog) -> DataFrame:
     return out.select("walk_id", "step", "node")
 
 
+#: Integer 2nd-order transition weights — node2vec biases p=0.5, q=2
+#: scaled ×2 to stay integral (1/p : 1 : 1/q = 2 : 1 : 0.5 → 4 : 2 : 1),
+#: so the cumulative-weight pick is exact integer arithmetic in both
+#: engines.
+N2V_W_RETURN = 4
+N2V_W_NEAR = 2
+N2V_W_FAR = 1
+
+
+def node2vec_biased_walks(cat: Catalog) -> DataFrame:
+    """Deterministic p/q-biased 2nd-order walks → (walk_id, step, node).
+
+    The biased transition of ``Node2VecRunner.scala:86-91`` (``Params(p,
+    q, …)``): from state (prev, cur), a candidate next node x weighs
+    1/p if x = prev (return), 1 if x is a neighbor of prev (stay near),
+    1/q otherwise (explore) — here as the integer weights ``N2V_W_*``.
+    In place of an RNG draw, r = mix(cur, step, walk) mod Σweights and
+    the chosen candidate is the first (in sorted-neighbor order) whose
+    running cumulative weight exceeds r — the alias-table sampling of the
+    reference collapsed to a reproducible inverse-CDF pick, identical in
+    the SQL oracle. Step 1 has no predecessor and hops uniformly like
+    ``node2vec_walks``."""
+    from pyspark.sql import Window
+
+    sym = symmetrize(copurchase_pairs(cat))
+    adj = _cached(
+        sym.groupBy(F.col("src").alias("v")).agg(
+            F.array_sort(F.collect_list("dst")).alias("nbrs")
+        )
+    )
+    starts = adj.select("v").crossJoin(
+        F.broadcast(
+            adj.sparkSession.range(WALKS_PER_NODE).select(F.col("id").alias("w"))
+        )
+    )
+    state = starts.select(
+        (F.col("v") * 10 + F.col("w")).alias("walk_id"),
+        F.col("w"),
+        F.lit(0).alias("step"),
+        F.lit(None).cast("long").alias("prev"),
+        F.col("v").alias("node"),
+    )
+    out = state.select("walk_id", "step", "node")
+    for t in range(1, WALK_LEN + 1):
+        if t == 1:
+            cur = state.join(adj, state.node == adj.v)
+            idx = (
+                F.col("node") * H_A + F.lit(t) * H_B + F.col("w") * H_C
+            ) % F.size("nbrs")
+            state = cur.select(
+                "walk_id",
+                "w",
+                F.lit(t).alias("step"),
+                F.col("node").alias("prev"),
+                F.element_at("nbrs", (idx + 1).cast("int")).alias("node"),
+            ).localCheckpoint(eager=True)
+        else:
+            cur = (
+                state.join(
+                    adj.toDF("cv", "cnbrs"), state.node == F.col("cv")
+                ).join(adj.toDF("pv", "pnbrs"), state.prev == F.col("pv"))
+            )
+            ex = cur.select(
+                "walk_id",
+                "w",
+                "node",
+                "prev",
+                F.posexplode("cnbrs").alias("ord", "cand"),
+                "pnbrs",
+            ).select(
+                "walk_id",
+                "w",
+                "node",
+                "ord",
+                "cand",
+                F.when(F.col("cand") == F.col("prev"), F.lit(N2V_W_RETURN))
+                .when(
+                    F.array_contains(F.col("pnbrs"), F.col("cand")),
+                    F.lit(N2V_W_NEAR),
+                )
+                .otherwise(F.lit(N2V_W_FAR))
+                .cast("long")
+                .alias("wt"),
+            )
+            w_cum = Window.partitionBy("walk_id").orderBy("ord")
+            w_all = Window.partitionBy("walk_id")
+            ex = ex.select(
+                "*",
+                F.sum("wt").over(w_cum).alias("cum"),
+                F.sum("wt").over(w_all).alias("tot"),
+            )
+            r = (
+                F.col("node") * H_A + F.lit(t) * H_B + F.col("w") * H_C
+            ) % F.col("tot")
+            state = (
+                ex.where(F.col("cum") > r)
+                .withColumn("rn", F.row_number().over(w_cum))
+                .where(F.col("rn") == 1)
+                .select(
+                    "walk_id",
+                    "w",
+                    F.lit(t).alias("step"),
+                    F.col("node").alias("prev"),
+                    F.col("cand").alias("node"),
+                )
+            ).localCheckpoint(eager=True)
+        out = out.unionByName(state.select("walk_id", "step", "node"))
+    return out
+
+
 def node2vec_embeddings(cat: Catalog) -> DataFrame:
     """Word2Vec skip-gram over the deterministic walks → one summary row
     (n_nodes, dim). The walk corpus is exact (see ``node2vec_walks``); the
@@ -432,12 +583,23 @@ def betweenness(cat: Catalog) -> DataFrame:
     """Exact directed Brandes betweenness on the nation trade graph →
     (v, betweenness). ``BetweennessRunner.scala:86`` (BoostKit sampled
     ``run(edgeRDD, k, p)``; top-k set accuracy ``:92-98``) — exact here
-    (sample ratio 1.0). Scale shape: edges grouped per weakly-connected
-    component, Brandes runs inside ``applyInPandas`` per component — the
-    driver never sees the graph; on the fixture there is one component."""
+    (sample ratio 1.0). Scale shape: edges are grouped by their
+    weakly-connected-component label (shortest paths never cross weak
+    components, so per-component Brandes is exact) and ``applyInPandas``
+    runs one Brandes per component — parallel across components, and the
+    driver never sees the graph. For single-huge-component graphs use
+    ``betweenness_sampled`` (per-source parallelism) instead."""
     import pandas as pd
 
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        connected_components,
+    )
+
     e = nation_trade_edges(cat)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = connected_components(sym.select("src", "dst"))
 
     schema = T.StructType(
         [
@@ -484,9 +646,104 @@ def betweenness(cat: Catalog) -> DataFrame:
         )
 
     return (
-        e.withColumn("component", F.lit(0))
+        e.join(labels.toDF("v", "component"), e.src == F.col("v"))
+        .select("src", "dst", "component")
         .groupBy("component")
         .applyInPandas(brandes, schema)
+    )
+
+
+BETW_SAMPLES = 64
+BETW_TOPK = 50
+
+
+def betweenness_sampled(
+    pairs: DataFrame,
+    n_samples: int = BETW_SAMPLES,
+    top_k: int = BETW_TOPK,
+) -> DataFrame:
+    """Sampled Brandes betweenness on an undirected pair graph → top-k
+    (v, betweenness_est) — the BoostKit estimator shape
+    (``BetweennessRunner.scala:86`` ``run(edgeRDD, k, p)``: sample source
+    vertices, accumulate Brandes dependencies, report top-k; accuracy is
+    judged by top-k overlap, ``:92-98``).
+
+    Distribution is *per source*: the symmetric CSR adjacency ships once
+    as a broadcast, each task runs level-synchronous vectorized Brandes
+    passes for its share of the sampled sources, and only (v, δ-partial)
+    rows are shuffled for the final sum — source passes are embarrassingly
+    parallel, which is the scalable axis (work = |S|·O(E)). Sources are
+    the ``n_samples`` smallest ``xxhash64(v)`` values: a deterministic,
+    uniform-ish sample, so the estimate is reproducible. Estimator:
+    bc(v) ≈ (n_sources_total/|S|)·Σ_{s∈S} δ_s(v) — unbiased for uniform
+    samples; ties broken by vertex id for a stable top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        csr_broadcast,
+        vertices,
+    )
+
+    spark = pairs.sparkSession
+    bc, n = csr_broadcast(pairs)
+    verts = vertices(
+        pairs.select("src", "dst").withColumn("cnt", F.lit(1))
+    )
+    n_verts = verts.count()
+    sources = verts.orderBy(F.xxhash64("v"), "v").limit(n_samples)
+    scale = float(n_verts) / float(min(n_samples, n_verts))
+
+    def passes(pdf_iter):
+        ip, nb = bc.value
+        nn = len(ip) - 1
+        for pdf in pdf_iter:
+            acc = np.zeros(nn)
+            for s in pdf["v"].to_numpy():
+                dist = np.full(nn, -1, dtype=np.int32)
+                sigma = np.zeros(nn)
+                dist[s] = 0
+                sigma[s] = 1.0
+                frontier = np.array([s], dtype=np.int64)
+                level_edges = []
+                level = 0
+                while frontier.size:
+                    counts = (ip[frontier + 1] - ip[frontier]).astype(np.int64)
+                    total = int(counts.sum())
+                    if total == 0:
+                        break
+                    e_src = np.repeat(frontier, counts)
+                    pos = (
+                        np.arange(total)
+                        - np.repeat(np.cumsum(counts) - counts, counts)
+                        + np.repeat(ip[frontier], counts)
+                    )
+                    e_dst = nb[pos].astype(np.int64)
+                    unseen = e_dst[dist[e_dst] == -1]
+                    dist[unseen] = level + 1
+                    mask = dist[e_dst] == level + 1
+                    lu, lw = e_src[mask], e_dst[mask]
+                    np.add.at(sigma, lw, sigma[lu])
+                    level_edges.append((lu, lw))
+                    frontier = np.unique(lw)
+                    level += 1
+                delta = np.zeros(nn)
+                for lu, lw in reversed(level_edges):
+                    np.add.at(
+                        delta, lu, sigma[lu] / sigma[lw] * (1.0 + delta[lw])
+                    )
+                delta[s] = 0.0
+                acc += delta
+            yield pd.DataFrame({"v": np.arange(nn), "d": acc})
+
+    parts = spark.sparkContext.defaultParallelism
+    partials = sources.repartition(parts).mapInPandas(passes, "v long, d double")
+    return (
+        partials.groupBy("v")
+        .agg(F.round(F.sum("d") * F.lit(scale), 6).alias("betweenness_est"))
+        .where(F.col("betweenness_est") > 0)
+        .orderBy(F.col("betweenness_est").desc(), "v")
+        .limit(top_k)
     )
 
 
@@ -517,12 +774,20 @@ def graph_node2vec_walks(cat: Catalog) -> DataFrame:
     return node2vec_walks(cat)
 
 
+def graph_node2vec_biased_walks(cat: Catalog) -> DataFrame:
+    return node2vec_biased_walks(cat)
+
+
 def graph_node2vec_embeddings(cat: Catalog) -> DataFrame:
     return node2vec_embeddings(cat)
 
 
 def graph_betweenness(cat: Catalog) -> DataFrame:
     return betweenness(cat)
+
+
+def graph_betweenness_sampled(cat: Catalog) -> DataFrame:
+    return betweenness_sampled(copurchase_pairs(cat))
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)
@@ -533,6 +798,8 @@ QUERIES = (
     "graph_weak_cliques",
     "graph_louvain",
     "graph_node2vec_walks",
+    "graph_node2vec_biased_walks",
     "graph_node2vec_embeddings",
     "graph_betweenness",
+    "graph_betweenness_sampled",
 )

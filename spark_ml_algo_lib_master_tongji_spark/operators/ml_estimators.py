@@ -153,6 +153,144 @@ def ml_est_pearson_rdd(cat: Catalog) -> DataFrame:
     return cat.spark.createDataFrame(out, "i int, j int, corr double")
 
 
+def _labeled_points(cat: Catalog):
+    """mllib LabeledPoint RDD of the fixture features (binary label) — the
+    shared input shape of the tree/boosting RDD dispatch arms."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.regression import LabeledPoint
+
+    df = spread(cat.embeddings).select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("label") % 2).cast("double").alias("yb"),
+    )
+    return df.rdd.map(lambda r: LabeledPoint(r["yb"], OldVectors.dense(r["v"])))
+
+
+def _rdd_accuracy(cat: Catalog, model, pts) -> DataFrame:
+    """Train-set accuracy of an mllib tree model → one row (accuracy, n)
+    (the label/prediction zip of the mllib programming guide — the same
+    filter(label === prediction)/count metric as the DF arms)."""
+    preds = model.predict(pts.map(lambda p: p.features))
+    pairs = pts.map(lambda p: p.label).zip(preds)
+    n = pts.count()
+    acc = pairs.filter(lambda t: t[0] == t[1]).count() / n
+    return cat.spark.createDataFrame(
+        [(round(acc, 4), n)], "accuracy double, n long"
+    )
+
+
+def ml_est_dt_rdd(cat: Catalog) -> DataFrame:
+    """mllib RDD dispatch arm of the decision tree
+    (``DTRunner.scala:377-382`` routes ``dataframe | rdd``;
+    ``mllib.tree.DecisionTree.trainClassifier`` path) — same maxDepth /
+    gini params as ``ml_est_dt_classifier``; pytest cross-checks the two
+    arms' accuracies."""
+    from pyspark.mllib.tree import DecisionTree
+
+    pts = _labeled_points(cat).cache()
+    model = DecisionTree.trainClassifier(
+        pts, numClasses=2, categoricalFeaturesInfo={}, maxDepth=5, impurity="gini"
+    )
+    return _rdd_accuracy(cat, model, pts)
+
+
+def ml_est_gbdt_rdd(cat: Catalog) -> DataFrame:
+    """mllib RDD dispatch arm of GBDT (``GBDTRunner.scala:271-289``:
+    ``toJavaRDD`` + mllib ``GradientBoostedTrees``) — numIterations /
+    maxDepth matching ``ml_est_gbt_classifier``."""
+    from pyspark.mllib.tree import GradientBoostedTrees
+
+    pts = _labeled_points(cat).cache()
+    model = GradientBoostedTrees.trainClassifier(
+        pts, categoricalFeaturesInfo={}, numIterations=10, maxDepth=5
+    )
+    return _rdd_accuracy(cat, model, pts)
+
+
+def ml_est_als_rdd(cat: Catalog) -> DataFrame:
+    """mllib RDD dispatch arm of explicit ALS (``ALSRunner.scala:252-254``:
+    ``mllib.recommendation.ALS.train`` on a ``Rating`` RDD) → one row
+    (mse, users, items) like ``ml_est_als``."""
+    from pyspark.mllib.recommendation import ALS as MllibALS
+    from pyspark.mllib.recommendation import Rating
+
+    r = (
+        spread(ratings_table(cat))
+        .rdd.map(lambda x: Rating(int(x["user"]), int(x["item"]), float(x["rating"])))
+        .cache()
+    )
+    model = MllibALS.train(r, rank=8, iterations=5, lambda_=0.01, seed=SEED)
+    preds = model.predictAll(r.map(lambda x: (x.user, x.product))).map(
+        lambda x: ((x.user, x.product), x.rating)
+    )
+    joined = r.map(lambda x: ((x.user, x.product), x.rating)).join(preds)
+    mse = joined.map(lambda t: (t[1][0] - t[1][1]) ** 2).mean()
+    users = r.map(lambda x: x.user).distinct().count()
+    items = r.map(lambda x: x.product).distinct().count()
+    return cat.spark.createDataFrame(
+        [(round(float(mse), 4), users, items)], "mse double, users long, items long"
+    )
+
+
+def ml_est_lda_rdd(cat: Catalog) -> DataFrame:
+    """mllib RDD dispatch arm of LDA (``LDARunner.scala:248-254``: corpus
+    RDD of (docId, termCountVector) → ``mllib.clustering.LDA``, EM
+    optimizer) → one row (k, vocab, topics_ok): the EM topic matrix is a
+    valid column-stochastic-ish nonnegative matrix — pytest pins shape and
+    mass; exact likelihoods differ from the online-VB DF arm by design."""
+    from pyspark.mllib.clustering import LDA as MllibLDA
+    from pyspark.mllib.linalg import Vectors as OldVectors
+
+    docs = cat.documents.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    )
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="tf", vocabSize=500, minDF=2.0
+    ).fit(docs)
+    tf = cv.transform(docs)
+    corpus = tf.select("doc_id", "tf").rdd.map(
+        lambda r: [int(r["doc_id"]), OldVectors.fromML(r["tf"])]
+    ).cache()
+    model = MllibLDA.train(corpus, k=5, maxIterations=10, seed=SEED)
+    topics = model.topicsMatrix()
+    import numpy as np
+
+    mat = np.array(topics.toArray())
+    ok = bool((mat >= 0).all() and mat.sum() > 0)
+    return cat.spark.createDataFrame(
+        [(5, model.vocabSize(), ok)], "k int, vocab int, topics_ok boolean"
+    )
+
+
+def ml_est_pca_rdd(cat: Catalog) -> DataFrame:
+    """mllib RDD dispatch arm of PCA (``PCARunner.scala:218-223``:
+    ``RowMatrix.computePrincipalComponents``) → (component,
+    explained_variance): variance of the projected columns over total
+    input variance — numerically the same spectrum as the DF arm's
+    ``explainedVariance`` (pytest compares within 1e-4)."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+    from pyspark.mllib.stat import Statistics
+
+    rdd = (
+        spread(cat.embeddings)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .rdd.map(lambda r: OldVectors.dense(r["v"]))
+        .cache()
+    )
+    mat = RowMatrix(rdd)
+    pcs = mat.computePrincipalComponents(4)
+    total_var = float(sum(Statistics.colStats(rdd).variance()))
+    projected = mat.multiply(pcs).rows
+    proj_var = Statistics.colStats(projected).variance()
+    rows = [
+        (i, round(float(v) / total_var, 6)) for i, v in enumerate(proj_var)
+    ]
+    return cat.spark.createDataFrame(
+        rows, "component int, explained_variance double"
+    )
+
+
 def ml_est_lda(cat: Catalog) -> DataFrame:
     """LDA topic model (``LDARunner.scala:157-186``): CountVectorizer corpus
     → online LDA k=5; logLikelihood/logPerplexity eval on the training
@@ -516,6 +654,11 @@ QUERIES = (
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
     "ml_est_pearson_rdd",
+    "ml_est_dt_rdd",
+    "ml_est_gbdt_rdd",
+    "ml_est_als_rdd",
+    "ml_est_lda_rdd",
+    "ml_est_pca_rdd",
     "ml_est_lda",
     "ml_est_logreg",
     "ml_est_logreg_bounded",

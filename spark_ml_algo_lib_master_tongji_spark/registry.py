@@ -127,8 +127,9 @@ _ORDER: tuple[str, ...] = (
     "stat_spearman_lineitem",
     "sim_lsh_bucket_pairs",
     "dedup_embedding_cosine_lsh",
-    # (new round-2 queries are inserted here as they land: graph_mssp,
-    #  graph_ppr_multi, graph_node2vec_biased_walks, graph_betweenness_sampled)
+    "graph_mssp",
+    "graph_ppr_multi",
+    "graph_node2vec_biased_walks",
     # -- tier 2: Pregel loops re-verified after the join-strategy change ----
     "graph_pagerank",
     "graph_pagerank_personalized",
@@ -146,10 +147,10 @@ _ORDER: tuple[str, ...] = (
     "graph_closeness_nation",
     "ml_linreg_ols",
     "stat_pearson_lineitem",
-    "stat_covariance_lineitem",
-    "dedup_minhash_lsh",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 3: driver-green in round 1, unchanged -------------------------
+    "stat_covariance_lineitem",
+    "dedup_minhash_lsh",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q3_top_unshipped_orders",
@@ -208,6 +209,7 @@ _ORDER: tuple[str, ...] = (
     "ml_knn_spilltree",
     "ml_knn_spilltree_classifier",
     "sim_ivf_topk",
+    "graph_betweenness_sampled",
 )
 
 

@@ -7,7 +7,9 @@ Hive tables (``PageRankHiveRunner.scala:39-40``). This engine standardizes on
 **Parquet + DataFrame readers**: every adapter lands in a canonical schema so
 downstream operators never care about the wire format. SequenceFile/objectFile
 are JVM-serialization formats with no portable Python story — their role
-(vector/ratings storage) is covered by parquet.
+(vector/ratings storage) is covered by parquet. ORC is supported natively
+(``read_orc``/``write_orc``), and table sinks land through the session
+catalog (``save_as_table``/``insert_into_table``).
 
 All readers return plain DataFrames; columns feeding spark.ml estimators are
 converted to ``VectorUDT`` at the estimator boundary (``operators/ml``).
@@ -182,6 +184,37 @@ def read_edge_list(
     if drop_self_loops:
         edges = edges.where(F.col("src") != F.col("dst"))
     return edges
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan → DataFrame. Reference inputs that arrive as ORC:
+    ``IDFRunner.scala:102`` (``spark.read.orc(inputPath)``),
+    ``IncPageRankRunner.scala:102-110``. Spark's native vectorized ORC
+    reader gives the same pushdown/pruning story as parquet, so operators
+    stay format-agnostic — land the scan here and feed the canonical
+    column shapes downstream."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (round-trip partner of ``read_orc``)."""
+    df.write.mode(mode).orc(path)
+
+
+def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    """Persistent-table sink: ``saveAsTable`` into the session catalog —
+    the Hive-runner output path (``PageRankHiveRunner.scala:60-66``:
+    ``CREATE TABLE … / INSERT INTO`` via a temp view). Without a Hive
+    metastore the session catalog is in-memory + spark-warehouse parquet;
+    with ``enableHiveSupport()`` the identical call lands in the
+    metastore, so this is the one-liner the cluster deployment uses."""
+    df.write.mode(mode).saveAsTable(name)
+
+
+def insert_into_table(df: DataFrame, name: str) -> None:
+    """Append into an existing catalog table by position — the
+    ``INSERT INTO t SELECT …`` arm of ``PageRankHiveRunner.scala:60-66``."""
+    df.write.insertInto(name)
 
 
 def read_coo_text(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:

@@ -92,6 +92,30 @@ def test_louvain_improves_modularity_over_singletons(cat):
     assert q > 0.0  # singleton partition scores ≈ −Σ(d/2m)² < 0
 
 
+def test_louvain_coarsening_does_not_hurt_modularity(cat):
+    """The coarsening level must not lose modularity vs the local-move
+    phase alone (``LouvainRunner.scala:92-99`` multi-level semantics)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_pairs,
+        modularity,
+        symmetrize,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import (
+        _louvain_local_move,
+        louvain,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = copurchase_pairs(cat)
+    sym = symmetrize(pairs)
+    two_m = float(sym.agg(F.sum("cnt")).collect()[0][0])
+    l1 = _louvain_local_move(sym, two_m)
+    q1 = modularity(pairs, l1).collect()[0]["modularity"]
+    l2 = louvain(cat).select("v", F.col("community").alias("label"))
+    q2 = modularity(pairs, l2).collect()[0]["modularity"]
+    assert q2 >= q1
+
+
 def test_dbscan_partition_is_total(cat):
     from spark_ml_algo_lib_master_tongji_spark.operators.density import dbscan
 
@@ -118,3 +142,70 @@ def test_node2vec_embeddings_cover_vertices(cat):
     row = node2vec_embeddings(cat).collect()[0]
     assert row["dim"] == 16
     assert row["n_nodes"] == n_v  # every vertex walked at least once
+
+
+def test_subgraph_matching_strategies_agree(cat):
+    """The CSR-broadcast bincount kernel and the wedge-enumeration join are
+    two physical strategies for the same exact counts — pin equality on the
+    fixture graph (the dispatch ceiling only picks which one runs)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import graph
+
+    pairs = graph.copurchase_pairs(cat)
+    tri_k, sq_k = graph._match_counts_csr_kernel(pairs)
+    tri_j, sq_j = graph._match_counts_wedge_join(pairs)
+    assert (tri_k, sq_k) == (tri_j, sq_j)
+    assert tri_k > 0 and sq_k > 0
+
+
+def test_betweenness_sampled_topk_overlap(cat):
+    """The sampled estimator's top-k must substantially overlap the exact
+    top-k — the reference's accuracy methodology
+    (``BetweennessRunner.scala:92-98``). Exact = the same kernel sampling
+    every source (scale factor 1)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_pairs,
+        vertices,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import (
+        betweenness_sampled,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = copurchase_pairs(cat)
+    n_verts = vertices(pairs.withColumn("cnt", F.lit(1))).count()
+    k = 20
+    exact = betweenness_sampled(pairs, n_samples=n_verts, top_k=k)
+    est = betweenness_sampled(pairs, n_samples=64, top_k=k)
+    exact_top = {r["v"] for r in exact.collect()}
+    est_top = {r["v"] for r in est.collect()}
+    overlap = len(exact_top & est_top) / k
+    assert overlap >= 0.5, f"top-{k} overlap {overlap}"
+
+
+def test_betweenness_component_grouping(spark):
+    """Brandes runs per weak component: a two-component nation-style graph
+    must get per-component scores identical to running each component
+    alone (regression for the round-1 single-group fallback)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import graph_extra
+
+    class _Cat:
+        pass
+
+    rows = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 10), (11, 13)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    orig = graph_extra.nation_trade_edges
+    try:
+        graph_extra.nation_trade_edges = lambda cat: df
+        got = {
+            r["v"]: r["betweenness"]
+            for r in graph_extra.betweenness(None).collect()
+        }
+    finally:
+        graph_extra.nation_trade_edges = orig
+    # directed graph: component {1,2,3} is a transitive triangle (every
+    # pair adjacent — no pass-through shortest paths); in component
+    # {10,11,12,13}, vertex 11 lies on the shortest paths of the pairs
+    # 10->12, 10->13 and 12->13, and vertex 10 on 12->11 and 12->13.
+    assert got[11] == 3.0
+    assert got[10] == 2.0
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0

@@ -143,3 +143,46 @@ def test_seeded_sample_is_reproducible(spark):
         for r in df.sample(fraction=0.1, seed=2020).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC scan parity (§2.1: IDFRunner.scala:102 reads ORC) — write a
+    fixture-shaped frame as ORC, re-read, compare values and schema."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(50).selectExpr(
+        "id", "cast(id * 0.5 as double) AS score", "concat('d', id) AS name"
+    )
+    out = str(tmp_path / "orc_sink")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    # ORC reads columns back nullable — compare names and types
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_save_as_table_and_insert_into(spark, tmp_path):
+    """Hive-table sink parity (PageRankHiveRunner.scala:60-66): saveAsTable
+    creates a catalog table, insertInto appends, the catalog scan sees
+    both batches."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        insert_into_table,
+        save_as_table,
+    )
+
+    name = "pr_sink_test"
+    df1 = spark.range(10).selectExpr("id AS v", "cast(id as double) / 10 AS pr")
+    df2 = spark.range(10, 15).selectExpr("id AS v", "cast(id as double) / 10 AS pr")
+    save_as_table(df1, name)
+    try:
+        insert_into_table(df2, name)
+        got = spark.table(name)
+        assert got.count() == 15
+        assert {r["v"] for r in got.collect()} == set(range(15))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
