@@ -147,9 +147,9 @@ _ORDER: tuple[str, ...] = (
     "graph_closeness_nation",
     "ml_linreg_ols",
     "stat_pearson_lineitem",
+    "stat_covariance_lineitem",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 3: driver-green in round 1, unchanged -------------------------
-    "stat_covariance_lineitem",
     "dedup_minhash_lsh",
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -210,13 +210,40 @@ _ORDER: tuple[str, ...] = (
     "ml_knn_spilltree_classifier",
     "sim_ivf_topk",
     "graph_betweenness_sampled",
+    "ml_est_dt_rdd",
+    "ml_est_gbdt_rdd",
+    "ml_est_als_rdd",
+    "ml_est_lda_rdd",
+    "ml_est_pca_rdd",
+)
+
+# The first DRIVER_WINDOW names must exactly fill the driver's value-check
+# window; a drifted prefix silently wastes verification slots.
+assert len(_ORDER) >= DRIVER_WINDOW
+assert _ORDER[DRIVER_WINDOW - 1] == "stat_covariance_lineitem", (
+    "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 
 
 def build_registry() -> dict[str, QueryFn]:
+    """Ordered registry. Missing names (ordered but unimplemented) raise;
+    extra names (implemented but not yet prioritized) are appended at the
+    back with a warning — order drift degrades priority, never availability.
+    """
     all_queries = _module_queries()
     missing = [n for n in _ORDER if n not in all_queries]
+    if missing:  # a name we promised the driver no longer exists: fail loudly
+        raise RuntimeError(f"registry order drift: missing={missing}")
     extra = [n for n in all_queries if n not in _ORDER]
-    if missing or extra:  # fail loudly: ordering and modules must agree
-        raise RuntimeError(f"registry order drift: missing={missing} extra={extra}")
-    return {name: all_queries[name] for name in _ORDER}
+    if extra:
+        import warnings
+
+        warnings.warn(
+            f"registry order drift: {len(extra)} unordered queries appended "
+            f"at the back: {extra}",
+            stacklevel=2,
+        )
+    out = {name: all_queries[name] for name in _ORDER}
+    for name in extra:
+        out[name] = all_queries[name]
+    return out

@@ -1,0 +1,55 @@
+"""Registry contract tests — no SparkSession needed, so these run in <1s.
+
+Round-2 lesson: five queries added to a module's QUERIES but not to
+``registry._ORDER`` made ``build_registry()`` raise, which zeroed the entire
+round's driver artifacts. These tests make that class of drift fail in CI
+immediately, and pin the tolerant-extras behavior.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from spark_ml_algo_lib_master_tongji_spark import registry
+from spark_ml_algo_lib_master_tongji_spark.registry import (
+    DRIVER_WINDOW,
+    _ORDER,
+    build_registry,
+)
+
+
+def test_build_registry_succeeds_and_is_ordered():
+    reg = build_registry()
+    assert list(reg)[: len(_ORDER)] == list(_ORDER)
+    assert len(reg) == len(set(reg)) >= DRIVER_WINDOW
+
+
+def test_no_unordered_extras_at_head():
+    """Extras are tolerated at runtime but should never ship: fail CI."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_registry()  # would raise UserWarning if any extras exist
+
+
+def test_missing_ordered_name_raises(monkeypatch):
+    monkeypatch.setattr(registry, "_ORDER", (*_ORDER, "no_such_query"))
+    with pytest.raises(RuntimeError, match="missing=\\['no_such_query'\\]"):
+        build_registry()
+
+
+def test_extra_query_appends_with_warning(monkeypatch):
+    """An implemented-but-unordered query degrades priority, not availability."""
+    monkeypatch.setattr(registry, "_ORDER", _ORDER[:-1])
+    with pytest.warns(UserWarning, match="unordered queries appended"):
+        reg = build_registry()
+    assert list(reg)[-1] == _ORDER[-1]  # still present, at the back
+
+
+def test_every_oracle_has_a_query():
+    import __spark_entry__ as entry
+
+    queries = set(build_registry())
+    oracle_names = set(entry.oracle_sql())
+    assert oracle_names <= queries, sorted(oracle_names - queries)
