@@ -34,10 +34,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
+    # One bad query must cost one entry, never the whole artifact
+    # (round 2: a single registry crash zeroed BENCH_r02.json).
     for name, fn in build_registry().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            dt = time.perf_counter() - t0
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: ERROR after {dt:.3f}s: {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         rows[name] = n
@@ -70,6 +79,7 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
+                **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

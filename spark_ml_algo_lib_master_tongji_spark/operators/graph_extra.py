@@ -371,9 +371,13 @@ def louvain(cat: Catalog) -> DataFrame:
     local-move round is not monotone in Q the way Blondel's sequential
     scan is. Every step is deterministic ⇒ exactly oracle-checked;
     ``test_louvain_coarsening_does_not_hurt_modularity`` pins Q(two-level)
-    ≥ Q(one-level)."""
-    from spark_ml_algo_lib_master_tongji_spark.operators.graph import modularity
+    ≥ Q(one-level).
 
+    The Q gate evaluates both labelings in ONE shared job over the
+    already-cached ``sym`` (unweighted degree = per-vertex row count,
+    independent of ``cnt``) instead of two independent ``modularity()``
+    re-derivations of the pair graph — round 2's two post-hoc evaluations
+    made Louvain the slowest bench query (24.5s at sf0.1)."""
     pairs = copurchase_pairs(cat)
     sym = _cached(symmetrize(pairs))
     two_m = float(sym.agg(F.sum("cnt")).collect()[0][0])
@@ -389,11 +393,49 @@ def louvain(cat: Catalog) -> DataFrame:
     composed = _cached(
         l1.join(l2.toDF("label", "community"), "label").select("v", "community")
     )
-    q1 = modularity(pairs, l1).collect()[0]["modularity"]
-    q2 = modularity(
-        pairs, composed.select("v", F.col("community").alias("label"))
-    ).collect()[0]["modularity"]
-    if q2 > q1:
+    m = pairs.count()
+    labs = _cached(
+        l1.select("v", "label", F.lit(1).alias("lvl")).unionByName(
+            composed.select(
+                "v", F.col("community").alias("label"), F.lit(2).alias("lvl")
+            )
+        )
+    )
+    intra = (
+        pairs.join(_bc(labs.toDF("v", "lsrc", "lvl"), 2 * n1), pairs.src == F.col("v"))
+        .drop("v")
+        .join(
+            _bc(labs.toDF("v2", "ldst", "lvl2"), 2 * n1),
+            (pairs.dst == F.col("v2")) & (F.col("lvl") == F.col("lvl2")),
+        )
+        .where(F.col("lsrc") == F.col("ldst"))
+        .groupBy("lvl", F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    degc = (
+        degrees(sym)
+        .join(labs, "v")
+        .groupBy("lvl", "label")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    q_rows = (
+        degc.join(intra, ["lvl", "label"], "left")
+        .groupBy("lvl")
+        .agg(
+            round_half_up(
+                F.sum(
+                    F.coalesce(F.col("lc"), F.lit(0)) / F.lit(float(m))
+                    - (F.col("dc") / F.lit(2.0 * m))
+                    * (F.col("dc") / F.lit(2.0 * m))
+                ),
+                6,
+            ).alias("q")
+        )
+        .collect()
+    )
+    qs = {r["lvl"]: r["q"] for r in q_rows}
+    labs.unpersist(blocking=False)
+    if qs[2] > qs[1]:
         return composed
     return l1.select("v", F.col("label").alias("community"))
 
@@ -661,6 +703,7 @@ def betweenness_sampled(
     pairs: DataFrame,
     n_samples: int = BETW_SAMPLES,
     top_k: int = BETW_TOPK,
+    adj_bc_max_edges: int | None = None,
 ) -> DataFrame:
     """Sampled Brandes betweenness on an undirected pair graph → top-k
     (v, betweenness_est) — the BoostKit estimator shape
@@ -676,15 +719,32 @@ def betweenness_sampled(
     the ``n_samples`` smallest ``xxhash64(v)`` values: a deterministic,
     uniform-ish sample, so the estimate is reproducible. Estimator:
     bc(v) ≈ (n_sources_total/|S|)·Σ_{s∈S} δ_s(v) — unbiased for uniform
-    samples; ties broken by vertex id for a stable top-k."""
+    samples; ties broken by vertex id for a stable top-k.
+
+    The CSR broadcast is O(|E|) through the driver, so the strategy is
+    gated on ``ADJ_BC_MAX_EDGES`` exactly like ``subgraph_match_counts``
+    (``graph.py``): past the ceiling this raises instead of OOM-ing the
+    driver — use the exact per-component ``betweenness`` (shuffle-only,
+    no driver materialization) or raise the ceiling on a driver sized
+    for it. ~8 bytes/edge ⇒ the default ceiling is a ~200 MB broadcast."""
     import numpy as np
     import pandas as pd
 
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        ADJ_BC_MAX_EDGES,
         csr_broadcast,
         vertices,
     )
 
+    if adj_bc_max_edges is None:
+        adj_bc_max_edges = ADJ_BC_MAX_EDGES
+    n_edges = pairs.count()
+    if n_edges > adj_bc_max_edges:
+        raise ValueError(
+            f"betweenness_sampled: {n_edges} edges exceed the CSR-broadcast "
+            f"ceiling ({adj_bc_max_edges}); use the exact per-component "
+            "betweenness() or raise adj_bc_max_edges on a larger driver"
+        )
     spark = pairs.sparkSession
     bc, n = csr_broadcast(pairs)
     verts = vertices(

@@ -64,6 +64,19 @@ def round_half_up_np(x: np.ndarray, digits: int) -> np.ndarray:
     return np.floor(x * scale + 0.5) / scale
 
 
+def _n_blocks(n: int, block_rows: int, max_blocks: int | None = None) -> int:
+    """Block count for ``n`` points: ⌈n/block_rows⌉, so per-task memory
+    stays ≤ 2·block_rows·dim doubles at ANY corpus size (a fixed cap would
+    grow task memory linearly past cap·block_rows points). The trade is
+    replication: every point ships to B groups, so the replicated input is
+    B× the corpus — acceptable because exact all-pairs work is Θ(n²) and
+    B ∝ n keeps per-task work constant. ``max_blocks`` is an explicit
+    opt-in ceiling for callers that prefer replication bounds over memory
+    bounds."""
+    b = max(1, -(-n // block_rows))
+    return b if max_blocks is None else min(b, max_blocks)
+
+
 def blocked_apply(
     pts: DataFrame,
     kernel: PairKernel,
@@ -71,24 +84,33 @@ def blocked_apply(
     id_col: str = "vec_id",
     vec_col: str = "v",
     block_rows: int = BLOCK_ROWS,
-    max_blocks: int = 64,
+    max_blocks: int | None = None,
 ) -> DataFrame:
     """Run ``kernel`` over every pair of blocks of ``pts``.
 
     ``pts`` must be cheap to count (cache it first); the count only sizes
-    the block grid, it never affects results."""
+    the block grid, it never affects results. Block assignment hashes the
+    id (``xxhash64 mod B``) so blocks stay balanced for sparse/structured
+    id spaces, not just dense 0..n-1 ids; a block-pair group where one
+    side hashed empty yields an empty result frame."""
     n = pts.count()
-    n_blocks = max(1, min(max_blocks, -(-n // block_rows)))
+    n_blocks = _n_blocks(n, block_rows, max_blocks)
+    out_cols = [c.strip().split()[0] for c in out_schema.split(",")]
+    empty = pd.DataFrame({c: [] for c in out_cols})
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ga, gb = int(key[0]), int(key[1])
         pa = pdf[pdf["g"] == ga]
+        if len(pa) == 0:
+            return empty
         ids_a = pa[id_col].to_numpy()
         mat_a = np.stack(pa[vec_col].to_numpy())
         if ga == gb:
             ids_b, mat_b = ids_a, mat_a
         else:
             pb = pdf[pdf["g"] == gb]
+            if len(pb) == 0:
+                return empty
             ids_b = pb[id_col].to_numpy()
             mat_b = np.stack(pb[vec_col].to_numpy())
         return kernel(ids_a, mat_a, ids_b, mat_b, ga == gb)
@@ -96,7 +118,7 @@ def blocked_apply(
     replicated = pts.select(
         id_col,
         vec_col,
-        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("g"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("g"),
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("h"),
     ).select(
         F.least("g", "h").alias("ga"),

@@ -87,12 +87,20 @@ def correlation_pairs(
     and joined back to rows on the value (one row per distinct value —
     many-to-one)."""
     if method == "spearman":
+        # NULL-safe joins: a plain equi-join would silently drop NULL rows,
+        # diverging from the windowed-rank formulation (which ranks NULLs
+        # nulls-first). _fractional_ranks groups NULL as its own value, so
+        # eqNullSafe carries its frank through.
         ranked = df.select(*cols)
         for c in cols:
-            ranked = ranked.join(
-                _fractional_ranks(df, c).withColumnRenamed("_frank", f"_r_{c}"),
-                c,
+            fr = (
+                _fractional_ranks(df, c)
+                .withColumnRenamed(c, f"_v_{c}")
+                .withColumnRenamed("_frank", f"_r_{c}")
             )
+            ranked = ranked.join(
+                fr, F.col(c).eqNullSafe(F.col(f"_v_{c}"))
+            ).drop(f"_v_{c}")
         df = ranked.select(*[F.col(f"_r_{c}").alias(c) for c in cols])
     aggs = [
         round_half_up(F.corr(a, b), digits).alias(f"corr_{_short(a)}_{_short(b)}")

@@ -88,7 +88,15 @@ def iterate(
 
 
 def unchanged(before: DataFrame, after: DataFrame) -> bool:
-    """True iff the two state DataFrames hold identical row sets — the
-    default ``verify_fixpoint`` predicate (exceptAll is null-safe and
-    duplicate-aware; states are one row per vertex so the diff is tiny)."""
+    """True iff the two state DataFrames hold identical multisets of rows —
+    the default ``verify_fixpoint`` predicate.
+
+    A one-sided ``after.exceptAll(before)`` alone is blind to pure row
+    deletions (monotonically shrinking states like a k-core peel always
+    pass it), so equality is established as: equal cardinality AND
+    after ∖ before = ∅ — together these imply multiset equality, and the
+    count comparison doubles as a cheap shortcut before the exceptAll
+    (states are checkpointed, so both counts are near-free)."""
+    if before.count() != after.count():
+        return False
     return after.exceptAll(before).limit(1).count() == 0

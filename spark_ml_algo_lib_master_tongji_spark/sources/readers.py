@@ -5,9 +5,15 @@ The reference reads text CSV-ish rows (``CovRunner.scala:97-99``), libsvm
 Spark objectFile (``ALSRunner.scala:125``), ORC (``IDFRunner.scala:102``), and
 Hive tables (``PageRankHiveRunner.scala:39-40``). This engine standardizes on
 **Parquet + DataFrame readers**: every adapter lands in a canonical schema so
-downstream operators never care about the wire format. SequenceFile/objectFile
-are JVM-serialization formats with no portable Python story — their role
-(vector/ratings storage) is covered by parquet. ORC is supported natively
+downstream operators never care about the wire format. SequenceFile is
+supported for primitive-Writable K/V (``read_sequencefile`` /
+``write_sequencefile``, incl. the LZ4-codec sink); decoding Mahout
+``VectorWritable`` payloads specifically needs the Mahout jar on the JVM
+classpath and stays waived — text-encoded vectors round-trip through
+``read_sequencefile_vectors`` instead. The objectFile role (reload
+pre-serialized rating/corpus RDDs) lands through the pickle-SequenceFile
+pair ``read_object_rows``/``write_object_rows`` — Java-serialized Scala
+objectFiles themselves are JVM-only by design. ORC is supported natively
 (``read_orc``/``write_orc``), and table sinks land through the session
 catalog (``save_as_table``/``insert_into_table``).
 
@@ -42,17 +48,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and predicate pushdown for free; callers filter/select on the result and
     the plan shows ``PushedFilters``/``ReadSchema`` trimmed accordingly.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read it as long (``nanosAsLong``) and floor-divide to
-    microseconds — the same ns→µs truncation DuckDB applies — so differential
-    results agree."""
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) parquet (which
+    Spark's vectorized reader rejects — read as long via ``nanosAsLong``
+    and floor-divide to microseconds, the same ns→µs truncation DuckDB
+    applies) and as plain µs TIMESTAMP (usable as-is). Normalize on dtype,
+    not fixture vintage, so both generations of the fixture scan clean."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        return normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """µs TIMESTAMP (LTZ) ``ts`` regardless of the parquet physical type:
+    ns-as-long gets the DuckDB-matching ns→µs floor division; TIMESTAMP_NTZ
+    is cast to TIMESTAMP — a pure relabel under the session's pinned UTC
+    timezone (``session.py``), and required because event-time operations
+    (``withWatermark``) reject NTZ."""
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -199,6 +218,74 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (round-trip partner of ``read_orc``)."""
     df.write.mode(mode).orc(path)
+
+
+def read_sequencefile(
+    spark: SparkSession, path: str, schema: str = "key long, value string"
+) -> DataFrame:
+    """Hadoop SequenceFile scan → DataFrame.
+
+    The reference's most-used KMeans input is SequenceFile
+    (``KMeansRunner.scala:119-124``: Mahout ``VectorWritable`` values).
+    ``sc.sequenceFile`` auto-converts primitive Writables
+    (Long/Int/Double/Text…) via the built-in converters — that covers
+    K/V-shaped inputs end-to-end. Mahout ``VectorWritable`` needs the
+    Mahout jar on the executor classpath; without it the scan raises the
+    underlying ClassNotFound, and the portable path is text-encoded
+    vectors via ``read_sequencefile_vectors``."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema)
+
+
+def write_sequencefile(
+    df: DataFrame, path: str, compression_codec: str | None = None
+) -> None:
+    """SequenceFile sink for a 2-column (key, value) DataFrame.
+
+    ``compression_codec="org.apache.hadoop.io.compress.Lz4Codec"`` is the
+    LZ4-SequenceFile sink of ``PrefixSpanRunner.scala:183-184``
+    (``saveAsSequenceFile(path, Some(classOf[Lz4Codec]))``); the codec is
+    bundled with Hadoop/Spark (lz4-java), no native lib needed."""
+    rdd = df.rdd.map(lambda r: (r[0], r[1]))
+    rdd.saveAsSequenceFile(path, compressionCodecClass=compression_codec)
+
+
+def read_sequencefile_vectors(
+    spark: SparkSession, path: str, sep: str = ","
+) -> DataFrame:
+    """SequenceFile of (id, text-encoded vector) → (key long,
+    features array<double>) — the portable stand-in for the Mahout
+    ``VectorWritable`` corpus shape (``KMeansRunner.scala:119-124``): same
+    (id → dense vector) contract, JVM-side split+cast, no Python row
+    loop after the Writable conversion."""
+    kv = read_sequencefile(spark, path)
+    return kv.select(
+        "key",
+        F.transform(F.split(F.col("value"), sep), lambda x: x.cast("double")).alias(
+            "features"
+        ),
+    )
+
+
+def read_object_rows(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Serialized-object scan → DataFrame (the ``sc.objectFile`` role:
+    ``ALSRunner.scala:125``, ``LDARunner.scala:144``,
+    ``SimRankRunner.scala:110`` load pre-serialized rating/corpus RDDs).
+
+    Scala ``objectFile`` is Java serialization of arbitrary JVM classes —
+    unreadable outside the JVM by design; the Python-native equivalent is
+    the pickle SequenceFile (``sc.pickleFile``), which this reader lands
+    into a typed DataFrame. Same lifecycle (dump prepared objects once,
+    reload per run), portable serialization."""
+    return spark.createDataFrame(spark.sparkContext.pickleFile(path), schema)
+
+
+def write_object_rows(df: DataFrame, path: str) -> None:
+    """Pickle-SequenceFile sink: round-trip partner of
+    ``read_object_rows`` (the ``saveAsObjectFile`` role)."""
+    df.rdd.map(tuple).saveAsPickleFile(path)
 
 
 def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:

@@ -57,11 +57,15 @@ def _staged_events_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with the same ns→µs timestamp
     normalization as the batch reader (readers.py)."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = _staged_events_dir(sf_dir)
     schema = spark.read.parquet(d).schema
     raw = spark.readStream.schema(schema).parquet(d)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def _run_to_table(result: DataFrame, name: str) -> DataFrame:

@@ -70,6 +70,33 @@ def test_converged_budget_passes_and_labels_exact(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 8: 8, 9: 8}
 
 
+def test_shrinking_state_is_not_a_silent_fixpoint(spark):
+    """Monotonically shrinking states (k-core-style peels, where each
+    round's output is a subset of the input) must still trip the guard
+    when truncated: a one-sided after∖before diff is empty for every
+    deletion-only step, so ``unchanged`` must also compare cardinality
+    (round-2 ADVICE)."""
+    from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
+        NotConvergedError,
+        iterate,
+        unchanged,
+    )
+
+    state0 = spark.createDataFrame([(v,) for v in range(10)], "v long")
+
+    # deterministic deletion-only step: drop the max id each round
+    def shrink(state, _i):
+        mx = state.agg(F.max("v")).collect()[0][0]
+        return state.where(F.col("v") < mx) if mx is not None and mx > 0 else state
+
+    with pytest.raises(NotConvergedError):
+        iterate(state0, shrink, 3, verify_fixpoint=unchanged).collect()
+
+    # and a shrink that genuinely reaches its fixed point passes
+    out = iterate(state0, shrink, 12, verify_fixpoint=unchanged)
+    assert [r["v"] for r in out.collect()] == [0]
+
+
 def test_probe_fallback_when_budget_is_exact(spark):
     """Budget == rounds-to-fixpoint (state changes in the final round):
     the cheap penultimate-state comparison fails, the probe superstep

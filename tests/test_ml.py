@@ -184,6 +184,19 @@ def test_fit_overload_surface(cat):
     assert len(m2.clusterCenters()) == 4
     assert [len(m3.clusterCenters()), len(m4.clusterCenters())] == [4, 5]
 
+    # Same sweep on a supervised estimator (ParamPair-style single override
+    # and the multi-map batch fit).
+    from pyspark.ml.classification import LogisticRegression
+
+    sdf = df.withColumn("label", (F.rand(seed=7) > 0.5).cast("double"))
+    lr = LogisticRegression(maxIter=2)
+    lm1 = lr.fit(sdf)
+    lm2 = lr.fit(sdf, {lr.regParam: 0.5})
+    lm3, lm4 = lr.fit(sdf, [{lr.regParam: 0.5}, {lr.regParam: 0.0, lr.maxIter: 3}])
+    assert lm1.getRegParam() == 0.0
+    assert lm2.getRegParam() == 0.5
+    assert [lm3.getRegParam(), lm4.getRegParam()] == [0.5, 0.0]
+
 
 def test_spilltree_knn_containment_rule(cat, emb):
     """The reference's KNN check (``KNNRunner.scala:181-218``): the exact
@@ -239,6 +252,45 @@ def test_rdd_api_dispatch_matches_dataframe_api(cat):
         for j in range(i + 1, 4):
             # wide side rounds to 4 decimals; rdd side to 6
             assert abs(long[(i, j)] - wide[f"corr_{names[i]}_{names[j]}"]) <= 5.1e-5
+
+
+def test_mllib_rdd_arms_agree_with_dataframe_arms(cat):
+    """The five round-2 mllib RDD dispatch arms (``DTRunner.scala:377-382``,
+    ``GBDTRunner.scala:271-289``, ``ALSRunner.scala:252-254``,
+    ``LDARunner.scala:248-254``, ``PCARunner.scala:218-223``): each must
+    produce a sane metric of the same shape as its DataFrame twin. The
+    tree/ALS arms train on a seeded 20% sample (API-parity, not
+    throughput), so the agreement bars are behavioral, not bit-level;
+    PCA trains on the full input and its spectrum must match the DF arm."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_als_rdd,
+        ml_est_dt_rdd,
+        ml_est_gbdt_rdd,
+        ml_est_lda_rdd,
+        ml_est_pca,
+        ml_est_pca_rdd,
+    )
+
+    n_total = cat.embeddings.count()
+    for fn, floor in ((ml_est_dt_rdd, 0.5), (ml_est_gbdt_rdd, 0.5)):
+        row = fn(cat).collect()[0]
+        # binary problem, trees memorize most of their train sample
+        assert row["accuracy"] > floor, fn.__name__
+        assert 0 < row["n"] < n_total  # sampled input, not the full fixture
+
+    als = ml_est_als_rdd(cat).collect()[0]
+    assert als["mse"] >= 0.0 and als["users"] > 0 and als["items"] > 0
+
+    lda = ml_est_lda_rdd(cat).collect()[0]
+    assert lda["k"] == 5 and lda["vocab"] > 0 and lda["topics_ok"]
+
+    df_spec = {r["component"]: r["explained_variance"] for r in ml_est_pca(cat).collect()}
+    rdd_spec = {
+        r["component"]: r["explained_variance"] for r in ml_est_pca_rdd(cat).collect()
+    }
+    assert set(df_spec) == set(rdd_spec)
+    for c in df_spec:
+        assert abs(df_spec[c] - rdd_spec[c]) <= 1e-4, (c, df_spec[c], rdd_spec[c])
 
 
 def test_ivf_recall_vs_exact_search(cat):

@@ -166,6 +166,59 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_sequencefile_roundtrip(spark, tmp_path):
+    """SequenceFile scan/sink parity (§2.1: KMeansRunner.scala:119-124 reads
+    SequenceFile; PrefixSpanRunner.scala:183-184 writes LZ4 SequenceFile):
+    primitive-Writable K/V round-trips, plain and LZ4-compressed, and the
+    text-encoded vector reader lands the (id → dense vector) corpus shape."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        read_sequencefile,
+        read_sequencefile_vectors,
+        write_sequencefile,
+    )
+
+    df = spark.range(20).selectExpr(
+        "id AS key", "concat(cast(id * 1.5 as string), ',', cast(id as string)) AS value"
+    )
+    plain = str(tmp_path / "seq_plain")
+    write_sequencefile(df, plain)
+    back = read_sequencefile(spark, plain)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    lz4 = str(tmp_path / "seq_lz4")
+    write_sequencefile(df, lz4, "org.apache.hadoop.io.compress.Lz4Codec")
+    back_lz4 = read_sequencefile(spark, lz4)
+    assert sorted(map(tuple, back_lz4.collect())) == sorted(map(tuple, df.collect()))
+
+    vecs = {r["key"]: r["features"] for r in read_sequencefile_vectors(spark, plain).collect()}
+    assert vecs[4] == [6.0, 4.0]
+    assert len(vecs) == 20
+
+
+def test_object_rows_roundtrip(spark, tmp_path):
+    """objectFile-role parity (§2.1: ALSRunner.scala:125 reloads serialized
+    rating RDDs): prepared rows dump once and reload typed via the
+    pickle-SequenceFile path."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        read_object_rows,
+        write_object_rows,
+    )
+
+    df = spark.range(30).selectExpr(
+        "cast(id as int) AS user",
+        "cast(id % 7 as int) AS item",
+        "cast(id as double) / 3 AS rating",
+    )
+    out = str(tmp_path / "obj_rows")
+    write_object_rows(df, out)
+    back = read_object_rows(spark, out, "user int, item int, rating double")
+    # createDataFrame lands nullable columns — compare names and types
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_save_as_table_and_insert_into(spark, tmp_path):
     """Hive-table sink parity (PageRankHiveRunner.scala:60-66): saveAsTable
     creates a catalog table, insertInto appends, the catalog scan sees

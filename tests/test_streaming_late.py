@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 def test_watermark_drops_late_rows(spark, tmp_path):
     src = "/root/testdata/sf0.001/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(src).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        normalize_event_ts,
     )
+
+    ev = normalize_event_ts(spark.read.parquet(src))
     median = ev.approxQuantile("value", [0.5], 0.0)  # noqa: F841 (warm-up)
     split_ts = ev.selectExpr(
         "percentile_approx(cast(ts as double), 0.5)"
