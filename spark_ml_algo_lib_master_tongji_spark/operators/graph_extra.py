@@ -306,26 +306,31 @@ def _louvain_local_move(
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         lab = state
-        # k_v,c: weight from v to community c (via neighbor labels)
-        kvc = (
-            sym.where(F.col("src") != F.col("dst"))
-            .join(_bc(lab.toDF("u", "c"), n_verts), F.col("dst") == F.col("u"))
-            .groupBy(F.col("src").alias("v"), "c")
-            .agg(F.sum("cnt").alias("k"))
-        )
-        own = lab.select("v", F.col("label").alias("c"), F.lit(0).cast("long").alias("k"))
-        cand = (
-            kvc.unionByName(own)
-            .groupBy("v", "c")
-            .agg(F.max("k").alias("k"))
-        )
-        sigma = lab.join(wdeg, "v").groupBy(F.col("label").alias("c")).agg(
+        labw = lab.join(wdeg, "v")  # (v, label, wv) — vertex-sized
+        sigma = labw.groupBy(F.col("label").alias("c")).agg(
             F.sum("wv").alias("stot")
+        )
+        # k_v,c: weight from v to community c (via neighbor labels), with
+        # v's own community injected as a zero-weight row BEFORE the
+        # aggregation — one fused sum per round instead of the former
+        # kvc-sum + candidate-max pair (sum absorbs the zero, max needed a
+        # second full shuffle over the candidate set).
+        contrib = (
+            sym.where(F.col("src") != F.col("dst"))
+            .join(
+                _bc(lab.toDF("u", "c"), n_verts), F.col("dst") == F.col("u")
+            )
+            .select(F.col("src").alias("v"), "c", "cnt")
+        )
+        own = lab.select("v", F.col("label").alias("c"), F.lit(0).cast("long").alias("cnt"))
+        cand = (
+            contrib.unionByName(own)
+            .groupBy("v", "c")
+            .agg(F.sum("cnt").alias("k"))
         )
         scored = (
             cand.join(_bc(sigma, n_verts), "c")
-            .join(_bc(wdeg, n_verts), "v")
-            .join(_bc(lab, n_verts), "v")
+            .join(_bc(labw, n_verts), "v")
             .select(
                 "v",
                 "c",
@@ -343,13 +348,15 @@ def _louvain_local_move(
                 ).alias("score"),
             )
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("v").orderBy(F.col("score").desc(), F.col("c").asc())
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("v", F.col("c").alias("label"))
+        # Argmax by (score desc, c asc) as a hash aggregate: max_by over the
+        # lexicographic struct (score, -c) — identical selection to a
+        # row_number window but with map-side partial aggregation instead of
+        # a full sort shuffle of the candidate set (the window was ~30% of
+        # each round's wall time at sf0.1).
+        return scored.groupBy("v").agg(
+            F.max_by("c", F.struct(F.col("score"), (-F.col("c")).alias("nc"))).alias(
+                "label"
+            )
         )
 
     return iterate(state0, step, rounds)

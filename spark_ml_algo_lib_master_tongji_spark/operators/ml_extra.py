@@ -26,19 +26,23 @@ def ml_est_pca_sparse(cat: Catalog) -> DataFrame:
     from pyspark.ml.linalg import Vectors, VectorUDT
 
     docs = cat.documents.select("doc_id", F.explode(tokens("text")).alias("token"))
-    vocab = (
+    # Distributed top-k (TakeOrderedAndProject) picks the SPCA_VOCAB head,
+    # THEN the rank window runs over only those k rows — never a global
+    # single-partition sort of the full distinct-token table (at corpus
+    # scale the vocabulary is unbounded; the head is k by construction).
+    head = (
         docs.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "col",
-            F.row_number().over(
-                Window.orderBy(F.col("n").desc(), F.col("token").asc())
-            )
-            - 1,
-        )
-        .where(F.col("col") < SPCA_VOCAB)
-        .select("token", "col")
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(SPCA_VOCAB)
     )
+    vocab = head.withColumn(
+        "col",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("token").asc())
+        )
+        - 1,
+    ).select("token", "col")
     coo = (
         docs.join(F.broadcast(vocab), "token")
         .groupBy("doc_id", "col")

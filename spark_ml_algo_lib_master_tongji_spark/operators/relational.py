@@ -289,9 +289,25 @@ def q_string_id_dictionary(cat: Catalog) -> DataFrame:
         .unionByName(edges.select(F.col("dst_name").alias("name")))
         .distinct()
     )
-    dictionary = names.select(
-        "name",
-        (F.row_number().over(Window.orderBy("name")) - 1).alias("vid"),
+    # Dense 0..n-1 ids over a total order WITHOUT a global single-partition
+    # sort: range-partition by name, row_number within each partition, add
+    # the partition's cumulative offset (the only global window runs over
+    # the partition-count-row totals table — same two-phase shape as
+    # stats._fractional_ranks). The fixture dictionary is tiny; the plan is
+    # the one that holds when the dictionary is billions of keys.
+    parts = names.repartitionByRange(
+        names.sparkSession.sparkContext.defaultParallelism, "name"
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy("name")
+    totals = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    dictionary = (
+        parts.withColumn("_rn", F.row_number().over(w_local) - 1)
+        .join(F.broadcast(offsets), "_pid")
+        .select("name", (F.col("_rn") + F.col("_off")).alias("vid"))
     )
     enc = (
         edges.join(

@@ -34,22 +34,27 @@ def iterate(
     state: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
     n_iter: int,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
     reliable: bool = False,
     verify_fixpoint: Callable[[DataFrame, DataFrame], bool] | None = None,
 ) -> DataFrame:
     """Run ``state = step(state, i)`` for ``n_iter`` rounds with lineage
     control.
 
-    The state is *eagerly* checkpointed every ``checkpoint_every`` rounds
-    (default: every round). Vertex-state DataFrames are small relative to
-    the edge table, so materializing each round costs little and buys a
-    flat two-stage plan per superstep; deferring materialization instead
-    lets the broadcast-build of round i+1 re-execute round i's chain —
-    measured 4-5× slower on the fixture graphs. This mirrors the
-    reference's per-iteration materialize + shuffle cleanup
-    (``SimRankOpenSource.scala:128-150``). Rounds between checkpoints are
-    cached lazily."""
+    The state is *eagerly* checkpointed every ``checkpoint_every`` rounds;
+    in-between rounds are persisted lazily (MEMORY_AND_DISK), so a step
+    that reads its input more than once still executes the chain exactly
+    once — the first broadcast/scan populates the cache. Default 2: each
+    eager checkpoint is a full job + AQE stage round-trip, and letting
+    Catalyst chain two supersteps into one job measured 15-50% faster
+    across every iterative graph query at sf0.1 (incremental PageRank
+    20.5s → 9.9s); past 2 the nested broadcast chains start re-planning
+    enough to give the win back (ce=4 was slower than ce=2). Periodic
+    eager truncation itself stays mandatory: an un-truncated N-round loop
+    builds an N-deep plan — superlinear analysis time, driver OOM on plan
+    objects (SURVEY.md §7 risk (2)); this mirrors the reference's
+    per-iteration materialize + shuffle cleanup
+    (``SimRankOpenSource.scala:128-150``)."""
     prev: DataFrame | None = None
     penult: DataFrame | None = None
     for i in range(n_iter):
