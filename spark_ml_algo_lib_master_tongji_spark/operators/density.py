@@ -140,14 +140,24 @@ def dbscan(cat: Catalog) -> DataFrame:
     )
 
 
+def _dbscan_derived(cat: Catalog) -> DataFrame:
+    """dbscan() shared per (session, sf_dir): the labeling and its summary
+    are two registry queries over one clustering — run the ε-join + CC
+    loop once, like the reference computes the model once and reports
+    multiple evaluation rows (``DBSCANRunner.scala:61-72``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(cat, "dbscan_result", lambda: dbscan(cat))
+
+
 def ml_dbscan(cat: Catalog) -> DataFrame:
-    return dbscan(cat)
+    return _dbscan_derived(cat)
 
 
 def ml_dbscan_summary(cat: Catalog) -> DataFrame:
     """Role counts + cluster count — the evaluation surface of
     ``DBSCANRunner.scala:61-72`` (cluster/core/border/noise counts)."""
-    d = dbscan(cat)
+    d = _dbscan_derived(cat)
     return d.agg(
         F.sum((F.col("role") == 0).cast("long")).alias("n_core"),
         F.sum((F.col("role") == 1).cast("long")).alias("n_border"),

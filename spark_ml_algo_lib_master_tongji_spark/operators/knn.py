@@ -210,20 +210,32 @@ def _corpus_queries(cat: Catalog):
     return corpus, queries
 
 
+def _knn_hits_derived(cat: Catalog) -> DataFrame:
+    """knn_search over the fixture corpus/query split, shared per
+    (session, sf_dir): the neighbor table and the classifier vote are two
+    registry queries over one search (the reference searches once and
+    evaluates both, ``KNNRunner.scala:181-218``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    def build() -> DataFrame:
+        corpus, queries = _corpus_queries(cat)
+        return knn_search(corpus, queries)
+
+    return _derived(cat, "knn_hits", build)
+
+
 def ml_knn_spilltree(cat: Catalog) -> DataFrame:
     """Registry entry: distributed exact KNN neighbors of the query split
     (rows-only driver check; pytest applies the reference's brute-force
     containment rule, ``KNNRunner.scala:181-218``)."""
-    corpus, queries = _corpus_queries(cat)
-    return knn_search(corpus, queries)
+    return _knn_hits_derived(cat)
 
 
 def ml_knn_spilltree_classifier(cat: Catalog) -> DataFrame:
     """Weighted-vote classification on top of the distributed search
     (``KNNClassifier.scala:154-180``): majority label of the k hits,
     ties → smaller label."""
-    corpus, queries = _corpus_queries(cat)
-    hits = knn_search(corpus, queries)
+    hits = _knn_hits_derived(cat)
     lab = cat.embeddings.select(
         F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
     )

@@ -160,6 +160,16 @@ def ml_est_pearson_rdd(cat: Catalog) -> DataFrame:
     return cat.spark.createDataFrame(out, "i int, j int, corr double")
 
 
+#: Partition count for the RDD dispatch arms. Every mllib training pass
+#: schedules one Python worker per partition, so a 400-row parity input in
+#: 32 partitions pays ~32 worker spin-ups per pass for ~12 rows each —
+#: measured 6.8s just to materialize the LabeledPoint RDD. A handful of
+#: partitions keeps the passes parallel without drowning in per-task
+#: overhead. (The DF arms keep full ``spread`` parallelism — their inputs
+#: and per-row work are real.)
+RDD_ARM_PARTITIONS = 4
+
+
 def _labeled_points(cat: Catalog):
     """mllib LabeledPoint RDD of a seeded ``RDD_ARM_SAMPLE`` fraction of the
     fixture features (binary label) — the shared input shape of the
@@ -167,9 +177,13 @@ def _labeled_points(cat: Catalog):
     from pyspark.mllib.linalg import Vectors as OldVectors
     from pyspark.mllib.regression import LabeledPoint
 
-    df = spread(cat.embeddings.sample(RDD_ARM_SAMPLE, seed=SEED)).select(
-        F.col("embedding").cast("array<double>").alias("v"),
-        (F.col("label") % 2).cast("double").alias("yb"),
+    df = (
+        cat.embeddings.sample(RDD_ARM_SAMPLE, seed=SEED)
+        .repartition(RDD_ARM_PARTITIONS)
+        .select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            (F.col("label") % 2).cast("double").alias("yb"),
+        )
     )
     return df.rdd.map(lambda r: LabeledPoint(r["yb"], OldVectors.dense(r["v"])))
 
@@ -222,21 +236,40 @@ def ml_est_als_rdd(cat: Catalog) -> DataFrame:
     from pyspark.mllib.recommendation import ALS as MllibALS
     from pyspark.mllib.recommendation import Rating
 
-    r = (
-        spread(ratings_table(cat).sample(RDD_ARM_SAMPLE, seed=SEED))
-        .rdd.map(lambda x: Rating(int(x["user"]), int(x["item"]), float(x["rating"])))
+    # Old-mllib ALS carries ~7s of fixed block-model overhead at any input
+    # size here (measured: 20% sample 17s, 10% sample 15.6s end-to-end) —
+    # the arm's wall time is the API's floor, not data volume.
+    ratings = (
+        ratings_table(cat)
+        .sample(RDD_ARM_SAMPLE, seed=SEED)
+        .repartition(RDD_ARM_PARTITIONS)
         .cache()
     )
+    r = ratings.rdd.map(
+        lambda x: Rating(int(x["user"]), int(x["item"]), float(x["rating"]))
+    ).cache()
     model = MllibALS.train(r, rank=8, iterations=5, lambda_=0.01, seed=SEED)
-    preds = model.predictAll(r.map(lambda x: (x.user, x.product))).map(
-        lambda x: ((x.user, x.product), x.rating)
+    # predictAll is the mllib API under test; the metric aggregation (join
+    # + MSE + distinct counts) runs DataFrame-side — JVM hash joins/aggs
+    # instead of three Python shuffle pipelines over pickled tuples.
+    preds = cat.spark.createDataFrame(
+        model.predictAll(r.map(lambda x: (x.user, x.product))),
+        "user int, item int, pred double",
     )
-    joined = r.map(lambda x: ((x.user, x.product), x.rating)).join(preds)
-    mse = joined.map(lambda t: (t[1][0] - t[1][1]) ** 2).mean()
-    users = r.map(lambda x: x.user).distinct().count()
-    items = r.map(lambda x: x.product).distinct().count()
+    agg = (
+        ratings.join(preds, ["user", "item"], "left")  # keep every rating:
+        # users/items count the sampled table, avg() skips unpredictable
+        # (cold-factor) pairs exactly like the former RDD inner join
+        .agg(
+            F.avg((F.col("rating") - F.col("pred")) ** 2).alias("mse"),
+            F.countDistinct("user").alias("users"),
+            F.countDistinct("item").alias("items"),
+        )
+        .collect()[0]
+    )
     return cat.spark.createDataFrame(
-        [(round(float(mse), 4), users, items)], "mse double, users long, items long"
+        [(round(float(agg["mse"]), 4), agg["users"], agg["items"])],
+        "mse double, users long, items long",
     )
 
 
@@ -501,18 +534,28 @@ def ml_est_covariance(cat: Catalog) -> DataFrame:
 
 def ratings_table(cat: Catalog) -> DataFrame:
     """(user, item, rating): customer×part mean ordered quantity — the
-    ratings matrix shape of ``ALSRunner.scala:152-163``."""
-    return (
-        cat.lineitem.join(
-            cat.orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    ratings matrix shape of ``ALSRunner.scala:152-163``.
+
+    Cached per (session, sf_dir) via the shared ``_derived`` store: four
+    ALS workloads (explicit / implicit / recommend / RDD arm) all start
+    from this lineitem⋈orders aggregate (~7s at sf0.1) — the reference's
+    load-once-run-many lifecycle (``ALSRunner.scala:125``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    def build() -> DataFrame:
+        return (
+            cat.lineitem.join(
+                cat.orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy(
+                F.col("o_custkey").cast("int").alias("user"),
+                F.col("l_partkey").cast("int").alias("item"),
+            )
+            .agg(F.avg("l_quantity").alias("rating"))
         )
-        .groupBy(
-            F.col("o_custkey").cast("int").alias("user"),
-            F.col("l_partkey").cast("int").alias("item"),
-        )
-        .agg(F.avg("l_quantity").alias("rating"))
-    )
+
+    return _derived(cat, "ratings_table", build)
 
 
 def _als_run(cat: Catalog, implicit: bool) -> DataFrame:

@@ -145,6 +145,30 @@ def test_seeded_sample_is_reproducible(spark):
     assert a == b and len(a) > 0
 
 
+def test_normalize_event_ts_all_physical_types(spark):
+    """events.ts has shipped as TIMESTAMP(NANOS) (read as long via
+    nanosAsLong), TIMESTAMP_NTZ, and plain TIMESTAMP across fixture
+    generations; the normalizer must land all three on µs TIMESTAMP (LTZ —
+    required by withWatermark) with identical values under the session's
+    pinned UTC zone."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    micros = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456Z
+    as_long = spark.createDataFrame([(micros * 1000,)], "ts long")
+    as_ntz = spark.sql(
+        f"select cast(timestamp_micros({micros}) as timestamp_ntz) as ts"
+    )
+    as_ltz = spark.sql(f"select timestamp_micros({micros}) as ts")
+
+    outs = [normalize_event_ts(df) for df in (as_long, as_ntz, as_ltz)]
+    for out in outs:
+        assert dict(out.dtypes)["ts"] == "timestamp"
+    vals = {out.collect()[0]["ts"] for out in outs}
+    assert len(vals) == 1, vals
+
+
 def test_orc_roundtrip(spark, tmp_path):
     """ORC scan parity (§2.1: IDFRunner.scala:102 reads ORC) — write a
     fixture-shaped frame as ORC, re-read, compare values and schema."""
