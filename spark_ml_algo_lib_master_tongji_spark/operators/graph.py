@@ -225,6 +225,8 @@ def pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
     (``run(graph, numIter, resetProb=0.15)``)."""
     verts = _cached(vertices(edges))
     n = verts.count()
+    if n == 0:  # empty graph: no vertices, no ranks (and no RESET/0)
+        return verts.select("v", F.lit(0.0).alias("pr"))
     reset_dist = verts.select("v", F.lit(RESET / n).alias("reset"))
     pr = _pagerank_loop(edges, verts, reset_dist, weighted=False, n_iter=n_iter)
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
@@ -322,6 +324,8 @@ def weighted_pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
     ``WeightedPageRankRunner.scala:115-119`` static variant."""
     verts = _cached(vertices(edges))
     n = verts.count()
+    if n == 0:  # empty graph guard (see pagerank)
+        return verts.select("v", F.lit(0.0).alias("pr"))
     reset_dist = verts.select("v", F.lit(RESET / n).alias("reset"))
     pr = _pagerank_loop(edges, verts, reset_dist, weighted=True, n_iter=n_iter)
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))

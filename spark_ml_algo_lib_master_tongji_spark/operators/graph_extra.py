@@ -76,12 +76,19 @@ def incremental_pagerank(cat: Catalog) -> DataFrame:
     prior_edges = _cached(symmetrize(prior_copurchase_pairs(cat)))
     pverts = vertices(prior_edges)
     pn = pverts.count()
-    preset = pverts.select("v", F.lit(RESET / pn).alias("reset"))
-    prior = _pagerank_loop(prior_edges, pverts, preset, weighted=False)
+    if pn > 0:
+        preset = pverts.select("v", F.lit(RESET / pn).alias("reset"))
+        prior = _pagerank_loop(prior_edges, pverts, preset, weighted=False)
+    else:
+        # empty prior snapshot (cutoff before all shipments): cold start —
+        # every vertex seeds at the uniform reset value below
+        prior = pverts.select("v", F.lit(0.0).alias("pr"))
 
     full_edges = _cached(symmetrize(copurchase_pairs(cat)))
     fverts = _cached(vertices(full_edges))
     fn = fverts.count()
+    if fn == 0:
+        return fverts.select("v", F.lit(0.0).alias("pr"))
     freset = fverts.select("v", F.lit(RESET / fn).alias("reset"))
     state0 = (
         fverts.join(prior.toDF("v", "ppr"), "v", "left")

@@ -102,8 +102,16 @@ def correlation_pairs(
                 fr, F.col(c).eqNullSafe(F.col(f"_v_{c}"))
             ).drop(f"_v_{c}")
         df = ranked.select(*[F.col(f"_r_{c}").alias(c) for c in cols])
+    # corr expressed as try_divide(covar, σa·σb): Spark 4 runs ANSI-on by
+    # default, where builtin corr() RAISES DIVIDE_BY_ZERO on a zero-variance
+    # column; this form returns NULL like DuckDB's corr (and the same
+    # single-pass co-moment aggregation — values agree to 1 ulp, identical
+    # after rounding).
     aggs = [
-        round_half_up(F.corr(a, b), digits).alias(f"corr_{_short(a)}_{_short(b)}")
+        round_half_up(
+            F.try_divide(F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)),
+            digits,
+        ).alias(f"corr_{_short(a)}_{_short(b)}")
         for a, b in combinations(cols, 2)
     ]
     return df.agg(*aggs)

@@ -121,7 +121,7 @@ _ORDER: tuple[str, ...] = (
     "graph_weak_cliques",
     "graph_node2vec_walks",
     "q_sql_entry_top_suppliers",
-    # -- tier 1b: implementation changed or added in round 2 ----------------
+    # -- tier 1b: implementation changed in round 2/3 -----------------------
     "graph_subgraph_matching",
     "dedup_embedding_cosine",
     "stat_spearman_lineitem",
@@ -130,7 +130,12 @@ _ORDER: tuple[str, ...] = (
     "graph_mssp",
     "graph_ppr_multi",
     "graph_node2vec_biased_walks",
-    # -- tier 2: Pregel loops re-verified after the join-strategy change ----
+    # round 3: events.ts dtype-adaptive normalization touches every events
+    # scan; the string dictionary got the two-phase distributed rank
+    "q_events_first_per_user",
+    "q_events_type_rollup",
+    "q_string_id_dictionary",
+    # -- tier 2: Pregel loops re-verified after checkpoint_every=2 (r3) -----
     "graph_pagerank",
     "graph_pagerank_personalized",
     "graph_pagerank_weighted",
@@ -145,11 +150,11 @@ _ORDER: tuple[str, ...] = (
     "graph_modularity",
     "graph_scc_nation",
     "graph_closeness_nation",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- tier 3: driver-green in round 1, unchanged since -------------------
     "ml_linreg_ols",
     "stat_pearson_lineitem",
     "stat_covariance_lineitem",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- tier 3: driver-green in round 1, unchanged -------------------------
     "dedup_minhash_lsh",
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -162,10 +167,7 @@ _ORDER: tuple[str, ...] = (
     "q_sort_limit_top_orders",
     "q_case_conditional_agg",
     "q_grouped_having",
-    "q_events_first_per_user",
-    "q_events_type_rollup",
     "q_skew_salted_user_counts",
-    "q_string_id_dictionary",
     "stat_summary_lineitem",
     "text_token_stats",
     "text_quality_score",
@@ -220,7 +222,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "stat_covariance_lineitem", (
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_closeness_nation", (
     "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 

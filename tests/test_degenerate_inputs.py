@@ -1,0 +1,113 @@
+"""Degenerate-input behavior: operators must return empty/identity results
+— never crash — on empty edge lists, empty corpora, and single-element
+inputs. The reference never exercises these shapes (its datasets are fixed
+benchmark files), but a driver pointed at a filtered or tiny partition of a
+100 TB table will produce them constantly, so they are part of this
+engine's contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_edges(spark):
+    return spark.createDataFrame([], "src long, dst long, cnt long")
+
+
+def test_pagerank_on_empty_graph(spark, empty_edges):
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import pagerank
+
+    assert pagerank(empty_edges).count() == 0
+
+
+def test_connected_components_single_vertex_self_loop(spark):
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = spark.createDataFrame([(7, 7, 1)], "src long, dst long, cnt long")
+    out = connected_components(e).collect()
+    assert [(r["v"], r["label"]) for r in out] == [(7, 7)]
+
+
+def test_bfs_isolated_source_component(spark):
+    """Source vertex (min id) in a 2-vertex component, rest unreachable:
+    unreachable vertices are filtered, reachable ones get exact hops."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import bfs
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (10, 11, 1), (11, 10, 1)],
+        "src long, dst long, cnt long",
+    )
+    out = {r["v"]: r["dist"] for r in bfs(e).collect()}
+    assert out == {1: 0, 2: 1}
+
+
+def test_degrees_empty(spark, empty_edges):
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import degrees
+
+    assert degrees(empty_edges).count() == 0
+
+
+def test_blocked_apply_empty_and_singleton(spark):
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import blocked_apply
+
+    def kernel(ids_a, mat_a, ids_b, mat_b, same):
+        if same:
+            ia, ib = np.triu_indices(len(ids_a), k=1)
+            a, b = ids_a[ia], ids_a[ib]
+        else:
+            a = np.repeat(ids_a, len(ids_b))
+            b = np.tile(ids_b, len(ids_a))
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    empty = spark.createDataFrame([], "vec_id long, v array<double>").cache()
+    assert blocked_apply(empty, kernel, "a long, b long").count() == 0
+
+    one = spark.createDataFrame(
+        [(5, [1.0, 2.0])], "vec_id long, v array<double>"
+    ).cache()
+    # a single point has no pairs
+    assert blocked_apply(one, kernel, "a long, b long").count() == 0
+
+
+def test_iterate_zero_rounds_is_identity(spark):
+    from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate
+
+    s0 = spark.createDataFrame([(1,), (2,)], "v long")
+    out = iterate(s0, lambda s, i: s.where(F.lit(False)), 0)
+    assert out.count() == 2
+
+
+def test_correlation_on_constant_column(spark):
+    """corr(X, c) is NULL for a constant column (zero variance) — must
+    propagate as NULL, not NaN-crash the rounding."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        correlation_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), 3.0) for i in range(10)], "x double, c double"
+    )
+    row = correlation_pairs(df, ["x", "c"]).collect()[0]
+    assert row["corr_x_c"] is None
+
+
+def test_knn_search_more_k_than_corpus(spark):
+    """k larger than the corpus: every corpus point is a neighbor, no
+    padding rows, no crash."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.knn import knn_search
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], "id long, v array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.5, 0.0])], "id long, v array<double>"
+    )
+    out = knn_search(corpus, queries, k=10)
+    assert out.count() == 3
+    assert {r["nid"] for r in out.collect()} == {0, 1, 2}
