@@ -559,6 +559,14 @@ STREAM_ORACLES: dict[str, str] = {
     "stream_distinct_pairs": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
+    # stream-static broadcast enrichment == the same batch join+agg
+    "stream_nation_event_revenue": """
+        SELECT n_name, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name
+    """,
     # applyInPandasWithState running totals == batch aggregation
     "stream_user_totals_stateful": """
         SELECT user_id, count(*) AS n_events,

@@ -111,6 +111,7 @@ _ORDER: tuple[str, ...] = (
     "stream_distinct_pairs",
     "stream_sessionization",
     "stream_user_totals_stateful",
+    "stream_nation_event_revenue",  # NEW r3: stream-static broadcast join
     "mm_manifest",
     "mm_frame_sample",
     "mm_byte_features",
@@ -149,9 +150,9 @@ _ORDER: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "graph_modularity",
     "graph_scc_nation",
-    "graph_closeness_nation",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 3: driver-green in round 1, unchanged since -------------------
+    "graph_closeness_nation",
     "ml_linreg_ols",
     "stat_pearson_lineitem",
     "stat_covariance_lineitem",
@@ -222,7 +223,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_closeness_nation", (
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_scc_nation", (
     "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 

@@ -142,6 +142,36 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_nation_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join → (n_name, n, sum_value): the events
+    stream joins a static customer→nation dimension (broadcast — the dim
+    is loaded once per micro-batch plan, never shuffled against the
+    stream) and rolls up per nation. The canonical streaming-ETL shape:
+    enrich a fact stream against slowly-changing reference data. Oracle =
+    the identical batch join+agg (stream/batch equivalence under
+    availableNow)."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    agg = (
+        ev.join(dim, "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return _run_to_table(agg, "stream_nation_event_revenue")
+
+
 def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState`` →
     (user_id, n_events, total_value).
@@ -215,4 +245,5 @@ QUERIES = (
     "stream_distinct_pairs",
     "stream_sessionization",
     "stream_user_totals_stateful",
+    "stream_nation_event_revenue",
 )

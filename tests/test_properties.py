@@ -34,7 +34,14 @@ def test_fix_rounds_rewrite_equals_floor_formula(con, x, d):
 
     if abs(x) * 10**d >= 2**52:  # documented validity bound
         return
-    sql = f"SELECT round(CAST({x!r} AS DOUBLE), {d}) AS v"
+    # Evaluate through a MATERIALIZED one-row table, not an inline literal:
+    # oracle SQL always rounds COLUMN expressions (runtime IEEE-double
+    # kernels, which match Spark bit-for-bit). Literal arguments — even via
+    # an inlined subquery — hit DuckDB's constant folder, which folds at
+    # higher precision and can differ by 1 ulp above ~2^51, a path
+    # production oracles never take.
+    con.execute("CREATE OR REPLACE TABLE _px AS SELECT ?::DOUBLE AS x", [x])
+    sql = f"SELECT round(x, {d}) AS v FROM _px"
     rewritten = fix_rounds(sql)
     assert "round(" not in rewritten
     got = con.execute(rewritten).fetchone()[0]
@@ -54,9 +61,9 @@ def test_fix_rounds_handles_nested_rounds(con, inner, outer, x):
 
     if abs(x) * 10**4 >= 2**52:
         return
-    sql = (
-        f"SELECT round(round(CAST({x!r} AS DOUBLE), {inner}) + 1.5, {outer}) AS v"
-    )
+    # materialized column path, not inline literal (see the rewrite test)
+    con.execute("CREATE OR REPLACE TABLE _px AS SELECT ?::DOUBLE AS x", [x])
+    sql = f"SELECT round(round(x, {inner}) + 1.5, {outer}) AS v FROM _px"
     rewritten = fix_rounds(sql)
     assert "round(" not in rewritten
     ri = math.floor(x * float(10**inner) + 0.5) / float(10**inner)
