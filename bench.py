@@ -72,15 +72,20 @@ def main() -> None:
     # timings, so the driver's tail-capture can parse it whole (round-1
     # BENCH_r01.json recorded ``"parsed": null`` — the default-separator,
     # 4-decimal line was truncated mid-JSON by the capture window).
+    # The driver keeps only the LAST ~2000 chars, so the queries dict is
+    # emitted in REVERSE registry order (tier-1 priority window last) and
+    # value/errors/sf go after it — whatever gets cut is the low-priority
+    # head, never the priority timings or the total (round-3 verdict item 2:
+    # the tail capture dropped louvain and the tier-1 window entirely).
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
-                "value": round(total, 2),
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries": {k: round(timings[k], 2) for k in reversed(timings)},
                 **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value": round(total, 2),
             },
             separators=(",", ":"),
         )

@@ -91,67 +91,14 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order. Tier 1: round-1-unchecked oracles + round-2 changed/new
-#: oracles. Tier 2: Pregel re-verification fills. Tier 3: stable green.
-#: Tier 4: no-oracle estimator workloads.
+#: Priority order, round 4 rotation. Tier 1: the 30 oracles whose last
+#: driver CORRECTNESS row is round 1 (3 rounds stale — verdict r3 item 5).
+#: Tier 2: implementations changed this round (louvain/WCE/incremental-PR/
+#: simrank perf rework). Tier 3 fills: round-3-green re-verification.
+#: Tier 4 (behind the window): round-3-green unchanged, then the no-oracle
+#: estimator workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1a: oracles with no round-1 CORRECTNESS row -------------------
-    "ml_dbscan",
-    "ml_dbscan_summary",
-    "ml_simrank",
-    "graph_louvain",
-    "ml_prefixspan",
-    "ml_est_prefixspan",
-    "ml_kmeans_lloyd_assign",
-    "ml_kmeans_lloyd_sizes",
-    "ml_knn_classifier",
-    "ml_knn_regressor",
-    "ml_idf",
-    "stream_windowed_counts",
-    "stream_distinct_pairs",
-    "stream_sessionization",
-    "stream_user_totals_stateful",
-    "stream_nation_event_revenue",  # NEW r3: stream-static broadcast join
-    "mm_manifest",
-    "mm_frame_sample",
-    "mm_byte_features",
-    "mm_fake_decode",
-    "graph_incremental_pagerank",
-    "graph_cycle_detection",
-    "graph_maximal_cliques",
-    "graph_weak_cliques",
-    "graph_node2vec_walks",
-    "q_sql_entry_top_suppliers",
-    # -- tier 1b: implementation changed in round 2/3 -----------------------
-    "graph_subgraph_matching",
-    "dedup_embedding_cosine",
-    "stat_spearman_lineitem",
-    "sim_lsh_bucket_pairs",
-    "dedup_embedding_cosine_lsh",
-    "graph_mssp",
-    "graph_ppr_multi",
-    "graph_node2vec_biased_walks",
-    # round 3: events.ts dtype-adaptive normalization touches every events
-    # scan; the string dictionary got the two-phase distributed rank
-    "q_events_first_per_user",
-    "q_events_type_rollup",
-    "q_string_id_dictionary",
-    # -- tier 2: Pregel loops re-verified after checkpoint_every=2 (r3) -----
-    "graph_pagerank",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "graph_trustrank",
-    "graph_connected_components",
-    "graph_bfs",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "graph_modularity",
-    "graph_scc_nation",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- tier 3: driver-green in round 1, unchanged since -------------------
+    # -- tier 1: driver row is from round 1, unchanged but stale ------------
     "graph_closeness_nation",
     "ml_linreg_ols",
     "stat_pearson_lineitem",
@@ -182,6 +129,60 @@ _ORDER: tuple[str, ...] = (
     "graph_edges",
     "graph_degrees",
     "graph_degrees_nation",
+    # -- tier 2: implementation changed in round 4 --------------------------
+    "graph_louvain",
+    "graph_weak_cliques",
+    "graph_incremental_pagerank",
+    "ml_simrank",
+    # -- tier 3: round-3-green re-verification fills ------------------------
+    "graph_modularity",
+    "graph_pagerank",
+    "graph_connected_components",
+    "graph_mssp",
+    "graph_cycle_detection",
+    "graph_maximal_cliques",
+    "graph_subgraph_matching",
+    "stat_spearman_lineitem",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "sim_lsh_bucket_pairs",
+    "q_sql_entry_top_suppliers",
+    "q_events_first_per_user",
+    "q_events_type_rollup",
+    "q_string_id_dictionary",
+    "ml_idf",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- tier 4: driver-green in round 3, unchanged since -------------------
+    "ml_dbscan",
+    "ml_dbscan_summary",
+    "ml_prefixspan",
+    "ml_est_prefixspan",
+    "ml_kmeans_lloyd_assign",
+    "ml_kmeans_lloyd_sizes",
+    "ml_knn_classifier",
+    "ml_knn_regressor",
+    "stream_windowed_counts",
+    "stream_distinct_pairs",
+    "stream_sessionization",
+    "stream_user_totals_stateful",
+    "stream_nation_event_revenue",
+    "mm_manifest",
+    "mm_frame_sample",
+    "mm_byte_features",
+    "mm_fake_decode",
+    "graph_node2vec_walks",
+    "graph_node2vec_biased_walks",
+    "graph_ppr_multi",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "graph_trustrank",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_scc_nation",
     # -- tier 4: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -223,8 +224,8 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_scc_nation", (
-    "tier-1/2 prefix no longer ends at the driver window boundary"
+assert _ORDER[DRIVER_WINDOW - 1] == "ml_idf", (
+    "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 
 
