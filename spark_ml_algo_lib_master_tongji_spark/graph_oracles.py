@@ -493,6 +493,7 @@ def _build_graph_extra_oracles() -> dict[str, str]:
         H_C,
         INC_CUTOFF,
         INC_ITERS,
+        LOUVAIN_L2_ROUNDS,
         LOUVAIN_ROUNDS,
         N2V_W_FAR,
         N2V_W_NEAR,
@@ -678,13 +679,15 @@ UNION ALL SELECT clique, size FROM max4"""
 
     # -- Louvain: local-move rounds (mirror of _louvain_local_move; k_v,c
     # excludes self-loops, wdeg/Σtot include them), one level per edge CTE
-    def _louvain_level(edges_cte: str, pfx: str) -> list[str]:
+    def _louvain_level(
+        edges_cte: str, pfx: str, rounds: int = LOUVAIN_ROUNDS
+    ) -> list[str]:
         ctes = [
             f"{pfx}wdeg AS (SELECT src AS v, sum(cnt)::BIGINT AS wv "
             f"FROM {edges_cte} GROUP BY src)",
             f"{pfx}lv0 AS (SELECT v, v AS label FROM {pfx}wdeg)",
         ]
-        for i in range(LOUVAIN_ROUNDS):
+        for i in range(rounds):
             ctes.append(
                 f"""{pfx}kvc{i} AS (
     SELECT e.src AS v, lb.label AS c, sum(e.cnt)::BIGINT AS k
@@ -767,10 +770,10 @@ UNION ALL SELECT clique, size FROM max4"""
     JOIN lv{LOUVAIN_ROUNDS} lb ON e.dst = lb.v
     GROUP BY la.label, lb.label
 )""",
-        *_louvain_level("coarse", "g2"),
+        *_louvain_level("coarse", "g2", LOUVAIN_L2_ROUNDS),
         f"""comp AS (
     SELECT l1.v, l1.label AS c1, l2.label AS c2
-    FROM lv{LOUVAIN_ROUNDS} l1 JOIN g2lv{LOUVAIN_ROUNDS} l2 ON l1.label = l2.v
+    FROM lv{LOUVAIN_ROUNDS} l1 JOIN g2lv{LOUVAIN_L2_ROUNDS} l2 ON l1.label = l2.v
 )""",
         _q_cte(f"lv{LOUVAIN_ROUNDS}", "q1"),
         "compl AS (SELECT v, c2 AS label FROM comp)",

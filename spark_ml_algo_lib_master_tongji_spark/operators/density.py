@@ -50,7 +50,11 @@ from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
     seq_dot,
     seq_self_dot,
 )
-from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate, unchanged
+from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
+    iterate,
+    monotone_sum_probe,
+    stat_fixpoint_probe,
+)
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 EPS2 = 1.4  # squared-L2 radius (≈1% quantile of pairwise distances)
@@ -100,20 +104,24 @@ def dbscan(cat: Catalog) -> DataFrame:
     state0 = core.select(F.col("p").alias("v"), F.col("p").alias("label"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        m = (
-            ce.join(_bc(state, n_pts), ce.p == state.v)
-            .groupBy(F.col("q").alias("v"))
-            .agg(F.min("label").alias("m"))
+        # min over (neighbor labels ∪ own label) as ONE aggregation — same
+        # shape as CC/WCE (one broadcast and one join fewer per round).
+        nbr_lab = ce.join(_bc(state, n_pts), ce.p == state.v).select(
+            F.col("q").alias("v"), "label"
         )
-        return state.join(_bc(m, n_pts), "v", "left").select(
-            "v",
-            F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
-                "label"
-            ),
+        return (
+            nbr_lab.unionByName(state.select("v", "label"))
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
         )
 
     corelab = _cached(
-        iterate(state0, step, DBSCAN_CC_ROUNDS, verify_fixpoint=unchanged)
+        iterate(
+            state0,
+            step,
+            DBSCAN_CC_ROUNDS,
+            verify_fixpoint=monotone_sum_probe("label"),
+        )
     )
 
     border = (

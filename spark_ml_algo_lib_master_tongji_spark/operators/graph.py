@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
-from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate, unchanged
+from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
+    iterate,
+    monotone_sum_probe,
+    stat_fixpoint_probe,
+)
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 # Shared fixed-point constants — imported by graph_oracles.py so the SQL
@@ -110,6 +114,19 @@ def symmetrize(pairs: DataFrame) -> DataFrame:
         pairs.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
         )
+    )
+
+
+def sym_copurchase(cat: Catalog) -> DataFrame:
+    """Session-shared symmetrized co-purchase edge list.
+
+    ~15 graph queries start from ``symmetrize(copurchase_pairs(cat))``;
+    before round 4 each one union-scanned (and several independently
+    persisted) the same 2|E| rows. One shared materialization is the
+    "load the graph once, run many algorithms" lifecycle of the reference
+    (``graph/Util.scala:106-136``)."""
+    return _derived(
+        cat, "sym_copurchase", lambda: symmetrize(copurchase_pairs(cat))
     )
 
 
@@ -359,18 +376,24 @@ def connected_components(edges: DataFrame, n_iter: int = CC_ITERS) -> DataFrame:
     state0 = verts.select("v", F.col("v").alias("label"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        nbr_min = (
-            e.join(_bc(state, n), e.src == state.v)
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("label").alias("m"))
+        # min over (neighbor labels ∪ own label) as ONE aggregation — the
+        # self row replaces the former min-agg + left-join + least chain
+        # (one broadcast and one join fewer per round).
+        nbr = e.join(_bc(state, n), e.src == state.v).select(
+            F.col("dst").alias("v"), "label"
         )
-        return state.join(_bc(nbr_min, n), "v", "left").select(
-            "v", F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias("label")
+        return (
+            nbr.unionByName(state.select("v", "label"))
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
         )
 
     # CC semantics is run-to-convergence (GraphX lib.ConnectedComponents);
     # the round budget is an operational cap, so prove the fixed point.
-    return iterate(state0, step, n_iter, verify_fixpoint=unchanged)
+    # Labels move monotonically down on a fixed row set ⇒ scalar-sum probe.
+    return iterate(
+        state0, step, n_iter, verify_fixpoint=monotone_sum_probe("label")
+    )
 
 
 def bfs(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
@@ -397,8 +420,16 @@ def bfs(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
         )
 
     # ``rounds`` is the reference's explicit depthLimit (lib.BFS), not a
-    # convergence budget — depth-truncated distances are the semantics.
-    out = iterate(state0, step, rounds)
+    # convergence budget — depth-truncated distances are the semantics, so
+    # this is early_stop (converged-early is identical; truncated is valid).
+    out = iterate(
+        state0,
+        step,
+        rounds,
+        early_stop=stat_fixpoint_probe(
+            f"count(if(dist < {INF}, 1, null))", f"sum(if(dist < {INF}, dist, 0))"
+        ),
+    )
     return out.where(F.col("dist") < INF)
 
 
@@ -427,7 +458,15 @@ def sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
 
     # Bellman-Ford must relax to quiescence for the distances to be true
     # shortest paths — prove the fixed point rather than trust the budget.
-    out = iterate(state0, step, rounds, verify_fixpoint=unchanged)
+    # Reached set grows, reached distances shrink ⇒ the two-stat probe.
+    out = iterate(
+        state0,
+        step,
+        rounds,
+        verify_fixpoint=stat_fixpoint_probe(
+            f"count(if(dist < {INF}, 1, null))", f"sum(if(dist < {INF}, dist, 0))"
+        ),
+    )
     return out.where(F.col("dist") < INF)
 
 
@@ -479,8 +518,20 @@ def mssp(
             ],
         )
 
-    # ShortestPaths runs to convergence — prove the fixed point.
-    out = iterate(state0, step, rounds, verify_fixpoint=unchanged)
+    # ShortestPaths runs to convergence — prove the fixed point: one agg
+    # job computes per-landmark reached-count + guarded dist-sum (2L tiny
+    # scalars) instead of the full-state exceptAll.
+    mssp_stats = [
+        s
+        for c in cols
+        for s in (
+            f"count(if({c} < {INF}, 1, null))",
+            f"sum(if({c} < {INF}, {c}, 0))",
+        )
+    ]
+    out = iterate(
+        state0, step, rounds, verify_fixpoint=stat_fixpoint_probe(*mssp_stats)
+    )
     stacked = out.select(
         "v",
         F.explode(
@@ -541,8 +592,11 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
         )
 
     # The peel must reach its fixed point — a truncated peel reports
-    # vertices as k-core members that one more round would evict.
-    active = iterate(state0, step, rounds, verify_fixpoint=unchanged)
+    # vertices as k-core members that one more round would evict. The
+    # active set only ever shrinks ⇒ count equality is the probe.
+    active = iterate(
+        state0, step, rounds, verify_fixpoint=stat_fixpoint_probe("count(1)")
+    )
     s = active.select(F.col("v").alias("sv"))
     t = active.select(F.col("v").alias("tv"))
     return (
@@ -641,9 +695,13 @@ def _closure(edges: DataFrame, doublings: int = CLOSURE_DOUBLINGS) -> DataFrame:
         return r.unionByName(a.join(b, "mid").select("src", "dst")).distinct()
 
     # Exactness of SCC depends on the closure being complete — verify the
-    # squaring reached its fixed point (diameter < 2^doublings).
+    # squaring reached its fixed point (diameter < 2^doublings). The pair
+    # set only ever grows ⇒ count equality is the probe.
     return iterate(
-        edges.select("src", "dst"), step, doublings, verify_fixpoint=unchanged
+        edges.select("src", "dst"),
+        step,
+        doublings,
+        verify_fixpoint=stat_fixpoint_probe("count(1)"),
     )
 
 
@@ -683,7 +741,14 @@ def closeness(edges: DataFrame) -> DataFrame:
         return both.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
 
     d0 = edges.select("src", "dst", F.lit(1).cast("long").alias("dist"))
-    d = iterate(d0, step, CLOSURE_DOUBLINGS, verify_fixpoint=unchanged)
+    # Pair set grows; given equal counts only per-pair dist decreases can
+    # remain, so (count, Σdist) equality ⟺ fixed point.
+    d = iterate(
+        d0,
+        step,
+        CLOSURE_DOUBLINGS,
+        verify_fixpoint=stat_fixpoint_probe("count(1)", "sum(dist)"),
+    )
     return (
         d.where(F.col("src") != F.col("dst"))
         .groupBy(F.col("src").alias("v"))
@@ -861,51 +926,51 @@ def graph_edges(cat: Catalog) -> DataFrame:
 
 
 def graph_degrees(cat: Catalog) -> DataFrame:
-    return degrees(symmetrize(copurchase_pairs(cat)))
+    return degrees(sym_copurchase(cat))
 
 
 def graph_pagerank(cat: Catalog) -> DataFrame:
-    return pagerank(symmetrize(copurchase_pairs(cat)))
+    return pagerank(sym_copurchase(cat))
 
 
 def graph_pagerank_personalized(cat: Catalog) -> DataFrame:
-    return personalized_pagerank(symmetrize(copurchase_pairs(cat)))
+    return personalized_pagerank(sym_copurchase(cat))
 
 
 def graph_ppr_multi(cat: Catalog) -> DataFrame:
-    return ppr_multi(symmetrize(copurchase_pairs(cat)))
+    return ppr_multi(sym_copurchase(cat))
 
 
 def graph_pagerank_weighted(cat: Catalog) -> DataFrame:
-    return weighted_pagerank(symmetrize(copurchase_pairs(cat)))
+    return weighted_pagerank(sym_copurchase(cat))
 
 
 def graph_trustrank(cat: Catalog) -> DataFrame:
-    return trustrank(symmetrize(copurchase_pairs(cat)))
+    return trustrank(sym_copurchase(cat))
 
 
 def graph_connected_components(cat: Catalog) -> DataFrame:
-    return connected_components(symmetrize(copurchase_pairs(cat)))
+    return connected_components(sym_copurchase(cat))
 
 
 def graph_bfs(cat: Catalog) -> DataFrame:
-    return bfs(symmetrize(copurchase_pairs(cat)))
+    return bfs(sym_copurchase(cat))
 
 
 def graph_sssp(cat: Catalog) -> DataFrame:
-    return sssp(symmetrize(copurchase_pairs(cat)))
+    return sssp(sym_copurchase(cat))
 
 
 def graph_mssp(cat: Catalog) -> DataFrame:
-    return mssp(symmetrize(copurchase_pairs(cat)))
+    return mssp(sym_copurchase(cat))
 
 
 def graph_label_propagation(cat: Catalog) -> DataFrame:
-    return label_propagation(symmetrize(copurchase_pairs(cat)))
+    return label_propagation(sym_copurchase(cat))
 
 
 def graph_kcore(cat: Catalog) -> DataFrame:
-    return kcore(symmetrize(copurchase_pairs(cat)))
+    return kcore(sym_copurchase(cat))
 
 
 def graph_triangle_count(cat: Catalog) -> DataFrame:

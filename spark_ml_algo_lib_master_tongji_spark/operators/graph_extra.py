@@ -25,10 +25,14 @@ from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
     copurchase_pairs,
     degrees,
     nation_trade_edges,
+    sym_copurchase,
     symmetrize,
     vertices,
 )
-from spark_ml_algo_lib_master_tongji_spark.plans.iterative import iterate, unchanged
+from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
+    iterate,
+    monotone_sum_probe,
+)
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
 INC_CUTOFF = "1997-07-01"
@@ -38,6 +42,10 @@ RATE_MAX = 5.0
 CLIQUE_MIN_W = 2
 WCE_ROUNDS = 10
 LOUVAIN_ROUNDS = 3
+# Coarse-level local-move rounds: on the aggregated community graph most
+# moves land in round 1; two rounds measured Q-equivalent on the fixtures
+# at a third less loop cost. The SQL oracle unrolls the same count.
+LOUVAIN_L2_ROUNDS = 2
 WALK_LEN = 4  # steps beyond the start node
 WALKS_PER_NODE = 2
 # Deterministic pseudo-random step selector (identical integer arithmetic
@@ -84,7 +92,7 @@ def incremental_pagerank(cat: Catalog) -> DataFrame:
         # every vertex seeds at the uniform reset value below
         prior = pverts.select("v", F.lit(0.0).alias("pr"))
 
-    full_edges = _cached(symmetrize(copurchase_pairs(cat)))
+    full_edges = sym_copurchase(cat)
     fverts = _cached(vertices(full_edges))
     fn = fverts.count()
     if fn == 0:
@@ -271,28 +279,35 @@ def weak_cliques(cat: Catalog) -> DataFrame:
     state0 = verts.select("v", F.col("v").alias("wce_id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        m = (
-            sym.join(_bc(state, n), sym.src == state.v)
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("wce_id").alias("m"))
+        # min over (neighbor labels ∪ own label) as ONE aggregation — the
+        # self row replaces the former min-agg + left-join + least chain
+        # (one broadcast and one join fewer per round).
+        nbr = sym.join(_bc(state, n), sym.src == state.v).select(
+            F.col("dst").alias("v"), "wce_id"
         )
-        return state.join(_bc(m, n), "v", "left").select(
-            "v",
-            F.least(F.col("wce_id"), F.coalesce(F.col("m"), F.col("wce_id"))).alias(
-                "wce_id"
-            ),
+        return (
+            nbr.unionByName(state.select("v", "wce_id"))
+            .groupBy("v")
+            .agg(F.min("wce_id").alias("wce_id"))
         )
 
     # Group membership is component membership — prove the propagation
-    # reached its fixed point rather than trust the round budget.
-    return iterate(state0, step, WCE_ROUNDS, verify_fixpoint=unchanged)
+    # reached its fixed point rather than trust the round budget. Labels
+    # move monotonically down on a fixed row set ⇒ the scalar-sum probe.
+    return iterate(
+        state0, step, WCE_ROUNDS, verify_fixpoint=monotone_sum_probe("wce_id")
+    )
 
 
 # ---- Louvain phase-1 (§2.3 #11) --------------------------------------------
 
 
 def _louvain_local_move(
-    sym: DataFrame, two_m: float, rounds: int = LOUVAIN_ROUNDS
+    sym: DataFrame,
+    two_m: float,
+    n_verts: int,
+    wdeg: DataFrame | None = None,
+    rounds: int = LOUVAIN_ROUNDS,
 ) -> DataFrame:
     """One Louvain local-move phase on a symmetric weighted edge list
     (self-loops allowed — coarse graphs carry them) → (v, label).
@@ -303,18 +318,23 @@ def _louvain_local_move(
     the smaller community id — fully deterministic, so the SQL oracle
     replays it exactly. k_v,c excludes self-loops (their modularity
     contribution is community-invariant and must not bias staying);
-    wdeg/Σtot include them (standard Louvain accounting)."""
-    sym = _cached(sym)
-    wdeg = _cached(
-        sym.groupBy(F.col("src").alias("v")).agg(F.sum("cnt").alias("wv"))
-    )
-    state0 = wdeg.select("v", F.col("v").alias("label"))
-    n_verts = wdeg.count()
+    wdeg/Σtot include them (standard Louvain accounting).
+
+    Perf shape (round-4 rework, 35.8s → single-digit seconds at sf0.1):
+    the loop state is the full ``(v, label, wv)`` relation — wdeg is part
+    of the state, not re-joined every round — and the loop checkpoints
+    EVERY round. ce=2's lazy in-between persist is catastrophic for this
+    step because it references its state four times (sigma, the contrib
+    broadcast, the own-community rows, the score join): the first
+    broadcast-exchange job of round i+1 re-executes the whole un-
+    materialized round i before the persist populates, measured ~18s/round
+    vs ~2s/round with an eager per-round cut."""
+    if wdeg is None:
+        wdeg = sym.groupBy(F.col("src").alias("v")).agg(F.sum("cnt").alias("wv"))
+    state0 = wdeg.select("v", F.col("v").alias("label"), "wv")
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        lab = state
-        labw = lab.join(wdeg, "v")  # (v, label, wv) — vertex-sized
-        sigma = labw.groupBy(F.col("label").alias("c")).agg(
+        sigma = state.groupBy(F.col("label").alias("c")).agg(
             F.sum("wv").alias("stot")
         )
         # k_v,c: weight from v to community c (via neighbor labels), with
@@ -325,11 +345,14 @@ def _louvain_local_move(
         contrib = (
             sym.where(F.col("src") != F.col("dst"))
             .join(
-                _bc(lab.toDF("u", "c"), n_verts), F.col("dst") == F.col("u")
+                _bc(state.select(F.col("v").alias("u"), F.col("label").alias("c")), n_verts),
+                F.col("dst") == F.col("u"),
             )
             .select(F.col("src").alias("v"), "c", "cnt")
         )
-        own = lab.select("v", F.col("label").alias("c"), F.lit(0).cast("long").alias("cnt"))
+        own = state.select(
+            "v", F.col("label").alias("c"), F.lit(0).cast("long").alias("cnt")
+        )
         # One shuffle per round, not two: an explicit repartition("v")
         # satisfies BOTH downstream aggregations' clustering requirements —
         # hashpartitioning(v) clusters (v, c) for the k_v,c sum AND v for
@@ -343,10 +366,11 @@ def _louvain_local_move(
         )
         scored = (
             cand.join(_bc(sigma, n_verts), "c")
-            .join(_bc(labw, n_verts), "v")
+            .join(_bc(state, n_verts), "v")
             .select(
                 "v",
                 "c",
+                "wv",
                 round_half_up(
                     F.col("k")
                     - F.col("wv")
@@ -365,14 +389,16 @@ def _louvain_local_move(
         # lexicographic struct (score, -c) — identical selection to a
         # row_number window but with map-side partial aggregation instead of
         # a full sort shuffle of the candidate set (the window was ~30% of
-        # each round's wall time at sf0.1).
+        # each round's wall time at sf0.1). wv rides along (constant per v)
+        # so the next round's state needs no join to recover it.
         return scored.groupBy("v").agg(
             F.max_by("c", F.struct(F.col("score"), (-F.col("c")).alias("nc"))).alias(
                 "label"
-            )
+            ),
+            F.min("wv").alias("wv"),
         )
 
-    return iterate(state0, step, rounds)
+    return iterate(state0, step, rounds, checkpoint_every=1).select("v", "label")
 
 
 def louvain(cat: Catalog) -> DataFrame:
@@ -397,23 +423,44 @@ def louvain(cat: Catalog) -> DataFrame:
     already-cached ``sym`` (unweighted degree = per-vertex row count,
     independent of ``cnt``) instead of two independent ``modularity()``
     re-derivations of the pair graph — round 2's two post-hoc evaluations
-    made Louvain the slowest bench query (24.5s at sf0.1)."""
+    made Louvain the slowest bench query (24.5s at sf0.1).
+
+    Round-4 action diet: |pairs| and 2m come out of ONE agg over the
+    cached pairs (no separate sym-sum job); per-vertex weighted degree
+    AND unweighted degree come out of ONE pass over sym (``vdeg``), reused
+    as the level-1 loop state seed and the Q-gate's degree input; the
+    coarse level runs LOUVAIN_L2_ROUNDS (< LOUVAIN_ROUNDS) rounds — on
+    the coarse graph most moves happen in the first round, and the SQL
+    oracle unrolls exactly the same count."""
     pairs = copurchase_pairs(cat)
-    sym = _cached(symmetrize(pairs))
-    two_m = float(sym.agg(F.sum("cnt")).collect()[0][0])
-    l1 = _cached(_louvain_local_move(sym, two_m))
-    n1 = l1.count()
-    coarse = (
-        sym.join(_bc(l1.toDF("sv", "c1"), n1), sym.src == F.col("sv"))
-        .join(_bc(l1.toDF("dv", "c2"), n1), sym.dst == F.col("dv"))
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("cnt").alias("w")
+    ).collect()[0]
+    m, two_m = int(stats["m"]), 2.0 * float(stats["w"])
+    sym = sym_copurchase(cat)
+    vdeg = _cached(
+        sym.groupBy(F.col("src").alias("v")).agg(
+            F.sum("cnt").alias("wv"), F.count(F.lit(1)).alias("deg")
+        )
+    )
+    n_verts = vdeg.count()
+    l1 = _cached(
+        _louvain_local_move(sym, two_m, n_verts, wdeg=vdeg.select("v", "wv"))
+    )
+    # Cache the coarse edge list: the level-2 loop scans it once for its
+    # wdeg seed and once per round — uncached, each scan replays the two
+    # broadcast joins + aggregation over the full sym list.
+    coarse = _cached(
+        sym.join(_bc(l1.toDF("sv", "c1"), n_verts), sym.src == F.col("sv"))
+        .join(_bc(l1.toDF("dv", "c2"), n_verts), sym.dst == F.col("dv"))
         .groupBy(F.col("c1").alias("src"), F.col("c2").alias("dst"))
         .agg(F.sum("cnt").alias("cnt"))
     )
-    l2 = _louvain_local_move(coarse, two_m)
+    l2 = _louvain_local_move(coarse, two_m, n_verts, rounds=LOUVAIN_L2_ROUNDS)
     composed = _cached(
         l1.join(l2.toDF("label", "community"), "label").select("v", "community")
     )
-    m = pairs.count()
+    n1 = n_verts
     labs = _cached(
         l1.select("v", "label", F.lit(1).alias("lvl")).unionByName(
             composed.select(
@@ -433,8 +480,7 @@ def louvain(cat: Catalog) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("lc"))
     )
     degc = (
-        degrees(sym)
-        .join(labs, "v")
+        vdeg.join(labs, "v")
         .groupBy("lvl", "label")
         .agg(F.sum("deg").alias("dc"))
     )
@@ -472,7 +518,7 @@ def node2vec_walks(cat: Catalog) -> DataFrame:
     walks in Spark and the SQL oracle; p=q=1 (uniform / DeepWalk case of
     the node2vec bias). WALKS_PER_NODE walks of WALK_LEN steps from every
     vertex; neighbor lists sorted by id and indexed by the mix mod degree."""
-    sym = symmetrize(copurchase_pairs(cat))
+    sym = sym_copurchase(cat)
     adj = _cached(
         sym.groupBy(F.col("src").alias("v")).agg(
             F.array_sort(F.collect_list("dst")).alias("nbrs")
@@ -529,7 +575,7 @@ def node2vec_biased_walks(cat: Catalog) -> DataFrame:
     ``node2vec_walks``."""
     from pyspark.sql import Window
 
-    sym = symmetrize(copurchase_pairs(cat))
+    sym = sym_copurchase(cat)
     adj = _cached(
         sym.groupBy(F.col("src").alias("v")).agg(
             F.array_sort(F.collect_list("dst")).alias("nbrs")
@@ -758,6 +804,13 @@ def betweenness_sampled(
 
     if adj_bc_max_edges is None:
         adj_bc_max_edges = ADJ_BC_MAX_EDGES
+    # The gate count below plus csr_broadcast/vertices all scan ``pairs`` —
+    # persist it first unless the caller already did (registry callers pass
+    # the session-shared cached edge list, where this is a no-op guard).
+    from pyspark.storagelevel import StorageLevel
+
+    if pairs.storageLevel == StorageLevel.NONE:
+        pairs = _cached(pairs)
     n_edges = pairs.count()
     if n_edges > adj_bc_max_edges:
         raise ValueError(

@@ -58,7 +58,15 @@ SEED = 2020  # GBDTRunner.scala:182,198; LDARunner.scala:158
 #: API-parity surface, not a throughput workload — the Python mllib API is
 #: inherently per-row lambdas, so training the RDD arms on the full fixture
 #: only measures Python serialization. The DF arms train on 100%.
-RDD_ARM_SAMPLE = 0.2
+#:
+#: DOCUMENTED WAIVER (round-3 ADVICE): the reference trains these arms on
+#: the full input, so RDD-arm bench timings/metrics are *sampled*, not
+#: reference-comparable. ``SPARK_GRAFT_RDD_ARM_SAMPLE=1.0`` restores a
+#: full-data parity mode (any fraction in (0, 1] accepted); the waiver is
+#: recorded in COVERAGE.md.
+import os as _os
+
+RDD_ARM_SAMPLE = float(_os.environ.get("SPARK_GRAFT_RDD_ARM_SAMPLE", "0.2"))
 
 
 def _features(cat: Catalog) -> DataFrame:
@@ -133,8 +141,10 @@ def ml_est_kmeans_rdd(cat: Catalog) -> DataFrame:
         rdd, k=8, maxIterations=10, seed=SEED, initializationMode="k-means||"
     )
     wssse = model.computeCost(rdd)
+    n = rdd.count()
+    rdd.unpersist(blocking=False)  # per-invocation cache — metrics are scalars
     return cat.spark.createDataFrame(
-        [(8, round(float(wssse), 2), rdd.count())], "k int, wssse double, n long"
+        [(8, round(float(wssse), 2), n)], "k int, wssse double, n long"
     )
 
 
@@ -196,6 +206,7 @@ def _rdd_accuracy(cat: Catalog, model, pts) -> DataFrame:
     pairs = pts.map(lambda p: p.label).zip(preds)
     n = pts.count()
     acc = pairs.filter(lambda t: t[0] == t[1]).count() / n
+    pts.unpersist(blocking=False)  # per-invocation cache — metrics are scalars
     return cat.spark.createDataFrame(
         [(round(acc, 4), n)], "accuracy double, n long"
     )
@@ -267,6 +278,11 @@ def ml_est_als_rdd(cat: Catalog) -> DataFrame:
         )
         .collect()[0]
     )
+    # These caches are per-invocation (not routed through _derived) — drop
+    # them now that the metrics are scalars, or every bench/test invocation
+    # leaks another cached copy into executor storage (round-3 ADVICE).
+    ratings.unpersist(blocking=False)
+    r.unpersist(blocking=False)
     return cat.spark.createDataFrame(
         [(round(float(agg["mse"]), 4), agg["users"], agg["items"])],
         "mse double, users long, items long",
@@ -300,6 +316,7 @@ def ml_est_lda_rdd(cat: Catalog) -> DataFrame:
     # releases returned a mllib Matrix with .toArray()) — accept both.
     mat = np.asarray(topics.toArray() if hasattr(topics, "toArray") else topics)
     ok = bool((mat >= 0).all() and mat.sum() > 0)
+    corpus.unpersist(blocking=False)  # per-invocation cache
     return cat.spark.createDataFrame(
         [(5, model.vocabSize(), ok)], "k int, vocab int, topics_ok boolean"
     )
@@ -329,6 +346,7 @@ def ml_est_pca_rdd(cat: Catalog) -> DataFrame:
     rows = [
         (i, round(float(v) / total_var, 6)) for i, v in enumerate(proj_var)
     ]
+    rdd.unpersist(blocking=False)  # per-invocation cache
     return cat.spark.createDataFrame(
         rows, "component int, explained_variance double"
     )
@@ -578,6 +596,7 @@ def _als_run(cat: Catalog, implicit: bool) -> DataFrame:
         )
     ).collect()[0][0]
     users, items = r.select("user").distinct().count(), r.select("item").distinct().count()
+    r.unpersist(blocking=False)  # per-invocation cache — metrics are scalars
     return r.sparkSession.createDataFrame(
         [(round(float(mse), 4), users, items)], "mse double, users long, items long"
     )
@@ -647,6 +666,9 @@ def ml_est_als_recommend(cat: Catalog) -> DataFrame:
     ).fit(r)
     users = r.select("user").distinct().orderBy("user").limit(50)
     recs = m.recommendForUserSubset(users, 3)
+    # The fit materialized everything it needs into the model factors; the
+    # lazy `users` recomputes from the session-cached ratings_table.
+    r.unpersist(blocking=False)
     return recs.select(
         "user",
         F.transform(F.col("recommendations"), lambda s: s["item"]).alias("items"),

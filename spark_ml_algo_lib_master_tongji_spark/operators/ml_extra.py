@@ -23,7 +23,7 @@ def ml_est_pca_sparse(cat: Catalog) -> DataFrame:
     assembly this mirrors. Vocabulary = the SPCA_VOCAB most frequent tokens
     (ties → lexicographic) so the matrix is deterministic."""
     from pyspark.ml.feature import PCA
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.functions import array_to_vector
 
     docs = cat.documents.select("doc_id", F.explode(tokens("text")).alias("token"))
     # Distributed top-k (TakeOrderedAndProject) picks the SPCA_VOCAB head,
@@ -49,16 +49,29 @@ def ml_est_pca_sparse(cat: Catalog) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
     )
     assembled = coo.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("col", "value"))).alias("cells")
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("col", "value")))
+        ).alias("cells")
     )
 
-    @F.udf(returnType=VectorUDT())
-    def to_sparse(cells):
-        return Vectors.sparse(
-            SPCA_VOCAB, [c["col"] for c in cells], [c["value"] for c in cells]
-        )
-
-    vecs = spread(assembled).select(to_sparse("cells").alias("features"))
+    # Vector assembly is pure JVM (round-4): densify the bounded
+    # SPCA_VOCAB-wide row with builtin map/sequence expressions and
+    # convert via ``array_to_vector`` — whole-stage-codegen'd, no Python
+    # serialization at all (the former row-at-a-time Python UDF built one
+    # SparseVector per doc through pickle; a pandas_udf cannot return
+    # VectorUDT over Arrow, and at a *fixed* 256-wide vocabulary the dense
+    # row is 2 KB — the sparse representation only matters for unbounded
+    # vocabularies, which this head-k design excludes by construction).
+    vecs = spread(assembled).select(
+        array_to_vector(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SPCA_VOCAB - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("cells"), i), F.lit(0.0)
+                ),
+            )
+        ).alias("features")
+    )
     m = PCA(k=SPCA_K, inputCol="features", outputCol="pc").fit(vecs)
     rows = [(i, round(float(v), 6)) for i, v in enumerate(m.explainedVariance)]
     return cat.spark.createDataFrame(rows, "component int, explained_variance double")

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: target points per block — the task-memory / BLAS-batch dial.
 BLOCK_ROWS = 512
@@ -95,7 +96,10 @@ def blocked_apply(
     side hashed empty yields an empty result frame."""
     n = pts.count()
     n_blocks = _n_blocks(n, block_rows, max_blocks)
-    out_cols = [c.strip().split()[0] for c in out_schema.split(",")]
+    # Parse the DDL properly: a naive split(",") breaks on parameterized /
+    # nested types (decimal(10,2), array<struct<...>>) and would hand the
+    # empty frame wrong column names (round-3 ADVICE).
+    out_cols = [f.name for f in T._parse_datatype_string(out_schema).fields]
     empty = pd.DataFrame({c: [] for c in out_cols})
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

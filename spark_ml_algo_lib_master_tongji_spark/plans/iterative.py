@@ -37,6 +37,7 @@ def iterate(
     checkpoint_every: int = 2,
     reliable: bool = False,
     verify_fixpoint: Callable[[DataFrame, DataFrame], bool] | None = None,
+    early_stop: Callable[[DataFrame, DataFrame], bool] | None = None,
 ) -> DataFrame:
     """Run ``state = step(state, i)`` for ``n_iter`` rounds with lineage
     control.
@@ -55,41 +56,85 @@ def iterate(
     objects (SURVEY.md §7 risk (2)); this mirrors the reference's
     per-iteration materialize + shuffle cleanup
     (``SimRankOpenSource.scala:128-150``)."""
+    probe = verify_fixpoint if verify_fixpoint is not None else early_stop
     prev: DataFrame | None = None
-    penult: DataFrame | None = None
     for i in range(n_iter):
         state = step(state, i)
-        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+        is_cut = (i + 1) % checkpoint_every == 0 or i == n_iter - 1
+        if is_cut:
             if reliable:
                 state = state.checkpoint(eager=True)
             else:
                 state = state.localCheckpoint(eager=True)
         else:
             state = state.persist(StorageLevel.MEMORY_AND_DISK)
-        if prev is not None:
-            if verify_fixpoint is not None and i == n_iter - 1:
-                penult = prev  # keep round R−1 alive for the fixpoint check
-            else:
+        if probe is not None and prev is not None and is_cut:
+            # Early termination (round 4): ``prev`` is the ADJACENT previous
+            # round's state — lazily persisted in between cuts, and just
+            # materialized as a byproduct of this round's checkpoint job —
+            # so the comparison reads two cached relations. Adjacent-equal
+            # states are a PROVEN fixed point (steps are stationary), every
+            # remaining round is a no-op, and the result is bit-identical
+            # to the oracle's full ``n_iter`` unroll — returning now both
+            # skips the dead rounds (the nation-graph CC budget spent 7 of
+            # its 10 rounds converged) and discharges the fixpoint guard
+            # without the final probe superstep. ``early_stop`` provides
+            # the same exit for loops whose round budget is a *semantic*
+            # depth limit (BFS/SSSP): converged-early results are
+            # identical, but a budget-truncated state is valid output, so
+            # no final guard fires.
+            if probe(prev, state):
                 prev.unpersist(blocking=False)
+                return state
+        if prev is not None:
+            prev.unpersist(blocking=False)
         prev = state
     if verify_fixpoint is not None and n_iter > 0:
         # Convergence guard (run-to-fixpoint semantics on a fixed round
         # budget): the differential oracles unroll exactly ``n_iter``
         # rounds, so an unconverged loop would agree with its oracle while
         # both diverge from the reference's run-to-convergence semantics —
-        # this turns that silent divergence into a loud error. Cheap path:
-        # if rounds R−1 and R are identical, R−1 was already a fixed point
-        # (steps are stationary) — no extra superstep. Otherwise one probe
-        # superstep must be a no-op.
-        converged = penult is not None and verify_fixpoint(penult, state)
-        if penult is not None:
-            penult.unpersist(blocking=False)
-        if not converged and not verify_fixpoint(state, step(state, n_iter)):
+        # this turns that silent divergence into a loud error. The loop
+        # above never observed an adjacent-equal pair at a cut, so one
+        # probe superstep must be a no-op.
+        if not verify_fixpoint(state, step(state, n_iter)):
             raise NotConvergedError(
                 f"state still changing after {n_iter} rounds; raise the "
                 "round budget for this graph"
             )
     return state
+
+
+def stat_fixpoint_probe(*exprs: str):
+    """Fixpoint predicate from scalar statistics: state equality is judged
+    by equality of the given SQL aggregate expressions, evaluated in one
+    tiny agg job per side over cached state — instead of a count + full
+    ``exceptAll`` (the exceptAll probe alone was ~0.75s/boundary at sf0.1;
+    the aggs are ~0.1s).
+
+    SOUNDNESS IS THE CALLER'S OBLIGATION: the statistics must be chosen so
+    that, under the loop's monotonicity, equal stats ⟹ unchanged state.
+    Valid instances: Σlabel for min-label propagation on a fixed row set
+    (labels only decrease); count(1) for grow-only / shrink-only row sets
+    (closures, peels); reached-count + Σreached-dist for relaxation loops
+    (the reached set only grows, reached distances only decrease, and the
+    guarded sum avoids the INF-sentinel int64 overflow a raw Σdist has)."""
+    from pyspark.sql import functions as F
+
+    def probe(before: DataFrame, after: DataFrame) -> bool:
+        cols = [F.expr(e).alias(f"s{i}") for i, e in enumerate(exprs)]
+        b = tuple(before.agg(*cols).collect()[0])
+        a = tuple(after.agg(*cols).collect()[0])
+        return b == a
+
+    return probe
+
+
+def monotone_sum_probe(col: str):
+    """``stat_fixpoint_probe`` specialization for monotone min-label loops
+    (CC, WCE, cluster merge): labels only ever decrease on a fixed row
+    set, so Σ``col`` equality ⟺ multiset equality."""
+    return stat_fixpoint_probe(f"sum({col})")
 
 
 def unchanged(before: DataFrame, after: DataFrame) -> bool:

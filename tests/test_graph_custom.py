@@ -109,7 +109,8 @@ def test_louvain_coarsening_does_not_hurt_modularity(cat):
     pairs = copurchase_pairs(cat)
     sym = symmetrize(pairs)
     two_m = float(sym.agg(F.sum("cnt")).collect()[0][0])
-    l1 = _louvain_local_move(sym, two_m)
+    n_verts = sym.select("src").distinct().count()
+    l1 = _louvain_local_move(sym, two_m, n_verts)
     q1 = modularity(pairs, l1).collect()[0]["modularity"]
     l2 = louvain(cat).select("v", F.col("community").alias("label"))
     q2 = modularity(pairs, l2).collect()[0]["modularity"]
