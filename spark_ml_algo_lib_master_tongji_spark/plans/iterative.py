@@ -34,7 +34,7 @@ def iterate(
     state: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
     n_iter: int,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     reliable: bool = False,
     verify_fixpoint: Callable[[DataFrame, DataFrame], bool] | None = None,
     early_stop: Callable[[DataFrame, DataFrame], bool] | None = None,
@@ -43,19 +43,19 @@ def iterate(
     control.
 
     The state is *eagerly* checkpointed every ``checkpoint_every`` rounds;
-    in-between rounds are persisted lazily (MEMORY_AND_DISK), so a step
-    that reads its input more than once still executes the chain exactly
-    once — the first broadcast/scan populates the cache. Default 2: each
-    eager checkpoint is a full job + AQE stage round-trip, and letting
-    Catalyst chain two supersteps into one job measured 15-50% faster
-    across every iterative graph query at sf0.1 (incremental PageRank
-    20.5s → 9.9s); past 2 the nested broadcast chains start re-planning
-    enough to give the win back (ce=4 was slower than ce=2). Periodic
-    eager truncation itself stays mandatory: an un-truncated N-round loop
-    builds an N-deep plan — superlinear analysis time, driver OOM on plan
-    objects (SURVEY.md §7 risk (2)); this mirrors the reference's
-    per-iteration materialize + shuffle cleanup
-    (``SimRankOpenSource.scala:128-150``)."""
+    in-between rounds are persisted lazily (MEMORY_AND_DISK). Default 1
+    (round-4 correction of the round-3 ce=2 claim, which did not hold up
+    under isolated re-measurement): with a lazy in-between persist, the
+    next round's broadcast-exchange job is the FIRST thing to execute the
+    unmaterialized round — a driver-side collect path with AQE re-planning
+    of the nested chain — measured 8.2s vs 4.7s for the 8-round PageRank
+    loop and ~18s/round vs ~2s for Louvain's four-reference step at sf0.1.
+    An eager per-round cut materializes with full parallelism and the
+    broadcast then reads cached rows. Eager truncation is also what keeps
+    the plan shallow: an un-truncated N-round loop builds an N-deep plan —
+    superlinear analysis time, driver OOM on plan objects (SURVEY.md §7
+    risk (2)); this mirrors the reference's per-iteration materialize +
+    shuffle cleanup (``SimRankOpenSource.scala:128-150``)."""
     probe = verify_fixpoint if verify_fixpoint is not None else early_stop
     prev: DataFrame | None = None
     for i in range(n_iter):

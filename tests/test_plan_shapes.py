@@ -1,0 +1,84 @@
+"""Plan-shape regression tests pinning the round-2/3 scale gates.
+
+These assert the *plan*, not the result: (a) the vertex-state broadcast
+hint is size-gated (`graph._bc` / `STATE_BC_MAX_ROWS`) so an O(|V|) state
+is never forced through the driver once |V| outgrows the ceiling; (b) the
+pair-generating kernels (dedup / KNN / DBSCAN) never plan a cartesian or
+broadcast-nested-loop join — the blocked equi-join shape is what makes
+them survive 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    return Catalog(spark, SF_SMOKE)
+
+
+def _full_plan(df) -> str:
+    """All plan phases (parsed/analyzed/optimized/physical) as one string."""
+    return df._jdf.queryExecution().toString()
+
+
+def test_state_broadcast_hint_is_size_gated(spark):
+    """`_bc` must hint broadcast only while the per-vertex relation provably
+    fits (STATE_BC_MAX_ROWS); above the ceiling the relation passes through
+    un-hinted so the join shuffles (or AQE decides from runtime stats)."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        STATE_BC_MAX_ROWS,
+        _bc,
+    )
+
+    state = spark.range(10).select(F.col("id").alias("v"))
+    edges = spark.range(10).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+
+    hinted = edges.join(_bc(state, STATE_BC_MAX_ROWS), edges.src == state.v)
+    assert "ResolvedHint (strategy=broadcast)" in _full_plan(hinted).split(
+        "== Analyzed"
+    )[0], "at/below the ceiling the state must carry a broadcast hint"
+
+    gated = edges.join(
+        _bc(state, STATE_BC_MAX_ROWS + 1), edges.src == state.v
+    )
+    assert "ResolvedHint" not in _full_plan(gated).split("== Analyzed")[0], (
+        "above the ceiling no broadcast hint may be forced on the state"
+    )
+
+
+@pytest.mark.parametrize(
+    ("query", "allow_bnlj"),
+    [
+        ("dedup_embedding_cosine", False),
+        ("ml_dbscan", False),
+        ("sim_lsh_bucket_pairs", False),
+        # KNN's pivot assignment IS a broadcast cross join — against a
+        # constant-size (N_PIVOTS-row) literal table, which is bounded at
+        # any corpus scale; only a data×data cartesian would be a bug.
+        ("ml_knn_spilltree", True),
+    ],
+)
+def test_pair_kernels_plan_no_cartesian(spark, query, allow_bnlj):
+    """The exact pair kernels are blocked equi-joins: a CartesianProduct
+    (or, except for the bounded pivot fan-out, a BroadcastNestedLoopJoin)
+    node in any plan phase means the blocking broke and the operator
+    degraded to all-pairs row joins."""
+    from spark_ml_algo_lib_master_tongji_spark.registry import build_registry
+
+    df = build_registry()[query](spark, SF_SMOKE)
+    plan = _full_plan(df)
+    assert "CartesianProduct" not in plan, f"{query} planned a cartesian join"
+    if not allow_bnlj:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{query} planned a broadcast nested-loop join"
+        )
