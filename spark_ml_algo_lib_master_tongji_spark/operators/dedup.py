@@ -88,16 +88,22 @@ def _perm_cols() -> list:
     return cols
 
 
-def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = NUM_PERM, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig array<string>) — sig[p] = min over shingles of the p-th
     permutation hash.
 
     Shape: explode shingles → hash projection → hash-aggregate min per doc.
     The whole pipeline stays in whole-stage codegen (higher-order array
     functions fall back to interpreted eval and ran ~5× slower); partial
-    aggregation shrinks the shuffle to one row per (partition, doc)."""
+    aggregation shrinks the shuffle to one row per (partition, doc).
+    Pass ``shingles`` (a cached ``shingle_sets`` result) to reuse one
+    shingle pass across the signature and exact-verify stages."""
     assert num_perm == NUM_PERM, "signature layout is fixed at 8 perms"
-    ex = shingle_sets(docs).select("doc_id", F.explode("sh").alias("s"))
+    if shingles is None:
+        shingles = shingle_sets(docs)
+    ex = shingles.select("doc_id", F.explode("sh").alias("s"))
     aggs = [
         F.min(expr).alias(f"m{p}") for p, expr in _perm_cols()
     ]
@@ -147,10 +153,12 @@ def dedup_minhash_lsh(cat: Catalog) -> DataFrame:
     # signatures and shingle sets each feed two plan branches (both sides of
     # the self-join / both pair endpoints); persist so the md5 pipeline runs
     # once — the reference persists at exactly these reuse boundaries too
-    # (CovRunner.scala:100, DTRunner.scala:227)
-    sigs = minhash_signatures(docs).persist()
-    cand = lsh_candidate_pairs(sigs)
+    # (CovRunner.scala:100, DTRunner.scala:227). The signature stage reads
+    # the SAME cached shingle sets the exact-verify stage uses (round 4 —
+    # previously the 3-gram md5 pipeline ran twice end-to-end).
     sh = shingle_sets(docs).persist()
+    sigs = minhash_signatures(docs, shingles=sh).persist()
+    cand = lsh_candidate_pairs(sigs)
     j = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

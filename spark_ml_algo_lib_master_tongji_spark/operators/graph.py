@@ -555,16 +555,23 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
     state0 = verts.select("v", F.col("v").alias("label"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
+        # One explicit repartition("v") clusters BOTH aggregations (the
+        # per-(v,label) count and the per-v argmax), and max_by over the
+        # lexicographic (count, -label) struct replaces the row_number
+        # window — hash aggregation with map-side partials instead of a
+        # full sort shuffle of the (v,label) counts (the Louvain argmax
+        # pattern; selection order identical: count desc, label asc).
         counts = (
             e.join(_bc(state, n), e.src == state.v)
-            .groupBy(F.col("dst").alias("v"), "label")
+            .select(F.col("dst").alias("v"), "label")
+            .repartition("v")
+            .groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label").asc())
-        return (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("v", "label")
+        return counts.groupBy("v").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
 
     return iterate(state0, step, n_iter)
@@ -656,7 +663,9 @@ def modularity(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     """Modularity Q of a community assignment → one row (modularity).
     ``ModularityRunner.scala:84`` (``Modularity.run``): Q = Σ_c [L_c/m −
     (D_c/2m)²] on the unweighted undirected graph."""
-    edges = _cached(symmetrize(pairs.withColumn("cnt", F.lit(1))))
+    # Degrees need one pass over the symmetrized list — no persist (the
+    # relation is scanned exactly once here; caching it only cost memory).
+    edges = symmetrize(pairs.withColumn("cnt", F.lit(1)))
     m = pairs.count()
     lab = communities.select("v", "label")
     intra = (

@@ -129,20 +129,35 @@ _ORDER: tuple[str, ...] = (
     "graph_edges",
     "graph_degrees",
     "graph_degrees_nation",
-    # -- tier 2: implementation changed in round 4 --------------------------
+    # -- tier 2: implementation changed in round 4 (iterative-loop rework:
+    #    per-round checkpoints, early fixpoint exit, scalar probes, union+min
+    #    steps; Louvain state rework; shared shingles in minhash) -----------
     "graph_louvain",
     "graph_weak_cliques",
     "graph_incremental_pagerank",
     "ml_simrank",
-    # -- tier 3: round-3-green re-verification fills ------------------------
     "graph_modularity",
     "graph_pagerank",
     "graph_connected_components",
     "graph_mssp",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_scc_nation",
+    "graph_trustrank",
+    "graph_ppr_multi",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "ml_dbscan",
+    "ml_dbscan_summary",
+    # -- tier 3: round-3-green re-verification fill -------------------------
+    "stat_spearman_lineitem",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- tier 4: driver-green in round 3, unchanged since -------------------
     "graph_cycle_detection",
     "graph_maximal_cliques",
     "graph_subgraph_matching",
-    "stat_spearman_lineitem",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "sim_lsh_bucket_pairs",
@@ -151,10 +166,6 @@ _ORDER: tuple[str, ...] = (
     "q_events_type_rollup",
     "q_string_id_dictionary",
     "ml_idf",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- tier 4: driver-green in round 3, unchanged since -------------------
-    "ml_dbscan",
-    "ml_dbscan_summary",
     "ml_prefixspan",
     "ml_est_prefixspan",
     "ml_kmeans_lloyd_assign",
@@ -172,17 +183,8 @@ _ORDER: tuple[str, ...] = (
     "mm_fake_decode",
     "graph_node2vec_walks",
     "graph_node2vec_biased_walks",
-    "graph_ppr_multi",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "graph_trustrank",
-    "graph_bfs",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_kcore",
     "graph_triangle_count",
     "graph_clustering_coefficient",
-    "graph_scc_nation",
     # -- tier 4: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -224,7 +226,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "ml_idf", (
+assert _ORDER[DRIVER_WINDOW - 1] == "stat_spearman_lineitem", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 
