@@ -113,3 +113,69 @@ def test_probe_fallback_when_budget_is_exact(spark):
 
     out = iterate(state0, step, 3, verify_fixpoint=unchanged)
     assert out.collect()[0][1] == 0
+
+
+def test_early_exit_returns_identical_state_and_skips_dead_rounds(spark):
+    """A loop that converges at round k < budget must (a) stop stepping —
+    the remaining rounds are proven no-ops — and (b) return exactly the
+    state the full unroll would produce (the oracle-parity invariant the
+    round-4 early exit rests on)."""
+    from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
+        iterate,
+        unchanged,
+    )
+
+    state0 = spark.createDataFrame([(1, 3)], "v long, x long")
+    calls = []
+
+    def step(state, i):
+        calls.append(i)
+        return state.select("v", F.greatest(F.col("x") - 1, F.lit(0)).alias("x"))
+
+    out = iterate(state0, step, 50, verify_fixpoint=unchanged)
+    assert out.collect()[0][1] == 0
+    # x hits 0 after 3 steps; the first adjacent-equal pair appears one
+    # step later. Far fewer than 50 steps may run, and none after that.
+    assert len(calls) < 10
+
+
+def test_early_stop_does_not_demand_convergence(spark):
+    """``early_stop`` (depth-limited loops: BFS/SSSP) exits on a proven
+    fixed point but must NOT raise when the budget truncates first."""
+    from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
+        iterate,
+        unchanged,
+    )
+
+    state0 = spark.createDataFrame([(1, 100)], "v long, x long")
+
+    def step(state, _i):
+        return state.select("v", F.greatest(F.col("x") - 1, F.lit(0)).alias("x"))
+
+    # truncated: budget 3 leaves x at 97 — valid output, no error
+    out = iterate(state0, step, 3, early_stop=unchanged)
+    assert out.collect()[0][1] == 97
+
+
+def test_monotone_sum_probe_matches_unchanged_on_label_loops(spark):
+    """The scalar-sum probe must agree with full multiset equality on a
+    monotone min-label loop — same early exit, same final labels."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import graph
+    from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
+        NotConvergedError,
+        monotone_sum_probe,
+    )
+
+    e = graph.symmetrize(_pairs(spark))
+    out = dict(graph.connected_components(e, n_iter=8).collect())
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 8: 8, 9: 8}
+
+    # the probe itself: equal sums on identical states, unequal otherwise
+    probe = monotone_sum_probe("label")
+    s1 = spark.createDataFrame([(1, 5), (2, 7)], "v long, label long")
+    s2 = spark.createDataFrame([(1, 5), (2, 6)], "v long, label long")
+    assert probe(s1, s1) and not probe(s1, s2)
+
+    # truncated-propagation guard still fires through the scalar probe
+    with pytest.raises(NotConvergedError):
+        graph.connected_components(e, n_iter=2).collect()
