@@ -373,9 +373,46 @@ def dedup_embedding_cosine_lsh(cat: Catalog) -> DataFrame:
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)
+def dedup_minhash_groups(cat: Catalog) -> DataFrame:
+    """Keep-one canonicalization over the near-dup graph → (doc_id,
+    canonical_id) for EVERY document — the mapping a training-data pipeline
+    actually applies (drop rows where doc_id != canonical_id).
+
+    Pair detection (minhash → LSH → exact-Jaccard verify) is the shared
+    ``dedup_minhash_lsh`` result; groups are its connected components
+    (min-label propagation with the run-to-fixpoint guard, so chains of
+    near-dups A~B~C collapse into one group even when A≁C directly);
+    canonical = the smallest doc_id of the group; singletons map to
+    themselves. Scale: the component loop runs on the *pair graph* —
+    collision-bounded, tiny relative to the corpus — never on documents."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _derived,
+        connected_components,
+    )
+
+    pairs = _derived(
+        cat, "minhash_dup_pairs", lambda: dedup_minhash_lsh(cat)
+    ).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(sym)
+    return (
+        cat.documents.select("doc_id")
+        .join(labels.toDF("doc_id", "canonical"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+
 QUERIES = (
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_groups",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",

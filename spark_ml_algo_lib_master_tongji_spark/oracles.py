@@ -359,6 +359,30 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
 }
 
+# Keep-one canonicalization: recursive transitive closure over the verified
+# near-dup pairs (runs to the TRUE fixed point, so it independently checks
+# the Spark side's budgeted min-label loop + convergence guard), canonical =
+# min doc_id reachable; singletons map to themselves.
+DEDUP_ORACLES["dedup_minhash_groups"] = f"""
+    WITH RECURSIVE pairs AS ({DEDUP_ORACLES["dedup_minhash_lsh"]}),
+    sympairs AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sympairs
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sympairs s ON r.b = s.a
+    ),
+    canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN canon c USING (doc_id)
+"""
+
 DEDUP_ORACLES["dedup_simhash_pairs"] = f"""
     WITH sims AS ({DEDUP_ORACLES["dedup_simhash"]}),
     pref AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sims)

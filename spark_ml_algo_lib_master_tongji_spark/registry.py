@@ -104,6 +104,7 @@ _ORDER: tuple[str, ...] = (
     "stat_pearson_lineitem",
     "stat_covariance_lineitem",
     "dedup_minhash_lsh",
+    "dedup_minhash_groups",  # NEW r4 — first driver row needed
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q3_top_unshipped_orders",
@@ -151,10 +152,9 @@ _ORDER: tuple[str, ...] = (
     "graph_pagerank_weighted",
     "ml_dbscan",
     "ml_dbscan_summary",
-    # -- tier 3: round-3-green re-verification fill -------------------------
-    "stat_spearman_lineitem",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 4: driver-green in round 3, unchanged since -------------------
+    "stat_spearman_lineitem",
     "graph_cycle_detection",
     "graph_maximal_cliques",
     "graph_subgraph_matching",
@@ -226,8 +226,8 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "stat_spearman_lineitem", (
-    "tier-1/2/3 prefix no longer ends at the driver window boundary"
+assert _ORDER[DRIVER_WINDOW - 1] == "ml_dbscan_summary", (
+    "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 
 
