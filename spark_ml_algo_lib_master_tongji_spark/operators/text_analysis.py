@@ -86,10 +86,51 @@ def text_fingerprint(cat: Catalog) -> DataFrame:
     )
 
 
+#: quality floor for the composed training-mix selection
+MIX_MIN_QUALITY = 0.3
+MIX_LANG = "en"
+
+
+def pipeline_training_mix(cat: Catalog) -> DataFrame:
+    """End-to-end training-data selection — the composition a corpus
+    pipeline actually ships: near-dup keep-one (doc is its own group
+    canonical) ∩ language filter (pred_lang = MIX_LANG) ∩ quality floor
+    (quality ≥ MIX_MIN_QUALITY) → (doc_id, pred_lang, quality, n_tokens).
+
+    Every stage is an existing oracle-checked operator; the joins are
+    equi-joins on doc_id (co-partitioned after the first shuffle), and the
+    three filter inputs are single codegen'd projections — at 100 TB the
+    only data movement is the dedup component loop on the (tiny) pair
+    graph plus one hash join chain on doc_id."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        dedup_minhash_groups,
+    )
+
+    keep = (
+        dedup_minhash_groups(cat)
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    lang = text_lang_id(cat).select("doc_id", "pred_lang")
+    qual = text_quality_score(cat).select("doc_id", "quality")
+    toks = text_token_stats(cat).select("doc_id", "n_tokens")
+    return (
+        keep.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(toks, "doc_id")
+        .where(
+            (F.col("pred_lang") == MIX_LANG)
+            & (F.col("quality") >= F.lit(MIX_MIN_QUALITY))
+        )
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "pipeline_training_mix",
 )

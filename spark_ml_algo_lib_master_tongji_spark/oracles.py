@@ -383,6 +383,18 @@ DEDUP_ORACLES["dedup_minhash_groups"] = f"""
     FROM documents d LEFT JOIN canon c USING (doc_id)
 """
 
+# Composed pipeline: keep-one ∩ language ∩ quality — each stage is the
+# standalone oracle above / in TEXT_ORACLES, re-joined on doc_id.
+DEDUP_ORACLES["pipeline_training_mix"] = f"""
+    SELECT k.doc_id, l.pred_lang, q.quality, t.n_tokens
+    FROM (SELECT doc_id FROM ({DEDUP_ORACLES["dedup_minhash_groups"]}) g
+          WHERE g.doc_id = g.canonical_id) k
+    JOIN ({TEXT_ORACLES["text_lang_id"]}) l USING (doc_id)
+    JOIN ({TEXT_ORACLES["text_quality_score"]}) q USING (doc_id)
+    JOIN ({TEXT_ORACLES["text_token_stats"]}) t USING (doc_id)
+    WHERE l.pred_lang = 'en' AND q.quality >= 0.3
+"""
+
 DEDUP_ORACLES["dedup_simhash_pairs"] = f"""
     WITH sims AS ({DEDUP_ORACLES["dedup_simhash"]}),
     pref AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sims)

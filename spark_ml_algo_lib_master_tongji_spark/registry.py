@@ -105,6 +105,7 @@ _ORDER: tuple[str, ...] = (
     "stat_covariance_lineitem",
     "dedup_minhash_lsh",
     "dedup_minhash_groups",  # NEW r4 — first driver row needed
+    "pipeline_training_mix",  # NEW r4 — first driver row needed
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q3_top_unshipped_orders",
@@ -226,7 +227,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "ml_dbscan_summary", (
+assert _ORDER[DRIVER_WINDOW - 1] == "ml_dbscan", (
     "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 
