@@ -135,6 +135,48 @@ def vertices(edges: DataFrame) -> DataFrame:
     return edges.select(F.col("src").alias("v")).distinct()
 
 
+# Session-scoped scalar memo (vertex counts and similar single numbers that
+# several queries re-derive with a full job each).
+_SCALAR_CACHE: dict[tuple, int] = {}
+
+
+def _derived_scalar(cat: Catalog, name: str, compute):
+    key = (cat.spark.sparkContext.applicationId, cat.sf_dir, name)
+    if key not in _SCALAR_CACHE:
+        _SCALAR_CACHE[key] = compute()
+    return _SCALAR_CACHE[key]
+
+
+def copurchase_verts(cat: Catalog) -> DataFrame:
+    """Session-shared distinct vertex set of the co-purchase graph."""
+    return _derived(cat, "copurchase_verts", lambda: vertices(sym_copurchase(cat)))
+
+
+def copurchase_n_verts(cat: Catalog) -> int:
+    """Session-shared |V| of the co-purchase graph (one count, memoized)."""
+    return _derived_scalar(
+        cat, "copurchase_n_verts", lambda: copurchase_verts(cat).count()
+    )
+
+
+def pr_share_edges(cat: Catalog, weighted: bool) -> DataFrame:
+    """Session-shared (src, dst, share) contribution edges for the PageRank
+    family — five registry queries re-derived this identical edges⋈degrees
+    projection before round 4."""
+
+    def build() -> DataFrame:
+        edges = sym_copurchase(cat)
+        share = (
+            F.col("cnt") / F.col("wdeg") if weighted else F.lit(1.0) / F.col("deg")
+        )
+        return (
+            edges.join(degrees(edges), edges.src == F.col("v"))
+            .select("src", "dst", share.alias("share"))
+        )
+
+    return _derived(cat, f"pr_share_edges_{'w' if weighted else 'u'}", build)
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(v, deg, wdeg): distinct-neighbor count + weighted degree.
     ``graph.degrees`` analogue (``DegreeRunner.scala:96-99``) as one
@@ -198,6 +240,7 @@ def _pagerank_loop(
     n_iter: int = PR_ITERS,
     state0: DataFrame | None = None,
     n_verts: int = 0,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """Shared power-iteration core: pr' = reset + DAMP · Σ_in pr/outshare.
 
@@ -206,13 +249,18 @@ def _pagerank_loop(
     (``PersonalizedPageRankRunner.scala:102-114``,
     ``TrustRankRunner.scala:100-113``). ``weighted`` divides contributions
     by total out-weight instead of out-degree
-    (``WeightedPageRankRunner.scala:115-119``)."""
-    share = F.col("cnt") / F.col("wdeg") if weighted else F.lit(1.0) / F.col("deg")
-    edges = _cached(edges)
-    e = _cached(
-        edges.join(degrees(edges), edges.src == F.col("v"))
-        .select("src", "dst", share.alias("share"))
-    )
+    (``WeightedPageRankRunner.scala:115-119``). Pass ``e`` (a prepared
+    (src, dst, share) relation, e.g. ``pr_share_edges``) to skip the
+    per-call edges⋈degrees derivation."""
+    if e is None:
+        share = (
+            F.col("cnt") / F.col("wdeg") if weighted else F.lit(1.0) / F.col("deg")
+        )
+        edges = _cached(edges)
+        e = _cached(
+            edges.join(degrees(edges), edges.src == F.col("v"))
+            .select("src", "dst", share.alias("share"))
+        )
     if state0 is None:
         state0 = reset_dist.select("v", F.col("reset").alias("pr"))
     reset = _cached(reset_dist)
@@ -237,34 +285,58 @@ def _pagerank_loop(
     return iterate(state0, step, n_iter)
 
 
-def pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = PR_ITERS,
+    verts: DataFrame | None = None,
+    n_verts: int = 0,
+    e: DataFrame | None = None,
+) -> DataFrame:
     """Fixed-iteration PageRank → (v, pr). ``PageRankRunner.scala:108-113``
     (``run(graph, numIter, resetProb=0.15)``)."""
-    verts = _cached(vertices(edges))
-    n = verts.count()
+    if verts is None:
+        verts = _cached(vertices(edges))
+    n = n_verts or verts.count()
     if n == 0:  # empty graph: no vertices, no ranks (and no RESET/0)
         return verts.select("v", F.lit(0.0).alias("pr"))
     reset_dist = verts.select("v", F.lit(RESET / n).alias("reset"))
-    pr = _pagerank_loop(edges, verts, reset_dist, weighted=False, n_iter=n_iter)
+    pr = _pagerank_loop(
+        edges, verts, reset_dist, weighted=False, n_iter=n_iter, n_verts=n, e=e
+    )
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
 
 
-def personalized_pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+def personalized_pagerank(
+    edges: DataFrame,
+    n_iter: int = PR_ITERS,
+    verts: DataFrame | None = None,
+    n_verts: int = 0,
+    e: DataFrame | None = None,
+) -> DataFrame:
     """Personalized PageRank from the minimum vertex id → (v, pr).
     ``PersonalizedPageRankRunner.scala:102-114`` (single-source
     ``runWithOptions``): reset mass concentrated on the source."""
-    verts = _cached(vertices(edges))
+    if verts is None:
+        verts = _cached(vertices(edges))
     src = verts.agg(F.min("v")).collect()[0][0]  # scalar only
     reset_dist = verts.select(
         "v",
         F.when(F.col("v") == src, F.lit(RESET)).otherwise(F.lit(0.0)).alias("reset"),
     )
-    pr = _pagerank_loop(edges, verts, reset_dist, weighted=False, n_iter=n_iter)
+    pr = _pagerank_loop(
+        edges, verts, reset_dist, weighted=False, n_iter=n_iter,
+        n_verts=n_verts, e=e,
+    )
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
 
 
 def ppr_multi(
-    edges: DataFrame, n_sources: int = PPR_SOURCES, n_iter: int = PR_ITERS
+    edges: DataFrame,
+    n_sources: int = PPR_SOURCES,
+    n_iter: int = PR_ITERS,
+    verts: DataFrame | None = None,
+    n_verts: int = 0,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """Parallel personalized PageRank from a source set → (v, source, pr) —
     ``PersonalizedPageRankRunner.scala:102-114`` ``fixMS`` arm
@@ -277,15 +349,17 @@ def ppr_multi(
     exactly once and one hash-agg pass sums all per-source contributions,
     so k sources cost one loop, not k loops (the whole point of the
     reference's parallel variant)."""
-    edges = _cached(edges)
-    verts = _cached(vertices(edges))
-    n = verts.count()
+    if verts is None:
+        verts = _cached(vertices(edges))
+    n = n_verts or verts.count()
     sources = [r["v"] for r in verts.orderBy("v").limit(n_sources).collect()]
-    e = _cached(
-        edges.join(degrees(edges), edges.src == F.col("v")).select(
-            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("share")
+    if e is None:
+        edges = _cached(edges)
+        e = _cached(
+            edges.join(degrees(edges), edges.src == F.col("v")).select(
+                "src", "dst", (F.lit(1.0) / F.col("deg")).alias("share")
+            )
         )
-    )
     cols = [f"p{k}" for k in range(len(sources))]
     reset = _cached(
         verts.select(
@@ -336,30 +410,49 @@ def ppr_multi(
     )
 
 
-def weighted_pagerank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iter: int = PR_ITERS,
+    verts: DataFrame | None = None,
+    n_verts: int = 0,
+    e: DataFrame | None = None,
+) -> DataFrame:
     """Edge-weight-normalized PageRank → (v, pr).
     ``WeightedPageRankRunner.scala:115-119`` static variant."""
-    verts = _cached(vertices(edges))
-    n = verts.count()
+    if verts is None:
+        verts = _cached(vertices(edges))
+    n = n_verts or verts.count()
     if n == 0:  # empty graph guard (see pagerank)
         return verts.select("v", F.lit(0.0).alias("pr"))
     reset_dist = verts.select("v", F.lit(RESET / n).alias("reset"))
-    pr = _pagerank_loop(edges, verts, reset_dist, weighted=True, n_iter=n_iter)
+    pr = _pagerank_loop(
+        edges, verts, reset_dist, weighted=True, n_iter=n_iter, n_verts=n, e=e
+    )
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
 
 
-def trustrank(edges: DataFrame, n_iter: int = PR_ITERS) -> DataFrame:
+def trustrank(
+    edges: DataFrame,
+    n_iter: int = PR_ITERS,
+    verts: DataFrame | None = None,
+    n_verts: int = 0,
+    e: DataFrame | None = None,
+) -> DataFrame:
     """PageRank personalized to a trusted seed set (the TRUST_SEEDS smallest
     vertex ids, uniform reset mass) → (v, pr).
     ``TrustRankRunner.scala:100-113`` (seeds RDD → reset vector)."""
-    verts = _cached(vertices(edges))
+    if verts is None:
+        verts = _cached(vertices(edges))
     seeds = verts.orderBy("v").limit(TRUST_SEEDS).select(
         "v", F.lit(RESET / TRUST_SEEDS).alias("reset")
     )
     reset_dist = verts.join(seeds, "v", "left").select(
         "v", F.coalesce(F.col("reset"), F.lit(0.0)).alias("reset")
     )
-    pr = _pagerank_loop(edges, verts, reset_dist, weighted=False, n_iter=n_iter)
+    pr = _pagerank_loop(
+        edges, verts, reset_dist, weighted=False, n_iter=n_iter,
+        n_verts=n_verts, e=e,
+    )
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
 
 
@@ -939,23 +1032,48 @@ def graph_degrees(cat: Catalog) -> DataFrame:
 
 
 def graph_pagerank(cat: Catalog) -> DataFrame:
-    return pagerank(sym_copurchase(cat))
+    return pagerank(
+        sym_copurchase(cat),
+        verts=copurchase_verts(cat),
+        n_verts=copurchase_n_verts(cat),
+        e=pr_share_edges(cat, weighted=False),
+    )
 
 
 def graph_pagerank_personalized(cat: Catalog) -> DataFrame:
-    return personalized_pagerank(sym_copurchase(cat))
+    return personalized_pagerank(
+        sym_copurchase(cat),
+        verts=copurchase_verts(cat),
+        n_verts=copurchase_n_verts(cat),
+        e=pr_share_edges(cat, weighted=False),
+    )
 
 
 def graph_ppr_multi(cat: Catalog) -> DataFrame:
-    return ppr_multi(sym_copurchase(cat))
+    return ppr_multi(
+        sym_copurchase(cat),
+        verts=copurchase_verts(cat),
+        n_verts=copurchase_n_verts(cat),
+        e=pr_share_edges(cat, weighted=False),
+    )
 
 
 def graph_pagerank_weighted(cat: Catalog) -> DataFrame:
-    return weighted_pagerank(sym_copurchase(cat))
+    return weighted_pagerank(
+        sym_copurchase(cat),
+        verts=copurchase_verts(cat),
+        n_verts=copurchase_n_verts(cat),
+        e=pr_share_edges(cat, weighted=True),
+    )
 
 
 def graph_trustrank(cat: Catalog) -> DataFrame:
-    return trustrank(sym_copurchase(cat))
+    return trustrank(
+        sym_copurchase(cat),
+        verts=copurchase_verts(cat),
+        n_verts=copurchase_n_verts(cat),
+        e=pr_share_edges(cat, weighted=False),
+    )
 
 
 def graph_connected_components(cat: Catalog) -> DataFrame:

@@ -92,9 +92,15 @@ def incremental_pagerank(cat: Catalog) -> DataFrame:
         # every vertex seeds at the uniform reset value below
         prior = pverts.select("v", F.lit(0.0).alias("pr"))
 
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_n_verts,
+        copurchase_verts,
+        pr_share_edges,
+    )
+
     full_edges = sym_copurchase(cat)
-    fverts = _cached(vertices(full_edges))
-    fn = fverts.count()
+    fverts = copurchase_verts(cat)
+    fn = copurchase_n_verts(cat)
     if fn == 0:
         return fverts.select("v", F.lit(0.0).alias("pr"))
     freset = fverts.select("v", F.lit(RESET / fn).alias("reset"))
@@ -103,7 +109,14 @@ def incremental_pagerank(cat: Catalog) -> DataFrame:
         .select("v", F.coalesce(F.col("ppr"), F.lit(RESET / fn)).alias("pr"))
     )
     pr = _pagerank_loop(
-        full_edges, fverts, freset, weighted=False, n_iter=INC_ITERS, state0=state0
+        full_edges,
+        fverts,
+        freset,
+        weighted=False,
+        n_iter=INC_ITERS,
+        state0=state0,
+        n_verts=fn,
+        e=pr_share_edges(cat, weighted=False),
     )
     return pr.select("v", round_half_up(F.col("pr"), 6).alias("pr"))
 
