@@ -146,9 +146,23 @@ def lsh_candidate_pairs(
     )
 
 
+def _minhash_pairs(cat: Catalog) -> DataFrame:
+    """Session-shared verified near-dup pairs — built once, reused by both
+    the pair listing (``dedup_minhash_lsh``) and the group canonicalization
+    (``dedup_minhash_groups``); the per-invocation shingle/signature
+    persists below therefore happen once per session, not per query."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(cat, "minhash_dup_pairs", lambda: _minhash_pairs_build(cat))
+
+
 def dedup_minhash_lsh(cat: Catalog) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact 3-gram
     Jaccard on candidates only → pairs ≥ threshold."""
+    return _minhash_pairs(cat)
+
+
+def _minhash_pairs_build(cat: Catalog) -> DataFrame:
     docs = spread(cat.documents.select("doc_id", "text"))
     # signatures and shingle sets each feed two plan branches (both sides of
     # the self-join / both pair endpoints); persist so the md5 pipeline runs
@@ -386,13 +400,10 @@ def dedup_minhash_groups(cat: Catalog) -> DataFrame:
     themselves. Scale: the component loop runs on the *pair graph* —
     collision-bounded, tiny relative to the corpus — never on documents."""
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
-        _derived,
         connected_components,
     )
 
-    pairs = _derived(
-        cat, "minhash_dup_pairs", lambda: dedup_minhash_lsh(cat)
-    ).select("doc_a", "doc_b")
+    pairs = _minhash_pairs(cat).select("doc_a", "doc_b")
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

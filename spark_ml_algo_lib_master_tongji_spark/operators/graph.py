@@ -1110,7 +1110,7 @@ def graph_clustering_coefficient(cat: Catalog) -> DataFrame:
 
 def graph_modularity(cat: Catalog) -> DataFrame:
     pairs = copurchase_pairs(cat)
-    return modularity(pairs, label_propagation(symmetrize(pairs)))
+    return modularity(pairs, label_propagation(sym_copurchase(cat)))
 
 
 def graph_scc_nation(cat: Catalog) -> DataFrame:
