@@ -1092,8 +1092,16 @@ def graph_mssp(cat: Catalog) -> DataFrame:
     return mssp(sym_copurchase(cat))
 
 
+def lpa_communities(cat: Catalog) -> DataFrame:
+    """Session-shared LPA labeling — ``graph_modularity`` scores this very
+    assignment, so the LPA_ITERS loop runs once per session, not twice."""
+    return _derived(
+        cat, "lpa_labels", lambda: label_propagation(sym_copurchase(cat))
+    )
+
+
 def graph_label_propagation(cat: Catalog) -> DataFrame:
-    return label_propagation(sym_copurchase(cat))
+    return lpa_communities(cat)
 
 
 def graph_kcore(cat: Catalog) -> DataFrame:
@@ -1109,8 +1117,7 @@ def graph_clustering_coefficient(cat: Catalog) -> DataFrame:
 
 
 def graph_modularity(cat: Catalog) -> DataFrame:
-    pairs = copurchase_pairs(cat)
-    return modularity(pairs, label_propagation(sym_copurchase(cat)))
+    return modularity(copurchase_pairs(cat), lpa_communities(cat))
 
 
 def graph_scc_nation(cat: Catalog) -> DataFrame:

@@ -21,6 +21,7 @@ from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
     RESET,
     _bc,
     _cached,
+    _derived,
     _pagerank_loop,
     copurchase_pairs,
     degrees,
@@ -522,6 +523,18 @@ def louvain(cat: Catalog) -> DataFrame:
 # ---- node2vec (§2.3 #23) ---------------------------------------------------
 
 
+def _n2v_adj(cat: Catalog) -> DataFrame:
+    """Session-shared sorted adjacency lists (v, nbrs) — the walk tables of
+    all three node2vec queries start from this one collect_list pass."""
+    return _derived(
+        cat,
+        "n2v_adj",
+        lambda: sym_copurchase(cat)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs")),
+    )
+
+
 def node2vec_walks(cat: Catalog) -> DataFrame:
     """Deterministic uniform random walks → (walk_id, step, node).
 
@@ -530,13 +543,16 @@ def node2vec_walks(cat: Catalog) -> DataFrame:
     function of (current node, step, walk index) instead of an RNG — same
     walks in Spark and the SQL oracle; p=q=1 (uniform / DeepWalk case of
     the node2vec bias). WALKS_PER_NODE walks of WALK_LEN steps from every
-    vertex; neighbor lists sorted by id and indexed by the mix mod degree."""
-    sym = sym_copurchase(cat)
-    adj = _cached(
-        sym.groupBy(F.col("src").alias("v")).agg(
-            F.array_sort(F.collect_list("dst")).alias("nbrs")
-        )
-    )
+    vertex; neighbor lists sorted by id and indexed by the mix mod degree.
+
+    The finished corpus is session-shared (``_derived``): the Word2Vec fit
+    of ``node2vec_embeddings`` consumes the identical walk table, so the
+    loop runs once per session, not once per query."""
+    return _derived(cat, "n2v_uniform_walks", lambda: _uniform_walks(cat))
+
+
+def _uniform_walks(cat: Catalog) -> DataFrame:
+    adj = _n2v_adj(cat)
     starts = adj.select("v").crossJoin(
         F.broadcast(
             adj.sparkSession.range(WALKS_PER_NODE).select(F.col("id").alias("w"))
@@ -585,15 +601,21 @@ def node2vec_biased_walks(cat: Catalog) -> DataFrame:
     running cumulative weight exceeds r — the alias-table sampling of the
     reference collapsed to a reproducible inverse-CDF pick, identical in
     the SQL oracle. Step 1 has no predecessor and hops uniformly like
-    ``node2vec_walks``."""
-    from pyspark.sql import Window
+    ``node2vec_walks``.
 
-    sym = sym_copurchase(cat)
-    adj = _cached(
-        sym.groupBy(F.col("src").alias("v")).agg(
-            F.array_sort(F.collect_list("dst")).alias("nbrs")
-        )
-    )
+    Shape note (round-4 A/B): an array-HOF variant (transform weights +
+    one aggregate fold per row, zero extra shuffles) was measured SLOWER
+    than this explode+window shape — 7.7s vs 5.1-5.6s warm at sf0.1 —
+    because HOF lambdas are interpreted (no whole-stage codegen) and the
+    per-row O(deg·|pnbrs|) membership scan concentrates hub-vertex work
+    in single rows, while the exploded form codegens the weight CASE and
+    spreads candidates evenly across tasks. The windows all share one
+    walk_id sort-shuffle. Two HOF pitfalls worth keeping on record: a
+    merge-lambda reference to an outer aggregate re-evaluates it per
+    element (85s), and a select that re-aliases ``node AS prev`` captures
+    lambda references to ``prev`` as *lateral column aliases* (silent
+    wrong walks)."""
+    adj = _n2v_adj(cat)
     starts = adj.select("v").crossJoin(
         F.broadcast(
             adj.sparkSession.range(WALKS_PER_NODE).select(F.col("id").alias("w"))
@@ -626,6 +648,8 @@ def node2vec_biased_walks(cat: Catalog) -> DataFrame:
                     adj.toDF("cv", "cnbrs"), state.node == F.col("cv")
                 ).join(adj.toDF("pv", "pnbrs"), state.prev == F.col("pv"))
             )
+            from pyspark.sql import Window
+
             ex = cur.select(
                 "walk_id",
                 "w",

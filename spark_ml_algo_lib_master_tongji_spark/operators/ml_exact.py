@@ -129,7 +129,16 @@ def kmeans_lloyd(cat: Catalog) -> DataFrame:
     """Fixed-seed fixed-iteration Lloyd's k-means on the embeddings table →
     final assignment (vec_id, cid). Init = the KMEANS_K smallest vec_ids'
     vectors (deterministic analogue of the seeded init in
-    ``KMeansRunner.scala:147-154``); KMEANS_ITERS assign/update rounds."""
+    ``KMeansRunner.scala:147-154``); KMEANS_ITERS assign/update rounds.
+
+    Session-shared: the assignment is the common input of the ``*_assign``
+    and ``*_sizes`` registry queries — one Lloyd loop per session."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(cat, "kmeans_lloyd_assign", lambda: _kmeans_lloyd_build(cat))
+
+
+def _kmeans_lloyd_build(cat: Catalog) -> DataFrame:
     points = _points(cat).persist(StorageLevel.MEMORY_AND_DISK)
     centers = (
         points.orderBy("vec_id")

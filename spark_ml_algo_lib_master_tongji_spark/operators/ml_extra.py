@@ -83,12 +83,14 @@ def ml_est_xgboost(cat: Catalog) -> DataFrame:
     optional dep is present (hist tree method like ``xgbt_x86.yml:5-17``),
     documented GBT fallback otherwise → one row (backend, accuracy, n)."""
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-    from pyspark.ml.functions import array_to_vector
 
-    df = spread(cat.embeddings).select(
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-        (F.col("label") % 2).cast("double").alias("bin_label"),
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        _features,
     )
+
+    # Shared (features, bin_label) assembly — same persisted relation the
+    # rest of the estimator family trains on.
+    df = _features(cat).select("features", "bin_label")
     try:
         from xgboost.spark import SparkXGBClassifier  # optional dep
 
