@@ -124,9 +124,18 @@ def sym_copurchase(cat: Catalog) -> DataFrame:
     before round 4 each one union-scanned (and several independently
     persisted) the same 2|E| rows. One shared materialization is the
     "load the graph once, run many algorithms" lifecycle of the reference
-    (``graph/Util.scala:106-136``)."""
+    (``graph/Util.scala:106-136``).
+
+    Persisted hash-partitioned on ``src`` (one shuffle at derivation):
+    hashpartitioning(src) satisfies the clustered distribution of every
+    downstream src-keyed aggregation — degrees, the node2vec adjacency
+    collect_list, and Louvain's per-round k_v,c sum (whose input keeps
+    this partitioning through the broadcast join) — so those plans are
+    exchange-free over the dominant |E|-row relation."""
     return _derived(
-        cat, "sym_copurchase", lambda: symmetrize(copurchase_pairs(cat))
+        cat,
+        "sym_copurchase",
+        lambda: symmetrize(copurchase_pairs(cat)).repartition("src"),
     )
 
 
@@ -172,6 +181,12 @@ def pr_share_edges(cat: Catalog, weighted: bool) -> DataFrame:
         return (
             edges.join(degrees(edges), edges.src == F.col("v"))
             .select("src", "dst", share.alias("share"))
+            # Persisted dst-partitioned: every PageRank-family round
+            # aggregates contributions by dst, and the broadcast state
+            # join preserves this partitioning — so the |E|-row gather
+            # plans exchange-free in all ~40 loop rounds that share this
+            # relation (one shuffle here at derivation instead).
+            .repartition("dst")
         )
 
     return _derived(cat, f"pr_share_edges_{'w' if weighted else 'u'}", build)
@@ -260,6 +275,7 @@ def _pagerank_loop(
         e = _cached(
             edges.join(degrees(edges), edges.src == F.col("v"))
             .select("src", "dst", share.alias("share"))
+            .repartition("dst")  # exchange-free per-round gather (see pr_share_edges)
         )
     if state0 is None:
         state0 = reset_dist.select("v", F.col("reset").alias("pr"))
@@ -469,16 +485,24 @@ def connected_components(edges: DataFrame, n_iter: int = CC_ITERS) -> DataFrame:
     state0 = verts.select("v", F.col("v").alias("label"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        # min over (neighbor labels ∪ own label) as ONE aggregation — the
-        # self row replaces the former min-agg + left-join + least chain
-        # (one broadcast and one join fewer per round).
-        nbr = e.join(_bc(state, n), e.src == state.v).select(
-            F.col("dst").alias("v"), "label"
+        # Gather at src over the symmetric edge list (every caller provides
+        # both directions): min over in-neighbors ≡ min over out-neighbors,
+        # and keying the |E|-row aggregation on src lets it inherit the
+        # shared edge cache's src-hash partitioning — exchange-free. The
+        # own label folds in through the vertex-sized broadcast least-join
+        # (round-4 rework of the union-then-min shape, whose union
+        # destroyed the partitioning and shuffled all 2|E| rows per round).
+        st = state.select(F.col("v").alias("u"), F.col("label").alias("nl"))
+        nbr_min = (
+            e.join(_bc(st, n), e.dst == F.col("u"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min("nl").alias("m"))
         )
-        return (
-            nbr.unionByName(state.select("v", "label"))
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
+        return state.join(_bc(nbr_min, n), "v", "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
+                "label"
+            ),
         )
 
     # CC semantics is run-to-convergence (GraphX lib.ConnectedComponents);
@@ -503,10 +527,13 @@ def bfs(edges: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
     )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
+        # Exchange-free src-keyed gather over the symmetric list (see
+        # connected_components.step).
+        st = state.select(F.col("v").alias("u"), F.col("dist").alias("du"))
         relax = (
-            e.join(_bc(state, n), e.src == state.v)
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min(F.col("dist") + F.lit(1)).alias("m"))
+            e.join(_bc(st, n), e.dst == F.col("u"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min(F.col("du") + F.lit(1)).alias("m"))
         )
         return state.join(_bc(relax, n), "v", "left").select(
             "v", F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist"))).alias("dist")
@@ -540,10 +567,14 @@ def sssp(edges: DataFrame, rounds: int = SSSP_ROUNDS) -> DataFrame:
     )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
+        # Exchange-free src-keyed gather (symmetric list carries the same
+        # cnt on both directions, so dist(u)+cnt gathered at src equals
+        # the delivered relaxation; see connected_components.step).
+        st = state.select(F.col("v").alias("u"), F.col("dist").alias("du"))
         relax = (
-            e.join(_bc(state, n), e.src == state.v)
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min(F.col("dist") + F.col("cnt")).alias("m"))
+            e.join(_bc(st, n), e.dst == F.col("u"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min(F.col("du") + F.col("cnt")).alias("m"))
         )
         return state.join(_bc(relax, n), "v", "left").select(
             "v", F.least(F.col("dist"), F.coalesce(F.col("m"), F.col("dist"))).alias("dist")
@@ -598,9 +629,11 @@ def mssp(
     )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
+        # Exchange-free src-keyed gather (see connected_components.step).
+        st = state.select(F.col("v").alias("u"), *cols)
         relax = (
-            e.join(_bc(state, n), e.src == state.v)
-            .groupBy(F.col("dst").alias("v"))
+            e.join(_bc(st, n), e.dst == F.col("u"))
+            .groupBy(F.col("src").alias("v"))
             .agg(*[F.min(F.col(c) + F.lit(1)).alias(f"m{k}") for k, c in enumerate(cols)])
         )
         return state.join(_bc(relax, n), "v", "left").select(
@@ -648,16 +681,18 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
     state0 = verts.select("v", F.col("v").alias("label"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        # One explicit repartition("v") clusters BOTH aggregations (the
-        # per-(v,label) count and the per-v argmax), and max_by over the
-        # lexicographic (count, -label) struct replaces the row_number
-        # window — hash aggregation with map-side partials instead of a
-        # full sort shuffle of the (v,label) counts (the Louvain argmax
-        # pattern; selection order identical: count desc, label asc).
+        # Src-keyed gather over the symmetric list (neighbor-label
+        # multiset is direction-invariant): hashpartitioning(src→v) from
+        # the shared edge cache satisfies BOTH the per-(v,label) count and
+        # the per-v argmax clustering, so the round is shuffle-free
+        # (round-4 rework of the explicit repartition("v"), which moved
+        # all 2|E| rows every round). max_by over the lexicographic
+        # (count, -label) struct keeps the row_number-free argmax
+        # (selection order identical: count desc, label asc).
+        st = state.select(F.col("v").alias("u"), "label")
         counts = (
-            e.join(_bc(state, n), e.src == state.v)
-            .select(F.col("dst").alias("v"), "label")
-            .repartition("v")
+            e.join(_bc(st, n), e.dst == F.col("u"))
+            .select(F.col("src").alias("v"), "label")
             .groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )

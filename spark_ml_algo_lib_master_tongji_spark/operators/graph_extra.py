@@ -287,22 +287,30 @@ def weak_cliques(cat: Catalog) -> DataFrame:
     p = _strong_pairs(cat)
     sym = _cached(
         p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # src-partitioned once so every round's min-label gather (keyed on
+        # src below) aggregates exchange-free.
+        .repartition("src")
     )
     verts = _cached(vertices(sym.withColumn("cnt", F.lit(1))))
     n = verts.count()
     state0 = verts.select("v", F.col("v").alias("wce_id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        # min over (neighbor labels ∪ own label) as ONE aggregation — the
-        # self row replaces the former min-agg + left-join + least chain
-        # (one broadcast and one join fewer per round).
-        nbr = sym.join(_bc(state, n), sym.src == state.v).select(
-            F.col("dst").alias("v"), "wce_id"
+        # Src-keyed gather over the symmetric list + vertex-sized broadcast
+        # least-join for the own label (graph.connected_components.step's
+        # round-4 shape — the former union-then-min shuffled all 2|E| rows
+        # per round).
+        st = state.select(F.col("v").alias("u"), F.col("wce_id").alias("nl"))
+        nbr_min = (
+            sym.join(_bc(st, n), sym.dst == F.col("u"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min("nl").alias("m"))
         )
-        return (
-            nbr.unionByName(state.select("v", "wce_id"))
-            .groupBy("v")
-            .agg(F.min("wce_id").alias("wce_id"))
+        return state.join(_bc(nbr_min, n), "v", "left").select(
+            "v",
+            F.least(
+                F.col("wce_id"), F.coalesce(F.col("m"), F.col("wce_id"))
+            ).alias("wce_id"),
         )
 
     # Group membership is component membership — prove the propagation
@@ -351,11 +359,14 @@ def _louvain_local_move(
         sigma = state.groupBy(F.col("label").alias("c")).agg(
             F.sum("wv").alias("stot")
         )
-        # k_v,c: weight from v to community c (via neighbor labels), with
-        # v's own community injected as a zero-weight row BEFORE the
-        # aggregation — one fused sum per round instead of the former
-        # kvc-sum + candidate-max pair (sum absorbs the zero, max needed a
-        # second full shuffle over the candidate set).
+        # k_v,c: weight from v to community c (via neighbor labels). The
+        # |E|-row aggregation is EXCHANGE-FREE: ``sym_copurchase`` is
+        # persisted hash-partitioned on src, the broadcast join preserves
+        # that partitioning, src aliases to v, and hashpartitioning(v)
+        # satisfies the (v, c) clustered distribution — so the only
+        # shuffle per round is the candidate-sized argmax agg below
+        # (round-4 rework of the former repartition("v"), which moved the
+        # full 2|E| contribution rows every round).
         contrib = (
             sym.where(F.col("src") != F.col("dst"))
             .join(
@@ -364,22 +375,22 @@ def _louvain_local_move(
             )
             .select(F.col("src").alias("v"), "c", "cnt")
         )
+        cand = contrib.groupBy("v", "c").agg(F.sum("cnt").alias("k"))
+        # v's own community joins the candidate set BELOW the aggregation
+        # as a zero-weight row, so it never forces a shuffle of the raw
+        # contributions. When community c also received real contributions
+        # the (v, c, 0) duplicate is strictly dominated by the (v, c, k)
+        # row — same c, score smaller by exactly k ≥ 1 (k enters the score
+        # unnormalized), far above the 9-decimal rounding grain — so the
+        # argmax is unchanged; when it
+        # received none, the zero row is the only own-community candidate,
+        # exactly the semantics the SQL oracle unrolls.
         own = state.select(
-            "v", F.col("label").alias("c"), F.lit(0).cast("long").alias("cnt")
-        )
-        # One shuffle per round, not two: an explicit repartition("v")
-        # satisfies BOTH downstream aggregations' clustering requirements —
-        # hashpartitioning(v) clusters (v, c) for the k_v,c sum AND v for
-        # the argmax — so Catalyst plans them exchange-free on top of it
-        # (measured 7.3s → 5.5s per 3-round phase at sf0.1).
-        cand = (
-            contrib.unionByName(own)
-            .repartition("v")
-            .groupBy("v", "c")
-            .agg(F.sum("cnt").alias("k"))
+            "v", F.col("label").alias("c"), F.lit(0).cast("long").alias("k")
         )
         scored = (
-            cand.join(_bc(sigma, n_verts), "c")
+            cand.unionByName(own)
+            .join(_bc(sigma, n_verts), "c")
             .join(_bc(state, n_verts), "v")
             .select(
                 "v",
