@@ -156,6 +156,22 @@ def _derived_scalar(cat: Catalog, name: str, compute):
     return _SCALAR_CACHE[key]
 
 
+# Session-scoped memo for fitted models and other driver-side objects
+# (same keying as ``_derived``): when two registry queries train the
+# byte-identical seeded estimator on the same input — the explicit ALS of
+# the mse and recommend surfaces, the binary GBT of the classifier and
+# xgboost-fallback workloads — one fit serves both, the model analogue of
+# the reference's load-once-run-many lifecycle.
+_OBJ_CACHE: dict[tuple, object] = {}
+
+
+def _derived_obj(cat: Catalog, name: str, build):
+    key = (cat.spark.sparkContext.applicationId, cat.sf_dir, name)
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = build()
+    return _OBJ_CACHE[key]
+
+
 def copurchase_verts(cat: Catalog) -> DataFrame:
     """Session-shared distinct vertex set of the co-purchase graph."""
     return _derived(cat, "copurchase_verts", lambda: vertices(sym_copurchase(cat)))

@@ -446,12 +446,25 @@ def ml_est_rf_classifier(cat: Catalog) -> DataFrame:
     return _clf_metrics(m.transform(df), "label")
 
 
+def gbt_bin_model(cat: Catalog):
+    """Session-shared binary GBT fit — ``ml_est_gbt_classifier`` and the
+    ``ml_est_xgboost`` GBT fallback train the byte-identical seeded
+    estimator on the same features (``_derived_obj``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
+
+    return _derived_obj(
+        cat,
+        "gbt_bin_model",
+        lambda: GBTClassifier(
+            maxIter=20, maxDepth=5, seed=SEED, labelCol="bin_label"
+        ).fit(_features(cat)),
+    )
+
+
 def ml_est_gbt_classifier(cat: Catalog) -> DataFrame:
     """GBTClassifier on the binary label (``GBDTRunner.scala:167-226``)."""
     df = _features(cat)
-    m = GBTClassifier(
-        maxIter=20, maxDepth=5, seed=SEED, labelCol="bin_label"
-    ).fit(df)
+    m = gbt_bin_model(cat)
     return _clf_metrics(m.transform(df), "bin_label")
 
 
@@ -589,18 +602,41 @@ def ratings_table(cat: Catalog) -> DataFrame:
     return _derived(cat, "ratings_table", build)
 
 
+def _als_explicit_model(cat: Catalog, r: DataFrame):
+    """Session-shared explicit-ALS fit — the mse workload and the
+    recommend surface train the byte-identical seeded estimator on the
+    same ratings; one fit serves both (``_derived_obj``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
+
+    def build():
+        return ALS(
+            rank=8,
+            maxIter=5,
+            seed=SEED,
+            coldStartStrategy="drop",
+            userCol="user",
+            itemCol="item",
+            ratingCol="rating",
+        ).fit(r)
+
+    return _derived_obj(cat, "als_explicit_model", build)
+
+
 def _als_run(cat: Catalog, implicit: bool) -> DataFrame:
     r = spread(ratings_table(cat)).cache()
-    m = ALS(
-        rank=8,
-        maxIter=5,
-        seed=SEED,
-        implicitPrefs=implicit,
-        coldStartStrategy="drop",
-        userCol="user",
-        itemCol="item",
-        ratingCol="rating",
-    ).fit(r)
+    if implicit:
+        m = ALS(
+            rank=8,
+            maxIter=5,
+            seed=SEED,
+            implicitPrefs=True,
+            coldStartStrategy="drop",
+            userCol="user",
+            itemCol="item",
+            ratingCol="rating",
+        ).fit(r)
+    else:
+        m = _als_explicit_model(cat, r)
     pred = m.transform(r)
     mse = pred.agg(
         F.avg(
@@ -668,15 +704,7 @@ def ml_est_als_recommend(cat: Catalog) -> DataFrame:
     (``ALSRunner.scala`` predicts held-out ratings; ``recommendForAllUsers``
     is the spark.ml API for the same factors)."""
     r = spread(ratings_table(cat)).cache()
-    m = ALS(
-        rank=8,
-        maxIter=5,
-        seed=SEED,
-        coldStartStrategy="drop",
-        userCol="user",
-        itemCol="item",
-        ratingCol="rating",
-    ).fit(r)
+    m = _als_explicit_model(cat, r)
     users = r.select("user").distinct().orderBy("user").limit(50)
     recs = m.recommendForUserSubset(users, 3)
     # The fit materialized everything it needs into the model factors; the

@@ -103,11 +103,13 @@ def ml_est_xgboost(cat: Catalog) -> DataFrame:
         ).fit(df)
         backend = "xgboost"
     except ImportError:
-        from pyspark.ml.classification import GBTClassifier
+        from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+            gbt_bin_model,
+        )
 
-        model = GBTClassifier(
-            maxIter=20, maxDepth=5, seed=2020, labelCol="bin_label"
-        ).fit(df)
+        # Same seeded estimator + input as ml_est_gbt_classifier — the
+        # session-shared fit serves both workloads.
+        model = gbt_bin_model(cat)
         backend = "gbt-fallback"
     pred = model.transform(df)
     acc = MulticlassClassificationEvaluator(
