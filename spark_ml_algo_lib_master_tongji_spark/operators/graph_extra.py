@@ -474,12 +474,18 @@ def louvain(cat: Catalog) -> DataFrame:
     )
     # Cache the coarse edge list: the level-2 loop scans it once for its
     # wdeg seed and once per round — uncached, each scan replays the two
-    # broadcast joins + aggregation over the full sym list.
+    # broadcast joins + aggregation over the full sym list. Repartitioned
+    # on src like the level-1 list: at sf0.1 the coarse graph is still
+    # ~0.9M edges, and without the explicit partitioning the level-2
+    # k_v,c aggregations shuffle it every round ((src,dst)-keyed agg
+    # output does not satisfy the (v,c) clustering) — measured 4.3s → 2.6s
+    # for the 2-round coarse phase.
     coarse = _cached(
         sym.join(_bc(l1.toDF("sv", "c1"), n_verts), sym.src == F.col("sv"))
         .join(_bc(l1.toDF("dv", "c2"), n_verts), sym.dst == F.col("dv"))
         .groupBy(F.col("c1").alias("src"), F.col("c2").alias("dst"))
         .agg(F.sum("cnt").alias("cnt"))
+        .repartition("src")
     )
     l2 = _louvain_local_move(coarse, two_m, n_verts, rounds=LOUVAIN_L2_ROUNDS)
     composed = _cached(
