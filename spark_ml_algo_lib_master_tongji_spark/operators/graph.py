@@ -858,13 +858,15 @@ def _closure(edges: DataFrame, doublings: int = CLOSURE_DOUBLINGS) -> DataFrame:
     )
 
 
-def scc(edges: DataFrame) -> DataFrame:
+def scc(edges: DataFrame, reach: DataFrame | None = None) -> DataFrame:
     """Strongly connected components by mutual reachability over the exact
     transitive closure → (v, label = min mutually-reachable id, self
     included). ``StronglyConnectedComponentsRunner.scala:68`` semantics;
     valid for small-diameter graphs (nation trade graph, ≤ 25 vertices —
-    the closure doubles past the diameter)."""
-    r = _cached(_closure(edges))
+    the closure doubles past the diameter). Pass ``reach`` (a complete
+    (src, dst) reachability relation, e.g. the pair set of the shared
+    min-plus closure) to skip the closure loop."""
+    r = _cached(_closure(edges)) if reach is None else reach
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -879,11 +881,11 @@ def scc(edges: DataFrame) -> DataFrame:
     )
 
 
-def closeness(edges: DataFrame) -> DataFrame:
-    """Out-closeness on the directed graph via exact min-plus closure →
-    (v, closeness = reached / Σ dist), vertices reaching nobody omitted.
-    ``ClosenessRunner.scala:108-110`` (BoostKit sampled closeness; here
-    exact — the ratio param is 1.0)."""
+def min_plus_closure(
+    edges: DataFrame, doublings: int = CLOSURE_DOUBLINGS
+) -> DataFrame:
+    """All-pairs shortest hop counts (src, dst, dist) by min-plus repeated
+    squaring — exact once the doubling passes the diameter (probed)."""
 
     def step(d: DataFrame, _i: int) -> DataFrame:
         a = d.toDF("src", "mid", "d1")
@@ -896,12 +898,22 @@ def closeness(edges: DataFrame) -> DataFrame:
     d0 = edges.select("src", "dst", F.lit(1).cast("long").alias("dist"))
     # Pair set grows; given equal counts only per-pair dist decreases can
     # remain, so (count, Σdist) equality ⟺ fixed point.
-    d = iterate(
+    return iterate(
         d0,
         step,
-        CLOSURE_DOUBLINGS,
+        doublings,
         verify_fixpoint=stat_fixpoint_probe("count(1)", "sum(dist)"),
     )
+
+
+def closeness(edges: DataFrame, d: DataFrame | None = None) -> DataFrame:
+    """Out-closeness on the directed graph via exact min-plus closure →
+    (v, closeness = reached / Σ dist), vertices reaching nobody omitted.
+    ``ClosenessRunner.scala:108-110`` (BoostKit sampled closeness; here
+    exact — the ratio param is 1.0). Pass ``d`` (a complete (src, dst,
+    dist) closure, e.g. the session-shared one) to skip the loop."""
+    if d is None:
+        d = min_plus_closure(edges)
     return (
         d.where(F.col("src") != F.col("dst"))
         .groupBy(F.col("src").alias("v"))
@@ -1171,12 +1183,25 @@ def graph_modularity(cat: Catalog) -> DataFrame:
     return modularity(copurchase_pairs(cat), lpa_communities(cat))
 
 
+def _nation_closure(cat: Catalog) -> DataFrame:
+    """Session-shared min-plus closure of the nation trade graph: its pair
+    set IS the transitive closure, so closeness (distances) and SCC
+    (mutual reachability) both read one materialized loop."""
+    return _derived(
+        cat,
+        "nation_minplus_closure",
+        lambda: min_plus_closure(nation_trade_edges(cat)),
+    )
+
+
 def graph_scc_nation(cat: Catalog) -> DataFrame:
-    return scc(nation_trade_edges(cat))
+    return scc(
+        nation_trade_edges(cat), reach=_nation_closure(cat).select("src", "dst")
+    )
 
 
 def graph_closeness_nation(cat: Catalog) -> DataFrame:
-    return closeness(nation_trade_edges(cat))
+    return closeness(nation_trade_edges(cat), d=_nation_closure(cat))
 
 
 def graph_degrees_nation(cat: Catalog) -> DataFrame:
