@@ -398,7 +398,17 @@ def dedup_minhash_groups(cat: Catalog) -> DataFrame:
     near-dups A~B~C collapse into one group even when A≁C directly);
     canonical = the smallest doc_id of the group; singletons map to
     themselves. Scale: the component loop runs on the *pair graph* —
-    collision-bounded, tiny relative to the corpus — never on documents."""
+    collision-bounded, tiny relative to the corpus — never on documents.
+
+    The finished mapping is session-shared (``_derived``): the
+    training-mix pipeline filters on this exact relation, so the
+    component loop runs once per session."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(cat, "minhash_groups", lambda: _minhash_groups_build(cat))
+
+
+def _minhash_groups_build(cat: Catalog) -> DataFrame:
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
         connected_components,
     )
