@@ -119,6 +119,48 @@ def _reg_metrics(pred: DataFrame, label_col: str) -> DataFrame:
     )
 
 
+def _mllib_emb_rdd(cat: Catalog):
+    """Session-shared cached RDD[mllib Vector] over the full embeddings —
+    the kmeans/pca/svd RDD dispatch arms all pay the identical per-row
+    Python vector conversion; one materialized RDD serves the family
+    (stays cached for the session: |embeddings| is bounded)."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
+
+    def build():
+        rdd = (
+            spread(cat.embeddings)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .rdd.map(lambda r: OldVectors.dense(r["v"]))
+            .cache()
+        )
+        rdd.count()
+        return rdd
+
+    return _derived_obj(cat, "mllib_emb_rdd", build)
+
+
+def _mllib_lineitem_rdd(cat: Catalog, cols: tuple[str, ...]):
+    """Session-shared cached RDD[mllib Vector] of lineitem numeric columns
+    — the covariance and pearson RDD arms map the same 600k rows through
+    the same Python lambda; ~40 MB cached, built once."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
+
+    def build():
+        rdd = (
+            spread(cat.lineitem.select(*cols))
+            .rdd.map(lambda r: OldVectors.dense([r[c] for c in cols]))
+            .cache()
+        )
+        rdd.count()
+        return rdd
+
+    return _derived_obj(cat, f"mllib_lineitem_rdd_{'_'.join(cols)}", build)
+
+
 # ---- clustering ------------------------------------------------------------
 
 
@@ -142,20 +184,13 @@ def ml_est_kmeans_rdd(cat: Catalog) -> DataFrame:
     cross-checks WSSSE against the DataFrame estimator within the
     reference's 0.5% scalar tolerance."""
     from pyspark.mllib.clustering import KMeans as MllibKMeans
-    from pyspark.mllib.linalg import Vectors as OldVectors
 
-    rdd = (
-        spread(cat.embeddings)
-        .select(F.col("embedding").cast("array<double>").alias("v"))
-        .rdd.map(lambda r: OldVectors.dense(r["v"]))
-        .cache()
-    )
+    rdd = _mllib_emb_rdd(cat)  # session-shared, stays cached
     model = MllibKMeans.train(
         rdd, k=8, maxIterations=10, seed=SEED, initializationMode="k-means||"
     )
     wssse = model.computeCost(rdd)
     n = rdd.count()
-    rdd.unpersist(blocking=False)  # per-invocation cache — metrics are scalars
     return cat.spark.createDataFrame(
         [(8, round(float(wssse), 2), n)], "k int, wssse double, n long"
     )
@@ -166,14 +201,10 @@ def ml_est_pearson_rdd(cat: Catalog) -> DataFrame:
     dispatches the same statistic through both APIs) → long-format
     (i, j, corr); pytest checks it equals the DataFrame-aggregate Pearson
     within 1e-6."""
-    from pyspark.mllib.linalg import Vectors as OldVectors
     from pyspark.mllib.stat import Statistics
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    rdd = (
-        spread(cat.lineitem.select(*cols))
-        .rdd.map(lambda r: OldVectors.dense([r[c] for c in cols]))
-    )
+    rdd = _mllib_lineitem_rdd(cat, tuple(cols))
     m = Statistics.corr(rdd, method="pearson")
     out = [
         (i, j, round(float(m[i][j]), 6))
@@ -341,16 +372,10 @@ def ml_est_pca_rdd(cat: Catalog) -> DataFrame:
     explained_variance): variance of the projected columns over total
     input variance — numerically the same spectrum as the DF arm's
     ``explainedVariance`` (pytest compares within 1e-4)."""
-    from pyspark.mllib.linalg import Vectors as OldVectors
     from pyspark.mllib.linalg.distributed import RowMatrix
     from pyspark.mllib.stat import Statistics
 
-    rdd = (
-        spread(cat.embeddings)
-        .select(F.col("embedding").cast("array<double>").alias("v"))
-        .rdd.map(lambda r: OldVectors.dense(r["v"]))
-        .cache()
-    )
+    rdd = _mllib_emb_rdd(cat)  # session-shared, stays cached
     mat = RowMatrix(rdd)
     pcs = mat.computePrincipalComponents(4)
     total_var = float(sum(Statistics.colStats(rdd).variance()))
@@ -359,7 +384,6 @@ def ml_est_pca_rdd(cat: Catalog) -> DataFrame:
     rows = [
         (i, round(float(v) / total_var, 6)) for i, v in enumerate(proj_var)
     ]
-    rdd.unpersist(blocking=False)  # per-invocation cache
     return cat.spark.createDataFrame(
         rows, "component int, explained_variance double"
     )
@@ -540,14 +564,9 @@ def ml_est_svd(cat: Catalog) -> DataFrame:
     """Truncated SVD singular values via RowMatrix.computeSVD
     (``SVDRunner.scala:120-155``; mllib RDD API — no DF equivalent in
     PySpark, mirroring the reference's use)."""
-    from pyspark.mllib.linalg import Vectors as OldVectors
     from pyspark.mllib.linalg.distributed import RowMatrix
 
-    rows = (
-        spread(cat.embeddings)
-        .select(F.col("embedding").cast("array<double>").alias("v"))
-        .rdd.map(lambda r: OldVectors.dense(r["v"]))
-    )
+    rows = _mllib_emb_rdd(cat)  # session-shared, stays cached
     svd = RowMatrix(rows).computeSVD(5, computeU=False)
     out = [(i, round(float(s), 4)) for i, s in enumerate(svd.s)]
     return cat.spark.createDataFrame(out, "component int, singular_value double")
@@ -556,14 +575,10 @@ def ml_est_svd(cat: Catalog) -> DataFrame:
 def ml_est_covariance(cat: Catalog) -> DataFrame:
     """RowMatrix.computeCovariance (``CovRunner.scala:93-116``) over the
     lineitem numeric columns → long-format (i, j, cov)."""
-    from pyspark.mllib.linalg import Vectors as OldVectors
     from pyspark.mllib.linalg.distributed import RowMatrix
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    rows = (
-        spread(cat.lineitem.select(*cols))
-        .rdd.map(lambda r: OldVectors.dense([r[c] for c in cols]))
-    )
+    rows = _mllib_lineitem_rdd(cat, tuple(cols))
     cov = RowMatrix(rows).computeCovariance().toArray()
     out = [
         (i, j, round(float(cov[i][j]), 4))
