@@ -89,23 +89,18 @@ def copurchase_pairs(cat: Catalog) -> DataFrame:
     """Canonical undirected part co-purchase edges (src < dst, cnt ≥ 1).
 
     Maps the reference's edge-list load (``graph/Util.scala:106-136``:
-    comment filter, self-loop drop) onto a relational derivation: the
-    self-join on l_orderkey is a co-partitioned shuffle join; `<` drops
-    self-loops; groupBy dedups parallel edges into a weight (the
-    ``groupEdges`` of ``KcoreMain.scala:117-120``)."""
-
-    def build() -> DataFrame:
-        li = cat.lineitem.select("l_orderkey", "l_partkey")
-        a = li.toDF("ok", "src")
-        b = li.toDF("ok", "dst")
-        return (
-            a.join(b, "ok")
-            .where(F.col("src") < F.col("dst"))
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    return _derived(cat, "copurchase_pairs", build)
+    comment filter, self-loop drop) onto a relational derivation; groupBy
+    dedups parallel edges into a weight (the ``groupEdges`` of
+    ``KcoreMain.scala:117-120``). The canonical list is the ``src < dst``
+    half of the session-shared symmetric list — one graph-load job feeds
+    both shapes (the symmetric cnt(x→y) equals the canonical cnt(x,y):
+    each unordered lineitem row pair appears exactly once per direction
+    in the self-join product)."""
+    return _derived(
+        cat,
+        "copurchase_pairs",
+        lambda: sym_copurchase(cat).where(F.col("src") < F.col("dst")),
+    )
 
 
 def symmetrize(pairs: DataFrame) -> DataFrame:
@@ -126,17 +121,35 @@ def sym_copurchase(cat: Catalog) -> DataFrame:
     "load the graph once, run many algorithms" lifecycle of the reference
     (``graph/Util.scala:106-136``).
 
-    Persisted hash-partitioned on ``src`` (one shuffle at derivation):
-    hashpartitioning(src) satisfies the clustered distribution of every
-    downstream src-keyed aggregation — degrees, the node2vec adjacency
-    collect_list, and Louvain's per-round k_v,c sum (whose input keeps
-    this partitioning through the broadcast join) — so those plans are
-    exchange-free over the dominant |E|-row relation."""
-    return _derived(
-        cat,
-        "sym_copurchase",
-        lambda: symmetrize(copurchase_pairs(cat)).repartition("src"),
-    )
+    Persisted hash-partitioned on ``src``: hashpartitioning(src) satisfies
+    the clustered distribution of every downstream src-keyed aggregation —
+    degrees, the node2vec adjacency collect_list, and Louvain's per-round
+    k_v,c sum (whose input keeps this partitioning through the broadcast
+    join) — so those plans are exchange-free over the dominant |E|-row
+    relation.
+
+    Built in ONE shuffle past the self-join (round-4 load-path cut): the
+    repartition("src") runs BEFORE the parallel-edge aggregation, and
+    hashpartitioning(src) satisfies the (src, dst) clustered distribution,
+    so the groupBy is exchange-free and its output lands already
+    partitioned the way consumers need. The former chain (canonical agg →
+    cache → union both directions → repartition → cache) shuffled the edge
+    multiset twice and materialized it twice; co-purchase weights are
+    mostly 1, so the forgone map-side partial aggregation costs ~nothing."""
+
+    def build() -> DataFrame:
+        li = cat.lineitem.select("l_orderkey", "l_partkey")
+        a = li.toDF("ok", "src")
+        b = li.toDF("ok", "dst")
+        return (
+            a.join(b, "ok")
+            .where(F.col("src") != F.col("dst"))
+            .repartition("src")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return _derived(cat, "sym_copurchase", build)
 
 
 def vertices(edges: DataFrame) -> DataFrame:

@@ -27,7 +27,6 @@ from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
     degrees,
     nation_trade_edges,
     sym_copurchase,
-    symmetrize,
     vertices,
 )
 from spark_ml_algo_lib_master_tongji_spark.plans.iterative import (
@@ -58,18 +57,21 @@ H_A, H_B, H_C = 1315423911, 2654435761, 97531
 
 
 def prior_copurchase_pairs(cat: Catalog) -> DataFrame:
-    """Co-purchase edges restricted to lineitems shipped before INC_CUTOFF —
-    the 'previous snapshot' whose ranks seed the incremental run
-    (``IncPageRankRunner.scala:102-114``: ORC graph with per-vertex status
-    + previous pr)."""
+    """SYMMETRIC co-purchase edges restricted to lineitems shipped before
+    INC_CUTOFF — the 'previous snapshot' whose ranks seed the incremental
+    run (``IncPageRankRunner.scala:102-114``: ORC graph with per-vertex
+    status + previous pr). Both directions, ready for the PR loop."""
     li = cat.lineitem.where(
         F.col("l_shipdate") < F.lit(INC_CUTOFF).cast("timestamp")
     ).select("l_orderkey", "l_partkey")
     a = li.toDF("ok", "src")
     b = li.toDF("ok", "dst")
+    # Symmetric in one shuffle chain, same shape as ``sym_copurchase``:
+    # repartition(src) before the agg keeps the groupBy exchange-free.
     return (
         a.join(b, "ok")
-        .where(F.col("src") < F.col("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .repartition("src")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -82,7 +84,7 @@ def incremental_pagerank(cat: Catalog) -> DataFrame:
     Deviation: BoostKit recomputes just the dirty subgraph; the warm start
     is the portable DataFrame equivalent — fewer full-graph rounds instead
     of a partial-graph recompute."""
-    prior_edges = _cached(symmetrize(prior_copurchase_pairs(cat)))
+    prior_edges = _cached(prior_copurchase_pairs(cat))
     pverts = vertices(prior_edges)
     pn = pverts.count()
     if pn > 0:
