@@ -230,10 +230,13 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def nation_trade_edges(cat: Catalog) -> DataFrame:
-    """Directed nation→nation trade edges (customer nation → supplier
-    nation), distinct, self-loops dropped — the string-keyed Hive graph
-    path of ``PageRankHiveRunner.scala:39-45`` re-expressed as joins."""
+def nation_trade_weighted(cat: Catalog) -> DataFrame:
+    """Directed nation→nation trade edges with lineitem multiplicity as the
+    weight (src, dst, w), self-loops dropped — ONE 4-table join shared by
+    every nation-graph consumer; the unweighted/distinct shape is a
+    projection of this (the string-keyed Hive graph path of
+    ``PageRankHiveRunner.scala:39-45`` re-expressed as joins)."""
+
     def build() -> DataFrame:
         li = cat.lineitem.select("l_orderkey", "l_suppkey")
         o = cat.orders.select("o_orderkey", "o_custkey")
@@ -244,14 +247,24 @@ def nation_trade_edges(cat: Catalog) -> DataFrame:
             .join(c, o.o_custkey == c.c_custkey)
             .join(s, li.l_suppkey == s.s_suppkey)
             .where(F.col("c_nationkey") != F.col("s_nationkey"))
-            .select(
+            .groupBy(
                 F.col("c_nationkey").cast("long").alias("src"),
                 F.col("s_nationkey").cast("long").alias("dst"),
             )
-            .distinct()
+            .agg(F.count(F.lit(1)).alias("w"))
         )
 
-    return _derived(cat, "nation_trade_edges", build)
+    return _derived(cat, "nation_trade_weighted", build)
+
+
+def nation_trade_edges(cat: Catalog) -> DataFrame:
+    """Directed nation→nation trade edges (src, dst), distinct, self-loops
+    dropped — the weight projection of the shared weighted derivation."""
+    return _derived(
+        cat,
+        "nation_trade_edges",
+        lambda: nation_trade_weighted(cat).select("src", "dst"),
+    )
 
 
 def _cached(df: DataFrame) -> DataFrame:

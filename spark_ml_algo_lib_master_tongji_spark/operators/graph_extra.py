@@ -136,21 +136,11 @@ def cycle_detection(cat: Catalog) -> DataFrame:
     consecutive edge-weight ratio (cyclically, so rotation-invariant) must
     lie in [RATE_MIN, RATE_MAX]. Cycles canonicalized to start at their
     minimum vertex (direction fixed by the edges)."""
-    li = cat.lineitem.select("l_orderkey", "l_suppkey")
-    o = cat.orders.select("o_orderkey", "o_custkey")
-    c = cat.customer.select("c_custkey", "c_nationkey")
-    s = cat.supplier.select("s_suppkey", "s_nationkey")
-    e = _cached(
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").cast("long").alias("src"),
-            F.col("s_nationkey").cast("long").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        nation_trade_weighted,
     )
+
+    e = nation_trade_weighted(cat)
 
     def ok(wa, wb):
         r = wb / wa
