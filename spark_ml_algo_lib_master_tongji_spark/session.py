@@ -52,6 +52,12 @@ def get_session(
         )
         # Arrow for every pandas interchange (pandas_udf, applyInPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Kryo for RDD-layer data (mllib dispatch arms shuffle/cache JVM
+        # vector and rating objects; JavaSerializer is the Spark default
+        # there and measurably slower — A/B at sf0.1: the five RDD-arm
+        # workloads 42.6s → 34.1s, PCA's RowMatrix gram pass halved).
+        # DataFrame exchanges use UnsafeRow and are unaffected.
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # Iterative graph/ML loops checkpoint through this directory to cut
         # lineage; harmless for pure relational work.
         .config("spark.checkpoint.compress", "true")
