@@ -82,3 +82,40 @@ def test_pair_kernels_plan_no_cartesian(spark, query, allow_bnlj):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{query} planned a broadcast nested-loop join"
         )
+
+
+def test_sym_copurchase_single_shuffle_load(spark):
+    """The graph load aggregates the symmetric edge list exchange-free
+    after its explicit repartition(src): exactly ONE shuffle may follow
+    the self-join in the physical plan (the repartition), because
+    hashpartitioning(src) satisfies the (src, dst) clustering of the
+    parallel-edge groupBy. A second post-join exchange means the agg
+    stopped reusing the partitioning and the load doubled its shuffle
+    volume."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, SF_SMOKE)
+    li = cat.lineitem.select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "src")
+    b = li.toDF("ok", "dst")
+    sym = (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    physical = _full_plan(sym).split("== Physical Plan ==")[-1]
+    # Exchanges: 1-2 for the self-join inputs (both sides hash on ok; a
+    # reused exchange may collapse them) + exactly 1 for repartition(src).
+    # The groupBy must NOT add one.
+    n_exchanges = physical.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, (
+        f"symmetric load plans {n_exchanges} hash exchanges — the groupBy "
+        "stopped reusing the repartition(src) partitioning:\n" + physical
+    )
+    assert physical.count("Exchange hashpartitioning(src") == 1, (
+        "exactly one src-keyed exchange (the explicit repartition) expected"
+    )
