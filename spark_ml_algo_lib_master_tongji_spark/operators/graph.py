@@ -230,6 +230,13 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def copurchase_degrees(cat: Catalog) -> DataFrame:
+    """Session-shared (v, deg, wdeg) over the co-purchase graph — the
+    degree query and Louvain's loop seed / Q-gate input are the same
+    exchange-free aggregation over the src-partitioned shared edge list."""
+    return _derived(cat, "copurchase_degrees", lambda: degrees(sym_copurchase(cat)))
+
+
 def nation_trade_weighted(cat: Catalog) -> DataFrame:
     """Directed nation→nation trade edges with lineitem multiplicity as the
     weight (src, dst, w), self-loops dropped — ONE 4-table join shared by
@@ -810,12 +817,14 @@ def triangles(pairs: DataFrame) -> DataFrame:
     )
 
 
-def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+def clustering_coefficient(pairs: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Local clustering coefficient → (v, lcc): 2·tri(v) / (deg·(deg−1)),
     0.0 when deg < 2 (``ClusteringCoefficientRunner.scala:104-113``
-    ``runLocalClusteringCoefficient``)."""
+    ``runLocalClusteringCoefficient``). Pass ``deg`` (v, deg) to reuse a
+    shared degree relation (distinct-neighbor count is weight-invariant)."""
     tri = triangles(pairs)
-    deg = degrees(symmetrize(pairs.withColumn("cnt", F.lit(1)))).select("v", "deg")
+    if deg is None:
+        deg = degrees(symmetrize(pairs.withColumn("cnt", F.lit(1)))).select("v", "deg")
     return tri.join(deg, "v").select(
         "v",
         round_half_up(
@@ -829,14 +838,22 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
     )
 
 
-def modularity(pairs: DataFrame, communities: DataFrame) -> DataFrame:
+def modularity(
+    pairs: DataFrame,
+    communities: DataFrame,
+    deg: DataFrame | None = None,
+    m: int | None = None,
+) -> DataFrame:
     """Modularity Q of a community assignment → one row (modularity).
     ``ModularityRunner.scala:84`` (``Modularity.run``): Q = Σ_c [L_c/m −
-    (D_c/2m)²] on the unweighted undirected graph."""
-    # Degrees need one pass over the symmetrized list — no persist (the
-    # relation is scanned exactly once here; caching it only cost memory).
-    edges = symmetrize(pairs.withColumn("cnt", F.lit(1)))
-    m = pairs.count()
+    (D_c/2m)²] on the unweighted undirected graph. Pass ``deg``/``m`` to
+    reuse session-shared degree rows and edge count."""
+    if deg is None:
+        # Degrees need one pass over the symmetrized list — no persist (the
+        # relation is scanned exactly once here; caching only costs memory).
+        deg = degrees(symmetrize(pairs.withColumn("cnt", F.lit(1)))).select("v", "deg")
+    if m is None:
+        m = pairs.count()
     lab = communities.select("v", "label")
     intra = (
         pairs.join(lab.toDF("v", "lsrc"), pairs.src == F.col("v"))
@@ -847,7 +864,7 @@ def modularity(pairs: DataFrame, communities: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("lc"))
     )
     degc = (
-        degrees(edges)
+        deg
         .join(lab, "v")
         .groupBy("label")
         .agg(F.sum("deg").alias("dc"))
@@ -1117,7 +1134,7 @@ def graph_edges(cat: Catalog) -> DataFrame:
 
 
 def graph_degrees(cat: Catalog) -> DataFrame:
-    return degrees(sym_copurchase(cat))
+    return copurchase_degrees(cat)
 
 
 def graph_pagerank(cat: Catalog) -> DataFrame:
@@ -1202,11 +1219,30 @@ def graph_triangle_count(cat: Catalog) -> DataFrame:
 
 
 def graph_clustering_coefficient(cat: Catalog) -> DataFrame:
-    return clustering_coefficient(copurchase_pairs(cat))
+    return clustering_coefficient(
+        copurchase_pairs(cat), deg=copurchase_degrees(cat).select("v", "deg")
+    )
+
+
+def copurchase_edge_stats(cat: Catalog) -> tuple[int, float]:
+    """Session-shared (m = canonical edge count, w = total weight)."""
+    def compute():
+        r = copurchase_pairs(cat).agg(
+            F.count(F.lit(1)).alias("m"), F.sum("cnt").alias("w")
+        ).collect()[0]
+        return (int(r["m"]), float(r["w"] or 0.0))
+
+    return _derived_scalar(cat, "copurchase_edge_stats", compute)
 
 
 def graph_modularity(cat: Catalog) -> DataFrame:
-    return modularity(copurchase_pairs(cat), lpa_communities(cat))
+    m, _w = copurchase_edge_stats(cat)
+    return modularity(
+        copurchase_pairs(cat),
+        lpa_communities(cat),
+        deg=copurchase_degrees(cat).select("v", "deg"),
+        m=m,
+    )
 
 
 def _nation_closure(cat: Catalog) -> DataFrame:

@@ -23,6 +23,7 @@ from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
     _cached,
     _derived,
     _pagerank_loop,
+    copurchase_degrees,
     copurchase_pairs,
     degrees,
     nation_trade_edges,
@@ -449,16 +450,17 @@ def louvain(cat: Catalog) -> DataFrame:
     coarse level runs LOUVAIN_L2_ROUNDS (< LOUVAIN_ROUNDS) rounds — on
     the coarse graph most moves happen in the first round, and the SQL
     oracle unrolls exactly the same count."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_edge_stats,
+    )
+
     pairs = copurchase_pairs(cat)
-    stats = pairs.agg(
-        F.count(F.lit(1)).alias("m"), F.sum("cnt").alias("w")
-    ).collect()[0]
-    m, two_m = int(stats["m"]), 2.0 * float(stats["w"])
+    m, w = copurchase_edge_stats(cat)
+    two_m = 2.0 * w
     sym = sym_copurchase(cat)
-    vdeg = _cached(
-        sym.groupBy(F.col("src").alias("v")).agg(
-            F.sum("cnt").alias("wv"), F.count(F.lit(1)).alias("deg")
-        )
+    # Session-shared (v, deg, wdeg) — same relation graph_degrees serves.
+    vdeg = copurchase_degrees(cat).select(
+        "v", F.col("wdeg").alias("wv"), "deg"
     )
     n_verts = vdeg.count()
     l1 = _cached(
