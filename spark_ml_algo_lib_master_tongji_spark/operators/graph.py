@@ -817,12 +817,18 @@ def triangles(pairs: DataFrame) -> DataFrame:
     )
 
 
-def clustering_coefficient(pairs: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+def clustering_coefficient(
+    pairs: DataFrame,
+    deg: DataFrame | None = None,
+    tri: DataFrame | None = None,
+) -> DataFrame:
     """Local clustering coefficient → (v, lcc): 2·tri(v) / (deg·(deg−1)),
     0.0 when deg < 2 (``ClusteringCoefficientRunner.scala:104-113``
-    ``runLocalClusteringCoefficient``). Pass ``deg`` (v, deg) to reuse a
-    shared degree relation (distinct-neighbor count is weight-invariant)."""
-    tri = triangles(pairs)
+    ``runLocalClusteringCoefficient``). Pass ``deg`` (v, deg) / ``tri``
+    (v, triangles) to reuse shared relations (the degree's distinct-
+    neighbor count is weight-invariant)."""
+    if tri is None:
+        tri = triangles(pairs)
     if deg is None:
         deg = degrees(symmetrize(pairs.withColumn("cnt", F.lit(1)))).select("v", "deg")
     return tri.join(deg, "v").select(
@@ -1013,6 +1019,16 @@ def csr_broadcast(pairs: DataFrame):
     return pairs.sparkSession.sparkContext.broadcast((indptr, nbrs)), n
 
 
+def copurchase_csr(cat: Catalog):
+    """Session-shared CSR broadcast of the co-purchase adjacency →
+    ((broadcast, n_vertices)). Sampled betweenness and the subgraph-match
+    kernel ship the identical adjacency; one driver materialization +
+    broadcast serves both (callers must NOT unpersist it)."""
+    return _derived_scalar(
+        cat, "copurchase_csr", lambda: csr_broadcast(copurchase_pairs(cat))
+    )
+
+
 def _match_counts_wedge_join(pairs: DataFrame) -> tuple[int, int]:
     """(triangles, four_cycles) by relational joins — the sparse/large-graph
     strategy. Work is Σ C(deg,2) wedge rows; the (u,w) aggregation shuffles
@@ -1042,7 +1058,7 @@ def _match_counts_wedge_join(pairs: DataFrame) -> tuple[int, int]:
     return int(tri_n), int(sq)
 
 
-def _match_counts_csr_kernel(pairs: DataFrame) -> tuple[int, int]:
+def _match_counts_csr_kernel(pairs: DataFrame, csr=None) -> tuple[int, int]:
     """(triangles, four_cycles) by a broadcast-CSR bincount kernel — the
     dense/moderate-graph strategy.
 
@@ -1068,7 +1084,7 @@ def _match_counts_csr_kernel(pairs: DataFrame) -> tuple[int, int]:
     import pandas as pd
 
     spark = pairs.sparkSession
-    bc, n = csr_broadcast(pairs)
+    bc, n = csr_broadcast(pairs) if csr is None else csr
 
     def kern(pdf_iter):
         ip, nb = bc.value
@@ -1098,12 +1114,13 @@ def _match_counts_csr_kernel(pairs: DataFrame) -> tuple[int, int]:
         .agg(F.sum("sq").alias("sq"), F.sum("tri").alias("tri"))
         .collect()[0]
     )
-    bc.unpersist(blocking=False)
+    if csr is None:  # session-shared broadcasts outlive this call
+        bc.unpersist(blocking=False)
     return int(totals["tri"]) // 3, int(totals["sq"]) // 2
 
 
 def subgraph_match_counts(
-    pairs: DataFrame, adj_bc_max_edges: int = ADJ_BC_MAX_EDGES
+    pairs: DataFrame, adj_bc_max_edges: int = ADJ_BC_MAX_EDGES, csr=None
 ) -> DataFrame:
     """Template match counts on the co-purchase graph → rows
     (template, matches) for the triangle and 4-cycle templates —
@@ -1117,7 +1134,7 @@ def subgraph_match_counts(
     produce identical exact counts."""
     n_edges = pairs.count()
     if n_edges <= adj_bc_max_edges:
-        tri_n, sq = _match_counts_csr_kernel(pairs)
+        tri_n, sq = _match_counts_csr_kernel(pairs, csr=csr)
     else:
         tri_n, sq = _match_counts_wedge_join(pairs)
     spark = pairs.sparkSession
@@ -1214,13 +1231,23 @@ def graph_kcore(cat: Catalog) -> DataFrame:
     return kcore(sym_copurchase(cat))
 
 
+def copurchase_triangles(cat: Catalog) -> DataFrame:
+    """Session-shared per-vertex triangle counts — the triangle-count query
+    and the clustering coefficient consume the identical relation."""
+    return _derived(
+        cat, "copurchase_triangles", lambda: triangles(copurchase_pairs(cat))
+    )
+
+
 def graph_triangle_count(cat: Catalog) -> DataFrame:
-    return triangles(copurchase_pairs(cat))
+    return copurchase_triangles(cat)
 
 
 def graph_clustering_coefficient(cat: Catalog) -> DataFrame:
     return clustering_coefficient(
-        copurchase_pairs(cat), deg=copurchase_degrees(cat).select("v", "deg")
+        copurchase_pairs(cat),
+        deg=copurchase_degrees(cat).select("v", "deg"),
+        tri=copurchase_triangles(cat),
     )
 
 
@@ -1271,7 +1298,11 @@ def graph_degrees_nation(cat: Catalog) -> DataFrame:
 
 
 def graph_subgraph_matching(cat: Catalog) -> DataFrame:
-    return subgraph_match_counts(copurchase_pairs(cat))
+    pairs = copurchase_pairs(cat)
+    # Share the CSR broadcast with sampled betweenness, but only when the
+    # kernel strategy would fire anyway (the gate re-checks inside).
+    csr = copurchase_csr(cat) if pairs.count() <= ADJ_BC_MAX_EDGES else None
+    return subgraph_match_counts(pairs, csr=csr)
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)

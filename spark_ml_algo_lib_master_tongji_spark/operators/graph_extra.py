@@ -818,6 +818,7 @@ def betweenness_sampled(
     n_samples: int = BETW_SAMPLES,
     top_k: int = BETW_TOPK,
     adj_bc_max_edges: int | None = None,
+    csr=None,
 ) -> DataFrame:
     """Sampled Brandes betweenness on an undirected pair graph → top-k
     (v, betweenness_est) — the BoostKit estimator shape
@@ -867,7 +868,7 @@ def betweenness_sampled(
             "betweenness() or raise adj_bc_max_edges on a larger driver"
         )
     spark = pairs.sparkSession
-    bc, n = csr_broadcast(pairs)
+    bc, n = csr_broadcast(pairs) if csr is None else csr
     verts = vertices(
         pairs.select("src", "dst").withColumn("cnt", F.lit(1))
     )
@@ -968,7 +969,16 @@ def graph_betweenness(cat: Catalog) -> DataFrame:
 
 
 def graph_betweenness_sampled(cat: Catalog) -> DataFrame:
-    return betweenness_sampled(copurchase_pairs(cat))
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        ADJ_BC_MAX_EDGES,
+        copurchase_csr,
+    )
+
+    pairs = copurchase_pairs(cat)
+    # Session-shared CSR (also used by subgraph matching) when the gate
+    # admits it; the in-function gate still enforces the ceiling.
+    csr = copurchase_csr(cat) if pairs.count() <= ADJ_BC_MAX_EDGES else None
+    return betweenness_sampled(pairs, csr=csr)
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)
