@@ -97,7 +97,13 @@ def test_sym_copurchase_single_shuffle_load(spark):
     from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
     cat = Catalog(spark, SF_SMOKE)
-    li = cat.lineitem.select("l_orderkey", "l_partkey")
+    # Filtered base so the expression can NEVER match the session-cached
+    # sym_copurchase fragment: the cache manager would otherwise substitute
+    # an InMemoryTableScan whose *stored* plan string double-counts the
+    # exchanges this test asserts on (flaked under full-suite ordering).
+    li = cat.lineitem.where(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
     a = li.toDF("ok", "src")
     b = li.toDF("ok", "dst")
     sym = (
