@@ -794,11 +794,28 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
 # ---- triangle family (§2.3 #13-14) ----------------------------------------
 
 
-def triangles(pairs: DataFrame) -> DataFrame:
+def triangles(pairs: DataFrame, csr=None, adj_bc_max_edges: int | None = None) -> DataFrame:
     """Per-vertex triangle counts → (v, triangles), zero-filled for
     triangle-free vertices (GraphX ``TriangleCount.run`` on canonical
-    edges, ``TrangleCountRunner.scala:81``). One canonical triangle
-    a<b<c per closed triple via the two-path + closing-edge join."""
+    edges, ``TrangleCountRunner.scala:81``).
+
+    Strategy dispatch on |E| (the ``subgraph_match_counts`` pattern): a
+    CSR-broadcast bincount kernel while the adjacency provably fits a
+    broadcast — per vertex u one vectorized pass computes
+    t(u) = Σ_{w∈N(u)} |N(u)∩N(w)| / 2, no wedge rows ever shuffle — and
+    the canonical two-path + closing-edge join past the ceiling (work
+    scales with the actual wedge count, AQE handles skew). Identical
+    exact counts; the join arm is the 100 TB path."""
+    if adj_bc_max_edges is None:
+        adj_bc_max_edges = ADJ_BC_MAX_EDGES
+    if csr is not None or pairs.count() <= adj_bc_max_edges:
+        return _triangles_csr_kernel(pairs, csr=csr)
+    return _triangles_wedge_join(pairs)
+
+
+def _triangles_wedge_join(pairs: DataFrame) -> DataFrame:
+    """(v, triangles) by relational joins — one canonical triangle a<b<c
+    per closed triple via the two-path + closing-edge join."""
     p = _cached(pairs.select("src", "dst"))
     e1 = p.toDF("a", "b")
     e2 = p.toDF("b", "c")
@@ -815,6 +832,52 @@ def triangles(pairs: DataFrame) -> DataFrame:
     return verts.join(per, "v", "left").select(
         "v", F.coalesce(F.col("t"), F.lit(0)).alias("triangles")
     )
+
+
+def _triangles_csr_kernel(pairs: DataFrame, csr=None) -> DataFrame:
+    """(v, triangles) by the broadcast-CSR bincount kernel: each task owns
+    a vertex range; per vertex u it bincounts all two-hop endpoints through
+    N(u), so Σ_{w∈N(u)} common(u, w) lands in one vectorized gather —
+    every triangle at u is seen via both of its u-edges, hence the /2.
+    Only (v, t) rows for owned vertices move over the wire. Spark-side
+    shape mirrors ``_match_counts_csr_kernel``."""
+    import numpy as np
+    import pandas as pd
+
+    spark = pairs.sparkSession
+    own = csr is None
+    bc, n = csr_broadcast(pairs) if csr is None else csr
+
+    def kern(pdf_iter):
+        ip, nb = bc.value
+        nn = len(ip) - 1
+        for pdf in pdf_iter:
+            us = pdf["u"].to_numpy()
+            ts = np.zeros(len(us), dtype=np.int64)
+            for i, u in enumerate(us):
+                nu = nb[ip[u] : ip[u + 1]]
+                if len(nu) < 2:
+                    continue
+                ws = np.concatenate([nb[ip[b] : ip[b + 1]] for b in nu])
+                cnt = np.bincount(ws, minlength=nn)
+                ts[i] = int(cnt[nu].sum()) // 2
+            yield pd.DataFrame({"v": us, "triangles": ts})
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    per = (
+        spark.range(0, n)
+        .toDF("u")
+        .repartition(parts)
+        .mapInPandas(kern, "v long, triangles long")
+    )
+    verts = vertices(symmetrize(pairs.withColumn("cnt", F.lit(1))))
+    out = verts.join(per, "v").select("v", "triangles")
+    if own:
+        # materialize before releasing the per-call broadcast
+        out = _cached(out)
+        out.count()
+        bc.unpersist(blocking=False)
+    return out
 
 
 def clustering_coefficient(
@@ -1233,10 +1296,15 @@ def graph_kcore(cat: Catalog) -> DataFrame:
 
 def copurchase_triangles(cat: Catalog) -> DataFrame:
     """Session-shared per-vertex triangle counts — the triangle-count query
-    and the clustering coefficient consume the identical relation."""
-    return _derived(
-        cat, "copurchase_triangles", lambda: triangles(copurchase_pairs(cat))
-    )
+    and the clustering coefficient consume the identical relation; the
+    kernel arm reuses the session CSR broadcast when the gate admits it."""
+
+    def build() -> DataFrame:
+        pairs = copurchase_pairs(cat)
+        csr = copurchase_csr(cat) if pairs.count() <= ADJ_BC_MAX_EDGES else None
+        return triangles(pairs, csr=csr)
+
+    return _derived(cat, "copurchase_triangles", build)
 
 
 def graph_triangle_count(cat: Catalog) -> DataFrame:

@@ -158,6 +158,19 @@ def test_subgraph_matching_strategies_agree(cat):
     assert tri_k > 0 and sq_k > 0
 
 
+def test_triangle_strategies_agree(cat):
+    """Per-vertex triangle counts: the CSR bincount kernel and the
+    two-path + closing-edge join are two physical strategies for the same
+    exact relation — pin row-for-row equality on the fixture graph."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import graph
+
+    pairs = graph.copurchase_pairs(cat)
+    k = graph._triangles_csr_kernel(pairs).orderBy("v").collect()
+    j = graph._triangles_wedge_join(pairs).orderBy("v").collect()
+    assert [tuple(r) for r in k] == [tuple(r) for r in j]
+    assert sum(r["triangles"] for r in k) > 0
+
+
 def test_betweenness_sampled_topk_overlap(cat):
     """The sampled estimator's top-k must substantially overlap the exact
     top-k — the reference's accuracy methodology
