@@ -37,10 +37,25 @@ def main() -> None:
     errors: dict[str, str] = {}
     # One bad query must cost one entry, never the whole artifact
     # (round 2: a single registry crash zeroed BENCH_r02.json).
+    from pyspark.storagelevel import StorageLevel
+
     for name, fn in build_registry().items():
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
+            # Persist-then-count forces FULL materialization of every output
+            # column. A bare count() lets Catalyst eliminate aggregated-
+            # unique outer joins (and everything beneath them) — e.g. the
+            # triangle relation and the dedup canonical-label joins timed as
+            # ~0.8s while their real computation was 3-18s. The reference's
+            # costTime includes saving the full output (saveAsTextFile,
+            # ``PageRankRunner.scala:115``), so materializing all columns is
+            # the faithful protocol. Only a fresh (uncached) frame is
+            # persisted/unpersisted, so session-shared derivations returned
+            # directly by a query keep their cache for later queries.
+            fresh = df.storageLevel == StorageLevel.NONE
+            if fresh:
+                df.persist(StorageLevel.MEMORY_AND_DISK)
             n = df.count()
         except Exception as exc:  # noqa: BLE001 - record and continue
             dt = time.perf_counter() - t0
@@ -48,6 +63,8 @@ def main() -> None:
             print(f"# {name}: ERROR after {dt:.3f}s: {errors[name]}", file=sys.stderr)
             continue
         dt = time.perf_counter() - t0
+        if fresh:
+            df.unpersist(blocking=False)
         timings[name] = round(dt, 4)
         rows[name] = n
         total += dt
