@@ -409,6 +409,12 @@ def _louvain_local_move(
         # a full sort shuffle of the candidate set (the window was ~30% of
         # each round's wall time at sf0.1). wv rides along (constant per v)
         # so the next round's state needs no join to recover it.
+        # Negative A/B (round 4): splitting this into an exchange-free
+        # neighbor-only argmax (cand keeps hashpartitioning(v)) plus a
+        # broadcast own-community comparison join measured ~2s SLOWER warm
+        # (8.5-9.6s vs ~7s isolated louvain) — the two extra per-round
+        # broadcast materializations (AQE runs a job each) cost more than
+        # shuffling the candidate set at this |V|. Keep the union shape.
         return scored.groupBy("v").agg(
             F.max_by("c", F.struct(F.col("score"), (-F.col("c")).alias("nc"))).alias(
                 "label"
