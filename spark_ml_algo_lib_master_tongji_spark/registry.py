@@ -147,8 +147,12 @@ _ORDER: tuple[str, ...] = (
     "graph_label_propagation",
     "graph_kcore",
     "graph_scc_nation",
-    "graph_trustrank",
-    "graph_ppr_multi",
+    # triangle family: implementation changed late in round 4 (CSR bincount
+    # kernel arm) — needs a fresh driver row; displaces trustrank/ppr_multi
+    # whose loop-level changes are already represented in-window by the
+    # three PageRank variants.
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
     "graph_pagerank_personalized",
     "graph_pagerank_weighted",
     "ml_dbscan",
@@ -184,8 +188,8 @@ _ORDER: tuple[str, ...] = (
     "mm_fake_decode",
     "graph_node2vec_walks",
     "graph_node2vec_biased_walks",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
+    "graph_trustrank",
+    "graph_ppr_multi",
     # -- tier 4: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
