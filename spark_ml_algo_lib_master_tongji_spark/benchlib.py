@@ -1,0 +1,85 @@
+"""Shared measurement protocol for bench.py and tools/time_query.py.
+
+Two concerns live here because every timing entry point needs both:
+
+1. **Honest materialization** (``materialize``): persist-then-count forces
+   full computation of every output column. A bare ``count()`` lets Catalyst
+   eliminate aggregated-unique outer joins (and everything beneath them) —
+   e.g. the triangle relation and the dedup canonical-label joins timed as
+   ~0.8s while their real computation was 3-18s. The reference's costTime
+   includes saving the full output (``PageRankRunner.scala:115``
+   ``saveAsTextFile``), so materializing all columns is the faithful
+   protocol. Unpersist runs in a ``finally`` so a failing count can never
+   leave the failed query's partitions pinned in MEMORY_AND_DISK skewing
+   every subsequent measurement (round-4 ADVICE).
+
+2. **loadDataTime / costTime attribution** (``record_load`` /
+   ``load_seconds``): the reference times data loading separately from the
+   operator (``KMeansRunner.scala:132-133,156``). This engine's analogue of
+   "load" is the session-shared derivation build (graph edge lists, feature
+   assembly, fitted models): whichever query touches a derivation first pays
+   its full materialization, which made per-query numbers run-order-dependent
+   (PLANS.md gbt post-mortem: 13.3s cold vs 0.7s shared). The ``_derived*``
+   caches report each build here; bench diffs the tally around each query to
+   split wall time into {load, cost}.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def materialize(df: DataFrame, collect_first: bool = False):
+    """Fully materialize ``df`` (all columns) and return its row count —
+    or ``(count, first_row_or_None)`` when ``collect_first`` is set (the
+    first row is read from the still-persisted frame, so grabbing an
+    evaluation scalar costs one cached-partition read, not a recompute).
+
+    Only a fresh (uncached) frame is persisted/unpersisted, so
+    session-shared derivations returned directly by a query keep their
+    cache for later queries.
+    """
+    fresh = df.storageLevel == StorageLevel.NONE
+    if fresh:
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = df.count()
+        if collect_first:
+            return n, (df.first() if n else None)
+        return n
+    finally:
+        if fresh:
+            df.unpersist(blocking=False)
+
+
+#: derivation name → cumulative build seconds (process-global; bench diffs
+#: ``load_seconds()`` around each query for first-touch attribution).
+LOAD_TALLY: dict[str, float] = {}
+
+_depth = 0
+
+
+@contextlib.contextmanager
+def load_timer(name: str):
+    """Time a derivation build; only the OUTERMOST build records (builds
+    nest — ``copurchase_pairs`` touches ``sym_copurchase`` inside its own
+    build — and recording both would double-count the shared load)."""
+    global _depth
+    _depth += 1
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        _depth -= 1
+        if _depth == 0:
+            LOAD_TALLY[name] = LOAD_TALLY.get(name, 0.0) + dt
+
+
+def load_seconds() -> float:
+    """Cumulative session-shared derivation build time so far."""
+    return sum(LOAD_TALLY.values())
