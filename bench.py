@@ -4,8 +4,14 @@ and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Protocol mirrors the reference's costTime measurement: each query is timed
-end-to-end (plan + execute + materialize via count) after a warm-up of the
-session (``KMeansRunner.scala:132-133,156``; ``Utils.scala:150-161``).
+end-to-end (plan + execute + persist-then-count full materialization) after
+a warm-up of the session (``KMeansRunner.scala:132-133,156``;
+``Utils.scala:150-161``). The reference also times data loading separately
+(loadDataTime); the analogue here is the session-shared derivation build
+first-touched by each query, reported in the "loads" dict — a query's
+costTime = queries[name] − loads.get(name, 0). The run report additionally
+carries model-quality evaluation scalars (accuracy/rmse/mse/wssse/
+modularity) so quality regressions are visible round-over-round.
 """
 
 from __future__ import annotations
@@ -17,6 +23,22 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+# Model-quality scalars the run report tracks round-over-round alongside
+# wall time (``Utils.scala:150-161`` evaluation protocol): query → columns
+# of its (1-row) metrics output. Read from the still-persisted frame, so
+# recording them costs one cached-partition read each.
+_EVAL_QUERIES: dict[str, tuple[str, ...]] = {
+    "graph_modularity": ("modularity",),
+    "ml_est_kmeans": ("wssse",),
+    "ml_est_logreg": ("accuracy",),
+    "ml_est_gbt_classifier": ("accuracy",),
+    "ml_est_rf_regressor": ("rmse",),
+    "ml_est_linreg": ("rmse",),
+    "ml_est_als": ("mse",),
+    "ml_linreg_ols": ("rmse",),
+}
 
 
 def main() -> None:
@@ -32,43 +54,50 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     total = 0.0
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
+    evaluation: dict[str, float] = {}
     # One bad query must cost one entry, never the whole artifact
     # (round 2: a single registry crash zeroed BENCH_r02.json).
-    from pyspark.storagelevel import StorageLevel
+    from spark_ml_algo_lib_master_tongji_spark import benchlib
 
     for name, fn in build_registry().items():
+        # loadDataTime/costTime split (``KMeansRunner.scala:132-133,156``):
+        # the _derived* caches report each session-shared derivation build
+        # to benchlib; the tally delta around a query is its "load" (paid
+        # once, on first touch), wall − load its "cost" — so per-query cost
+        # numbers are comparable across runs regardless of registry order.
+        load0 = benchlib.load_seconds()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            # Persist-then-count forces FULL materialization of every output
-            # column. A bare count() lets Catalyst eliminate aggregated-
-            # unique outer joins (and everything beneath them) — e.g. the
-            # triangle relation and the dedup canonical-label joins timed as
-            # ~0.8s while their real computation was 3-18s. The reference's
-            # costTime includes saving the full output (saveAsTextFile,
-            # ``PageRankRunner.scala:115``), so materializing all columns is
-            # the faithful protocol. Only a fresh (uncached) frame is
-            # persisted/unpersisted, so session-shared derivations returned
-            # directly by a query keep their cache for later queries.
-            fresh = df.storageLevel == StorageLevel.NONE
-            if fresh:
-                df.persist(StorageLevel.MEMORY_AND_DISK)
-            n = df.count()
+            # materialize() = persist-then-count (full-output protocol; see
+            # benchlib docstring) with unpersist in a finally so a failing
+            # query can never leave partitions pinned (round-4 ADVICE).
+            if name in _EVAL_QUERIES:
+                n, first = benchlib.materialize(df, collect_first=True)
+            else:
+                n, first = benchlib.materialize(df), None
         except Exception as exc:  # noqa: BLE001 - record and continue
             dt = time.perf_counter() - t0
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: ERROR after {dt:.3f}s: {errors[name]}", file=sys.stderr)
             continue
         dt = time.perf_counter() - t0
-        if fresh:
-            df.unpersist(blocking=False)
+        load = benchlib.load_seconds() - load0
+        if load > 0.05:
+            loads[name] = round(load, 2)
         timings[name] = round(dt, 4)
         rows[name] = n
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        if first is not None:
+            for col in _EVAL_QUERIES[name]:
+                evaluation[f"{name}.{col}"] = float(first[col])
+        print(
+            f"# {name}: {dt:.3f}s (load {load:.2f}s) rows={n}", file=sys.stderr
+        )
 
     # Reference-protocol run report (Utils.scala:150-161): params + costTime
     # + evaluation per bench invocation, one YAML artifact.
@@ -79,7 +108,14 @@ def main() -> None:
             "bench",
             {"sf_dir": sf_dir, "n_queries": len(timings)},
             cost_time_s=total,
-            evaluation={f"rows_{k}": v for k, v in sorted(rows.items())[:5]},
+            # Model-quality scalars first (regressions in *quality* must be
+            # visible round-over-round, not just wall time), then a few row
+            # counts, then the load/cost split totals.
+            evaluation={
+                **evaluation,
+                **{f"rows_{k}": v for k, v in sorted(rows.items())[:5]},
+                "load_time_s": round(sum(loads.values()), 2),
+            },
             out_dir=os.path.join(os.path.dirname(__file__), "report"),
         )
     except Exception as exc:  # noqa: BLE001 - report failure must not fail bench
@@ -99,6 +135,11 @@ def main() -> None:
             {
                 "metric": "total_query_wall_seconds",
                 "unit": "sec",
+                # "loads" sits AHEAD of "queries" on purpose: the driver
+                # keeps only the tail of the line, so truncation cuts the
+                # load attribution before any priority timing. A query's
+                # costTime analogue = queries[name] − loads.get(name, 0).
+                "loads": {k: loads[k] for k in reversed(loads)},
                 "queries": {k: round(timings[k], 2) for k in reversed(timings)},
                 **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
