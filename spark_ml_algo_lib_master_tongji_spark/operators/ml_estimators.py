@@ -30,10 +30,6 @@ from pyspark.ml.classification import (
     RandomForestClassifier,
 )
 from pyspark.ml.clustering import LDA, KMeans
-from pyspark.ml.evaluation import (
-    MulticlassClassificationEvaluator,
-    RegressionEvaluator,
-)
 from pyspark.ml.feature import PCA, CountVectorizer, IDF
 from pyspark.ml.fpm import PrefixSpan
 from pyspark.ml.functions import array_to_vector
@@ -99,23 +95,31 @@ def _one_row(spark_df: DataFrame) -> DataFrame:
 
 def _clf_metrics(pred: DataFrame, label_col: str) -> DataFrame:
     """Train-set accuracy as a 1-row DataFrame (``LogRRunner.scala:200``:
-    filter(label === prediction) / count — here via the evaluator)."""
-    acc = MulticlassClassificationEvaluator(
-        labelCol=label_col, predictionCol="prediction", metricName="accuracy"
-    ).evaluate(pred)
-    n = pred.count()
+    filter(label === prediction) / count — expressed directly as that
+    one aggregation). The evaluator's "accuracy" is the same quantity but
+    costs a separate confusion-matrix pass on top of the count pass; one
+    agg job halves every clf workload's evaluation cost (round-4 verdict
+    item 5: shave the estimator family's fixed overhead)."""
+    row = pred.agg(
+        F.avg((F.col(label_col) == F.col("prediction")).cast("double")).alias(
+            "acc"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
     return pred.sparkSession.createDataFrame(
-        [(round(acc, 4), n)], "accuracy double, n long"
+        [(round(float(row["acc"]), 4), row["n"])], "accuracy double, n long"
     )
 
 
 def _reg_metrics(pred: DataFrame, label_col: str) -> DataFrame:
-    rmse = RegressionEvaluator(
-        labelCol=label_col, predictionCol="prediction", metricName="rmse"
-    ).evaluate(pred)
-    n = pred.count()
+    """Train-set RMSE + count in ONE aggregation job (the evaluator pass +
+    separate count pass computed the identical √avg((y−ŷ)²) in two)."""
+    err = F.col(label_col) - F.col("prediction")
+    row = pred.agg(
+        F.sqrt(F.avg(err * err)).alias("rmse"), F.count(F.lit(1)).alias("n")
+    ).first()
     return pred.sparkSession.createDataFrame(
-        [(round(rmse, 4), n)], "rmse double, n long"
+        [(round(float(row["rmse"]), 4), row["n"])], "rmse double, n long"
     )
 
 
@@ -653,16 +657,20 @@ def _als_run(cat: Catalog, implicit: bool) -> DataFrame:
     else:
         m = _als_explicit_model(cat, r)
     pred = m.transform(r)
-    mse = pred.agg(
+    # one agg job for mse + both cardinalities (was three separate jobs,
+    # two of them re-scanning the ratings)
+    row = pred.agg(
         F.avg(
             (F.col("rating") - F.col("prediction"))
             * (F.col("rating") - F.col("prediction"))
-        )
-    ).collect()[0][0]
-    users, items = r.select("user").distinct().count(), r.select("item").distinct().count()
+        ).alias("mse"),
+        F.countDistinct("user").alias("users"),
+        F.countDistinct("item").alias("items"),
+    ).first()
     r.unpersist(blocking=False)  # per-invocation cache — metrics are scalars
     return r.sparkSession.createDataFrame(
-        [(round(float(mse), 4), users, items)], "mse double, users long, items long"
+        [(round(float(row["mse"]), 4), row["users"], row["items"])],
+        "mse double, users long, items long",
     )
 
 
@@ -707,9 +715,17 @@ def ml_est_gbt_pipeline(cat: Catalog) -> DataFrame:
     )
     model = Pipeline(stages=[si, vi, gbt, its]).fit(df)
     pred = model.transform(df)
-    acc = pred.where(F.col("label_str") == F.col("predictedLabel")).count() / pred.count()
+    # one agg job — the former filter-count / count / count trio re-scored
+    # the whole pipeline three times
+    row = pred.agg(
+        F.avg(
+            (F.col("label_str") == F.col("predictedLabel")).cast("double")
+        ).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
     return df.sparkSession.createDataFrame(
-        [(round(acc, 4), pred.count(), 4)], "accuracy double, n long, stages int"
+        [(round(float(row["acc"]), 4), row["n"], 4)],
+        "accuracy double, n long, stages int",
     )
 
 

@@ -82,8 +82,6 @@ def ml_est_xgboost(cat: Catalog) -> DataFrame:
     behind an import guard: ``xgboost.spark.SparkXGBClassifier`` when the
     optional dep is present (hist tree method like ``xgbt_x86.yml:5-17``),
     documented GBT fallback otherwise → one row (backend, accuracy, n)."""
-    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-
     from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
         _features,
     )
@@ -112,11 +110,17 @@ def ml_est_xgboost(cat: Catalog) -> DataFrame:
         model = gbt_bin_model(cat)
         backend = "gbt-fallback"
     pred = model.transform(df)
-    acc = MulticlassClassificationEvaluator(
-        labelCol="bin_label", predictionCol="prediction", metricName="accuracy"
-    ).evaluate(pred)
+    # accuracy + count in ONE agg job (the evaluator + separate count
+    # re-scored the model twice)
+    row = pred.agg(
+        F.avg(
+            (F.col("bin_label") == F.col("prediction")).cast("double")
+        ).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
     return cat.spark.createDataFrame(
-        [(backend, round(acc, 4), pred.count())], "backend string, accuracy double, n long"
+        [(backend, round(float(row["acc"]), 4), row["n"])],
+        "backend string, accuracy double, n long",
     )
 
 
