@@ -91,78 +91,22 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 4 rotation. Tier 1: the 30 oracles whose last
-#: driver CORRECTNESS row is round 1 (3 rounds stale — verdict r3 item 5).
-#: Tier 2: implementations changed this round (louvain/WCE/incremental-PR/
-#: simrank perf rework). Tier 3 fills: round-3-green re-verification.
-#: Tier 4 (behind the window): round-3-green unchanged, then the no-oracle
-#: estimator workloads (pytest-verified only).
+#: Priority order, round 5 rotation. Tier 1: the 32 oracles whose latest
+#: driver CORRECTNESS row is round 3 (one round stale — verdict r4 item 4).
+#: Tier 2: oracle-bearing queries whose implementation changed this round
+#: (CSR counting-kernel rewrite → triangle family + subgraph matching,
+#: which sits in tier 1 anyway; local min-plus closure arm → nation
+#: closeness/SCC). Tier 3 fills: round-4-green re-verification, weighted
+#: toward queries sitting on the derivation caches the round-5 eager-
+#: materialization change touched. Tier 4 (behind the window): round-4-
+#: green unchanged, then the no-oracle estimator workloads (pytest-only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1: driver row is from round 1, unchanged but stale ------------
-    "graph_closeness_nation",
-    "ml_linreg_ols",
-    "stat_pearson_lineitem",
-    "stat_covariance_lineitem",
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",  # NEW r4 — first driver row needed
-    "pipeline_training_mix",  # NEW r4 — first driver row needed
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_top_unshipped_orders",
-    "q_broadcast_dim_join",
-    "q_anti_join_customers_without_orders",
-    "q_semi_join_suppliers_with_big_lineitems",
-    "q_union_distinct_nations",
-    "q_topk_per_group",
-    "q_sort_limit_top_orders",
-    "q_case_conditional_agg",
-    "q_grouped_having",
-    "q_skew_salted_user_counts",
-    "stat_summary_lineitem",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "sim_brute_force_topk",
-    "graph_edges",
-    "graph_degrees",
-    "graph_degrees_nation",
-    # -- tier 2: implementation changed in round 4 (iterative-loop rework:
-    #    per-round checkpoints, early fixpoint exit, scalar probes, union+min
-    #    steps; Louvain state rework; shared shingles in minhash) -----------
-    "graph_louvain",
-    "graph_weak_cliques",
-    "graph_incremental_pagerank",
-    "ml_simrank",
-    "graph_modularity",
-    "graph_pagerank",
-    "graph_connected_components",
-    "graph_mssp",
-    "graph_bfs",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_scc_nation",
-    # triangle family: implementation changed late in round 4 (CSR bincount
-    # kernel arm) — needs a fresh driver row; displaces trustrank/ppr_multi
-    # whose loop-level changes are already represented in-window by the
-    # three PageRank variants.
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "ml_dbscan",
+    # -- tier 1: driver row is from round 3, unchanged but one round stale --
     "ml_dbscan_summary",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- tier 4: driver-green in round 3, unchanged since -------------------
     "stat_spearman_lineitem",
     "graph_cycle_detection",
     "graph_maximal_cliques",
-    "graph_subgraph_matching",
+    "graph_subgraph_matching",  # also tier 2: CSR kernel rewrite (r5)
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "sim_lsh_bucket_pairs",
@@ -190,6 +134,61 @@ _ORDER: tuple[str, ...] = (
     "graph_node2vec_biased_walks",
     "graph_trustrank",
     "graph_ppr_multi",
+    # -- tier 2: implementation changed in round 5 ---------------------------
+    "graph_triangle_count",  # searchsorted CSR kernel (sorted adjacency)
+    "graph_clustering_coefficient",  # consumes the rewritten triangle rel.
+    "graph_closeness_nation",  # local Floyd-Warshall closure arm
+    "graph_scc_nation",  # reads the same gated closure
+    # -- tier 3 fills: round-4-green re-verification (heaviest users of the
+    #    derivation caches changed by eager load materialization) -----------
+    "graph_edges",
+    "graph_degrees",
+    "graph_modularity",
+    "graph_louvain",
+    "dedup_minhash_lsh",
+    "dedup_minhash_groups",
+    "pipeline_training_mix",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "dedup_exact",
+    "stat_covariance_lineitem",
+    "text_fingerprint",
+    "q_skew_salted_user_counts",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- tier 4: driver-green in round 4, unchanged since -------------------
+    "ml_linreg_ols",
+    "stat_pearson_lineitem",
+    "q_broadcast_dim_join",
+    "q_anti_join_customers_without_orders",
+    "q_semi_join_suppliers_with_big_lineitems",
+    "q_union_distinct_nations",
+    "q_topk_per_group",
+    "q_sort_limit_top_orders",
+    "q_case_conditional_agg",
+    "q_grouped_having",
+    "stat_summary_lineitem",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_force_topk",
+    "graph_degrees_nation",
+    "graph_weak_cliques",
+    "graph_incremental_pagerank",
+    "ml_simrank",
+    "graph_pagerank",
+    "graph_connected_components",
+    "graph_mssp",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "ml_dbscan",
     # -- tier 4: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -231,8 +230,8 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "ml_dbscan", (
-    "tier-1/2 prefix no longer ends at the driver window boundary"
+assert _ORDER[DRIVER_WINDOW - 1] == "q_skew_salted_user_counts", (
+    "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 
 
