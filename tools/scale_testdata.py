@@ -1,0 +1,86 @@
+"""Synthesize a sf1-scale fixture from sf0.1 for scale-evidence runs.
+
+Replicates every sf0.1 table FACTOR× with per-replica key offsets so all
+foreign-key joins stay valid and the co-purchase graph becomes FACTOR
+disjoint copies of the sf0.1 graph (row counts, join fan-outs, and graph
+|V|/|E| all scale ~linearly — the right shape for measuring scaling
+exponents; dimension tables region/nation stay fixed like real TPC-H).
+
+Caveat recorded in PLANS.md: document texts and embedding vectors repeat
+across replicas, so dedup/similarity queries see FACTOR-sized duplicate
+groups — a *worst-case* collision load for the LSH paths, not an organic
+one.
+
+Usage: python tools/scale_testdata.py [--out DIR] [--factor N]
+Writes DIR/*.parquet (default /root/repo/testdata_sf1, factor 10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+#: table → columns shifted by (replica · family_offset); offsets are per
+#: key family so e.g. l_orderkey and o_orderkey shift identically.
+KEYED = {
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+COPY_AS_IS = ("region", "nation")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/testdata_sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    offsets: dict[str, int] = {}
+    for table, cols in KEYED.items():
+        for col, family in cols.items():
+            m = con.execute(
+                f"SELECT max({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchone()[0]
+            offsets[family] = max(offsets.get(family, 0), int(m) + 1)
+
+    for table in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet')) "
+            f"TO '{args.out}/{table}.parquet' (FORMAT parquet)"
+        )
+        print(f"{table}: copied")
+
+    for table, cols in KEYED.items():
+        shifted = ", ".join(
+            f"{col} + r.k * {offsets[family]} AS {col}" for col, family in cols.items()
+        )
+        schema = con.execute(
+            f"SELECT * FROM read_parquet('{SRC}/{table}.parquet') LIMIT 0"
+        ).df().columns
+        others = ", ".join(f'"{n}"' for n in schema if n not in cols)
+        sel = shifted + (", " + others if others else "")
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{table}.parquet'), "
+            f"(SELECT unnest(range({args.factor})) AS k) r) "
+            f"TO '{args.out}/{table}.parquet' (FORMAT parquet)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{args.out}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
