@@ -989,23 +989,12 @@ def modularity(
 
 
 def _closure(edges: DataFrame, doublings: int = CLOSURE_DOUBLINGS) -> DataFrame:
-    """Transitive closure by repeated squaring: after i rounds covers paths
-    of ≤ 2^i edges — exact on graphs with diameter < 2^doublings."""
-
-    def step(r: DataFrame, _i: int) -> DataFrame:
-        a = r.toDF("src", "mid")
-        b = r.toDF("mid", "dst")
-        return r.unionByName(a.join(b, "mid").select("src", "dst")).distinct()
-
-    # Exactness of SCC depends on the closure being complete — verify the
-    # squaring reached its fixed point (diameter < 2^doublings). The pair
-    # set only ever grows ⇒ count equality is the probe.
-    return iterate(
-        edges.select("src", "dst"),
-        step,
-        doublings,
-        verify_fixpoint=stat_fixpoint_probe("count(1)"),
-    )
+    """Transitive closure (src, dst) — the pair set of the min-plus
+    closure (identical reachability; distances dropped). Delegates so both
+    arms — the size-gated local Floyd-Warshall kernel and the distributed
+    doubling loop with its fixed-point probe — serve standalone ``scc``
+    callers too."""
+    return min_plus_closure(edges, doublings).select("src", "dst")
 
 
 def scc(edges: DataFrame, reach: DataFrame | None = None) -> DataFrame:

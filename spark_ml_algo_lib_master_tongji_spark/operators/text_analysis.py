@@ -28,6 +28,44 @@ def text_token_stats(cat: Catalog) -> DataFrame:
     )
 
 
+def _quality_expr(c):
+    """The quality score Column — shared verbatim by ``text_quality_score``
+    and the training-mix projection so both round the identical double."""
+    n_tok = TXT.token_count(c)
+    stop = TXT.stopword_ratio(c)
+    # distinct-token ratio computed directly (not as 1-(1-x)): fp addition
+    # isn't associative, and the oracle SQL uses this exact expression shape.
+    distinct_ratio = TXT.distinct_token_count(c) / F.greatest(n_tok, F.lit(1))
+    digit = TXT.digit_ratio(c)
+    return (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * distinct_ratio
+        - digit
+    )
+
+
+def _pred_lang_expr(c):
+    """argmax marker-hit language Column with first-wins tie-break —
+    shared by ``text_lang_id`` and the training-mix projection.
+
+    Expressed as greatest(scores) + a first-match CASE chain so each
+    score appears O(1) times. The former running-(best, best_n) fold
+    nested every previous WHEN inside the next one — an exponentially
+    sized tree whose interpreted array-HOF leaves (``filter(split(…))``
+    is not codegen'd) were each evaluated ~50× per row; same semantics
+    (the fold's strict ``>`` means the winner is the first language in
+    lexicon order attaining the positive maximum)."""
+    scores = TXT.lang_scores(c)
+    m = F.greatest(*scores.values())
+    first_match = F.lit("und")
+    # build the CASE in reverse so the FIRST language in lexicon order
+    # with score == max ends up as the outermost (winning) branch
+    for lang, score in reversed(list(scores.items())):
+        first_match = F.when(score == m, F.lit(lang)).otherwise(first_match)
+    return F.when(m <= 0, F.lit("und")).otherwise(first_match)
+
+
 def text_quality_score(cat: Catalog) -> DataFrame:
     """Heuristic quality score: length band + stopword presence − repetition.
 
@@ -37,23 +75,15 @@ def text_quality_score(cat: Catalog) -> DataFrame:
     c = F.col("text")
     n_tok = TXT.token_count(c)
     stop = TXT.stopword_ratio(c)
-    # distinct-token ratio computed directly (not as 1-(1-x)): fp addition
-    # isn't associative, and the oracle SQL uses this exact expression shape.
     distinct_ratio = TXT.distinct_token_count(c) / F.greatest(n_tok, F.lit(1))
     rep = F.lit(1.0) - distinct_ratio
     digit = TXT.digit_ratio(c)
-    quality = (
-        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(stop > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.lit(0.3) * distinct_ratio
-        - digit
-    )
     return d.select(
         "doc_id",
         round_half_up(stop, 4).alias("stopword_ratio"),
         round_half_up(rep, 4).alias("repetition_ratio"),
         round_half_up(digit, 4).alias("digit_ratio"),
-        round_half_up(quality, 4).alias("quality"),
+        round_half_up(_quality_expr(c), 4).alias("quality"),
     )
 
 
@@ -62,14 +92,7 @@ def text_lang_id(cat: Catalog) -> DataFrame:
     deterministic tie-break by lexicon order, 'und' when no marker hits."""
     d = cat.documents
     scores = TXT.lang_scores(F.col("text"))
-    best = F.lit("und")
-    best_n = F.lit(0)
-    # iterate in fixed lexicon order; strict > keeps the first-wins tie-break
-    for lang, score in scores.items():
-        take = score > best_n
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_n = F.when(take, score).otherwise(best_n)
-    sel = [F.col("doc_id"), best.alias("pred_lang")]
+    sel = [F.col("doc_id"), _pred_lang_expr(F.col("text")).alias("pred_lang")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in TXT.LANG_MARKERS]
     return d.select(*sel)
 
@@ -97,11 +120,14 @@ def pipeline_training_mix(cat: Catalog) -> DataFrame:
     canonical) ∩ language filter (pred_lang = MIX_LANG) ∩ quality floor
     (quality ≥ MIX_MIN_QUALITY) → (doc_id, pred_lang, quality, n_tokens).
 
-    Every stage is an existing oracle-checked operator; the joins are
-    equi-joins on doc_id (co-partitioned after the first shuffle), and the
-    three filter inputs are single codegen'd projections — at 100 TB the
-    only data movement is the dedup component loop on the (tiny) pair
-    graph plus one hash join chain on doc_id."""
+    The lang/quality/token columns come from the SAME shared expression
+    Columns as their standalone operators (``_pred_lang_expr`` /
+    ``_quality_expr`` / ``TXT.token_count``), computed in ONE codegen'd
+    projection over one documents scan — the former three-operator join
+    chain scanned documents three times and shuffled three times for
+    columns that are all derivable row-locally. At 100 TB the only data
+    movement is the dedup component loop on the (tiny) pair graph plus one
+    join against the keep-list on doc_id."""
     from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
         dedup_minhash_groups,
     )
@@ -111,13 +137,15 @@ def pipeline_training_mix(cat: Catalog) -> DataFrame:
         .where(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
-    lang = text_lang_id(cat).select("doc_id", "pred_lang")
-    qual = text_quality_score(cat).select("doc_id", "quality")
-    toks = text_token_stats(cat).select("doc_id", "n_tokens")
+    c = F.col("text")
+    feats = cat.documents.select(
+        "doc_id",
+        _pred_lang_expr(c).alias("pred_lang"),
+        round_half_up(_quality_expr(c), 4).alias("quality"),
+        TXT.token_count(c).alias("n_tokens"),
+    )
     return (
-        keep.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(toks, "doc_id")
+        keep.join(feats, "doc_id")
         .where(
             (F.col("pred_lang") == MIX_LANG)
             & (F.col("quality") >= F.lit(MIX_MIN_QUALITY))

@@ -310,3 +310,70 @@ def test_min_plus_closure_arms_agree(cat):
     drows = sorted((tuple(r) for r in dist.collect()), key=lambda t: t[:2])
     assert lrows == drows
     assert len(lrows) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_triangle_kernels_match_dense_matrix_oracle(spark, seed):
+    """Randomized differential: on seeded Erdős–Rényi graphs, the CSR
+    kernel, the wedge join, and an independent dense-adjacency-matrix
+    oracle (diag(A³)/2 per vertex; Σ_{u<w} C((A²)_{uw}, 2)/2 four-cycles)
+    must agree exactly."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import graph
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    a = np.triu((rng.random((n, n)) < 0.12), k=1)
+    srcs, dsts = np.nonzero(a)
+    assert len(srcs) > 50
+    pairs = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in zip(srcs, dsts)], "src long, dst long"
+    ).withColumn("cnt", F.lit(1))
+
+    A = (a | a.T).astype(np.int64)
+    tri_vec = np.diag(A @ A @ A) // 2
+    A2 = A @ A
+    iu = np.triu_indices(n, k=1)
+    sq_oracle = int((A2[iu] * (A2[iu] - 1) // 2).sum()) // 2
+    tri_oracle = int(tri_vec.sum()) // 3
+
+    k = {r["v"]: r["triangles"] for r in graph._triangles_csr_kernel(pairs).collect()}
+    j = {r["v"]: r["triangles"] for r in graph._triangles_wedge_join(pairs).collect()}
+    expect = {v: int(tri_vec[v]) for v in set(srcs) | set(dsts)}
+    assert k == expect
+    assert j == expect
+    assert graph._match_counts_csr_kernel(pairs) == (tri_oracle, sq_oracle)
+    assert graph._match_counts_wedge_join(pairs) == (tri_oracle, sq_oracle)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_min_plus_closure_local_matches_dense_oracle(spark, seed):
+    """Randomized differential for the local Floyd-Warshall arm against an
+    independent dense min-plus squaring oracle on seeded directed graphs
+    (cycles included, so finite src==dst entries are exercised)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _min_plus_closure_local,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 25
+    a = (rng.random((n, n)) < 0.15) & ~np.eye(n, dtype=bool)
+    srcs, dsts = np.nonzero(a)
+    edges = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in zip(srcs, dsts)], "src long, dst long"
+    )
+    big = 10**9
+    d = np.where(a, 1, big).astype(np.int64)
+    while True:  # repeated min-plus squaring (different loop than FW)
+        d2 = np.minimum(d, (d[:, None, :] + d.T[None, :, :]).min(axis=2))
+        if np.array_equal(d2, d):
+            break
+        d = d2
+    expect = {
+        (int(i), int(j)): int(d[i, j])
+        for i, j in zip(*np.nonzero(d < big))
+    }
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in _min_plus_closure_local(edges).collect()
+    }
+    assert got == expect
