@@ -154,11 +154,90 @@ def pipeline_training_mix(cat: Catalog) -> DataFrame:
     )
 
 
+#: top-k cut for the corpus vocabulary query
+TOP_NGRAMS_K = 20
+#: reproducible-sample keep percentage (hash buckets 0..99)
+SAMPLE_PCT = 10
+
+
+def text_top_ngrams(cat: Catalog) -> DataFrame:
+    """Corpus-wide top-K bigrams → (gram, n) — the vocabulary-building
+    pass of a training pipeline (BPE/tokenizer corpus statistics).
+    Deterministic: ties broken by gram ascending. Shape at 100 TB:
+    explode → one partial+final count aggregation (map-side combine
+    collapses the gram space per task) → a global top-K that moves only
+    K rows per partition (``TakeOrderedAndProject``), never a full sort."""
+    d = cat.documents
+    grams = d.select(
+        F.explode(TXT.shingles(F.col("text"), n=2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+def text_lang_rollup(cat: Catalog) -> DataFrame:
+    """Per-language corpus rollup → (pred_lang, n_docs, sum_tokens,
+    avg_quality) — the mix-dashboard aggregation over the shared
+    row-local lang/quality/token expressions; one scan, one partial+final
+    aggregation keyed on the (tiny) language space."""
+    c = F.col("text")
+    return (
+        cat.documents.select(
+            _pred_lang_expr(c).alias("pred_lang"),
+            round_half_up(_quality_expr(c), 4).alias("quality"),
+            TXT.token_count(c).alias("n_tokens"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            round_half_up(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def pipeline_stratified_sample(cat: Catalog) -> DataFrame:
+    """Reproducible quality-floored sample → (doc_id, pred_lang, bucket,
+    quality): md5-bucket the doc_id into 100 shard-stable buckets and keep
+    ``bucket < SAMPLE_PCT`` among quality ≥ MIX_MIN_QUALITY docs.
+
+    Hash-threshold sampling (not ``sample()``): the keep-set is a pure
+    function of doc_id — stable across runs, engines, partitionings, and
+    cluster sizes, which is what makes training subsets reproducible and
+    incrementally extendable (raising the pct strictly grows the set).
+    One codegen projection + filter, no shuffle."""
+    c = F.col("text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        cat.documents.select(
+            "doc_id",
+            _pred_lang_expr(c).alias("pred_lang"),
+            bucket.alias("bucket"),
+            round_half_up(_quality_expr(c), 4).alias("quality"),
+        )
+        .where(
+            (F.col("quality") >= F.lit(MIX_MIN_QUALITY))
+            & (F.col("bucket") < SAMPLE_PCT)
+        )
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_top_ngrams",
+    "text_lang_rollup",
+    "pipeline_stratified_sample",
     "pipeline_training_mix",
 )

@@ -296,6 +296,49 @@ TEXT_ORACLES: dict[str, str] = {
     """,
 }
 
+# Corpus-wide top-K bigrams (vocabulary-building pass): total order on
+# (count desc, gram asc) makes the cut deterministic.
+TEXT_ORACLES["text_top_ngrams"] = """
+    WITH g AS (
+        SELECT unnest(
+            CASE WHEN len(t) >= 2 THEN
+                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE []::VARCHAR[] END
+        ) AS gram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY gram
+    ORDER BY n DESC, gram ASC
+    LIMIT 20
+"""
+
+# Per-language rollup over the standalone lang/quality/token oracles.
+TEXT_ORACLES["text_lang_rollup"] = f"""
+    SELECT l.pred_lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens,
+           round(avg(q.quality), 4)        AS avg_quality
+    FROM ({TEXT_ORACLES["text_lang_id"]}) l
+    JOIN ({TEXT_ORACLES["text_quality_score"]}) q USING (doc_id)
+    JOIN ({TEXT_ORACLES["text_token_stats"]}) t USING (doc_id)
+    GROUP BY l.pred_lang
+"""
+
+# Reproducible hash-threshold sample: md5(doc_id) bucket — the same
+# engine-stable 64-bit-prefix trick as text_fingerprint's fp_key.
+TEXT_ORACLES["pipeline_stratified_sample"] = f"""
+    SELECT d.doc_id, l.pred_lang,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket,
+           q.quality
+    FROM documents d
+    JOIN ({TEXT_ORACLES["text_lang_id"]}) l USING (doc_id)
+    JOIN ({TEXT_ORACLES["text_quality_score"]}) q USING (doc_id)
+    WHERE q.quality >= 0.3
+      AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+"""
+
 _MINHASH_SIG_SQL = (
     "["
     + ", ".join(f"list_min(list_transform(s, x -> md5('{p}:' || x)))" for p in range(8))

@@ -134,11 +134,14 @@ _ORDER: tuple[str, ...] = (
     "graph_node2vec_biased_walks",
     "graph_trustrank",
     "graph_ppr_multi",
-    # -- tier 2: implementation changed in round 5 ---------------------------
+    # -- tier 2: implementation changed / NEW in round 5 ---------------------
     "graph_triangle_count",  # searchsorted CSR kernel (sorted adjacency)
     "graph_clustering_coefficient",  # consumes the rewritten triangle rel.
     "graph_closeness_nation",  # local Floyd-Warshall closure arm
     "graph_scc_nation",  # reads the same gated closure
+    "text_top_ngrams",  # NEW r5 — first driver row needed
+    "text_lang_rollup",  # NEW r5 — first driver row needed
+    "pipeline_stratified_sample",  # NEW r5 — first driver row needed
     # -- tier 3 fills: round-4-green re-verification (heaviest users of the
     #    derivation caches changed by eager load materialization) -----------
     "graph_edges",
@@ -148,15 +151,15 @@ _ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "pipeline_training_mix",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q6_forecast_revenue",
     "dedup_exact",
     "stat_covariance_lineitem",
     "text_fingerprint",
     "q_skew_salted_user_counts",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 4: driver-green in round 4, unchanged since -------------------
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
     "ml_linreg_ols",
     "stat_pearson_lineitem",
     "q_broadcast_dim_join",
