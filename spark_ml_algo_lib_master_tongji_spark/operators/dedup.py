@@ -162,15 +162,29 @@ def dedup_minhash_lsh(cat: Catalog) -> DataFrame:
     return _minhash_pairs(cat)
 
 
+def doc_shingles(cat: Catalog) -> DataFrame:
+    """Session-shared distinct 3-gram shingle sets (doc_id, sh) — the
+    minhash pipeline, the prefix-filtered n-gram Jaccard, and the
+    decontamination overlap join all start from this identical projection
+    (round 5: previously each ran its own tokenize+gram pass)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(
+        cat,
+        "doc_shingles",
+        lambda: shingle_sets(spread(cat.documents.select("doc_id", "text"))),
+    )
+
+
 def _minhash_pairs_build(cat: Catalog) -> DataFrame:
     docs = spread(cat.documents.select("doc_id", "text"))
     # signatures and shingle sets each feed two plan branches (both sides of
-    # the self-join / both pair endpoints); persist so the md5 pipeline runs
-    # once — the reference persists at exactly these reuse boundaries too
-    # (CovRunner.scala:100, DTRunner.scala:227). The signature stage reads
-    # the SAME cached shingle sets the exact-verify stage uses (round 4 —
-    # previously the 3-gram md5 pipeline ran twice end-to-end).
-    sh = shingle_sets(docs).persist()
+    # the self-join / both pair endpoints); the session-shared derivation
+    # makes the md5 pipeline run once per session — the reference persists
+    # at exactly these reuse boundaries too (CovRunner.scala:100,
+    # DTRunner.scala:227). The signature stage reads the SAME cached
+    # shingle sets the exact-verify stage uses.
+    sh = doc_shingles(cat)
     sigs = minhash_signatures(docs, shingles=sh).persist()
     cand = lsh_candidate_pairs(sigs)
     j = (
@@ -259,8 +273,7 @@ def dedup_ngram_jaccard(cat: Catalog) -> DataFrame:
     joins — a true near-dup at J ≥ t shares a small prefix with high
     probability, and the block key bounds the join fan-out). Exact Jaccard
     then runs only on candidates. Deterministic ⇒ exact SQL oracle."""
-    docs = spread(cat.documents.select("doc_id", "text"))
-    sh = shingle_sets(docs).persist()
+    sh = doc_shingles(cat)  # session-shared shingle pass
     pref = sh.select(
         "doc_id", F.explode(F.slice(F.array_sort("sh"), 1, 3)).alias("p")
     )

@@ -230,6 +230,43 @@ def pipeline_stratified_sample(cat: Catalog) -> DataFrame:
     )
 
 
+#: deterministic stand-in for an external eval/benchmark holdout: every
+#: 97th doc_id. Real pipelines read the benchmark shingle set from a side
+#: table; the operator shape (inverted-index join on shingle) is identical.
+DECONTAM_BENCH_MOD = 97
+
+
+def pipeline_decontaminate(cat: Catalog) -> DataFrame:
+    """Benchmark decontamination → (doc_id, n_shared_grams): for every
+    corpus document (not itself in the benchmark set), the number of its
+    distinct 3-gram shingles that appear anywhere in the benchmark set —
+    the exact n-gram-overlap contamination check run before training on
+    scraped corpora (docs with hits get dropped or audited).
+
+    Shape at 100 TB: one shared shingle projection feeds both sides; the
+    benchmark side collapses to a distinct gram set (tiny vs the corpus),
+    then one equi-join on gram + per-doc count — an inverted-index
+    semi-join, never a doc×doc comparison. AQE broadcasts the benchmark
+    gram set when it fits, shuffle-joins otherwise. Starts from the
+    session-shared shingle derivation the dedup family uses (one
+    tokenize+gram pass per session; building shingles straight off
+    ``split(text)`` would re-tokenize per gram — ``shingle_sets``
+    docstring)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(cat)
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench = (
+        sh.where(is_bench).select(F.explode("sh").alias("gram")).distinct()
+    )
+    corpus = sh.where(~is_bench).select("doc_id", F.explode("sh").alias("gram"))
+    return (
+        corpus.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
@@ -239,5 +276,6 @@ QUERIES = (
     "text_top_ngrams",
     "text_lang_rollup",
     "pipeline_stratified_sample",
+    "pipeline_decontaminate",
     "pipeline_training_mix",
 )

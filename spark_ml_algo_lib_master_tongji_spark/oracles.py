@@ -325,6 +325,21 @@ TEXT_ORACLES["text_lang_rollup"] = f"""
     GROUP BY l.pred_lang
 """
 
+# Benchmark decontamination: distinct 3-gram shingles shared with the
+# (doc_id % 97 == 0) holdout — the inverted-index overlap join.
+TEXT_ORACLES["pipeline_decontaminate"] = f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+        SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id
+"""
+
 # Reproducible hash-threshold sample: md5(doc_id) bucket — the same
 # engine-stable 64-bit-prefix trick as text_fingerprint's fp_key.
 TEXT_ORACLES["pipeline_stratified_sample"] = f"""
