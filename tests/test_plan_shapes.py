@@ -130,3 +130,30 @@ def test_sym_copurchase_single_shuffle_load(spark):
         "an exchange sits above the repartition(src) — the groupBy stopped "
         "reusing its partitioning:\n" + physical
     )
+
+
+def test_top_ngrams_plan_bounded_topk_no_global_sort(cat):
+    """The vocabulary query's top-K must plan as TakeOrderedAndProject
+    (K rows per partition move) over a partial+final count — a global
+    Sort before the limit would materialize the whole gram space."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        text_top_ngrams,
+    )
+
+    physical = _full_plan(text_top_ngrams(cat)).split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in physical
+    assert "partial_count" in physical  # map-side combine before the shuffle
+    # no full-sort node outside the bounded top-K operator itself
+    assert "\n   +- Sort " not in physical
+
+
+def test_decontaminate_plan_no_cartesian(cat):
+    """The decontamination overlap is an inverted-index equi-join on the
+    gram key — never a doc×doc comparison."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_decontaminate,
+    )
+
+    plan = _full_plan(pipeline_decontaminate(cat))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
