@@ -126,6 +126,27 @@ GROUP BY p.slope, p.intercept
         _kmeans_ctes() + "\nSELECT cid, count(*) AS n FROM afinal GROUP BY cid"
     )
 
+    # SemDeDup composition: the Lloyd assignment scopes the cosine keeper
+    # election to same-cluster pairs (threshold literal matches
+    # dedup.COSINE_DEDUP_THRESHOLD and the dedup_embedding_cosine oracle).
+    o["pipeline_semantic_dedup"] = (
+        _kmeans_ctes()
+        + """,
+p AS (SELECT pts.vec_id, pts.v, a.cid FROM pts JOIN afinal a USING (vec_id)),
+nbr AS (
+    SELECT a.vec_id AS vec_id, min(b.vec_id) AS mn
+    FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4)
+          >= CAST(0.35 AS DOUBLE)
+    GROUP BY a.vec_id
+)
+SELECT pts.vec_id, least(pts.vec_id, coalesce(n.mn, pts.vec_id)) AS keeper
+FROM pts LEFT JOIN nbr n ON pts.vec_id = n.vec_id
+"""
+    )
+
     o["ml_knn_classifier"] = (
         "WITH "
         + _KNN_CTES

@@ -399,6 +399,57 @@ def dedup_embedding_cosine_lsh(cat: Catalog) -> DataFrame:
     return _keeper_election(pts, pairs)
 
 
+def pipeline_semantic_dedup(cat: Catalog) -> DataFrame:
+    """SemDeDup-style semantic dedup → (vec_id, keeper): cosine near-dup
+    keeper election restricted to pairs INSIDE the same k-means cluster —
+    cluster first, compare only within clusters (Abbas et al., SemDeDup).
+
+    Composition of two oracle-checked stages: the deterministic Lloyd
+    assignment (session-shared, ``ml_kmeans_lloyd_assign``) scopes the
+    comparison; one grouped-map kernel per cluster emits the ≥-threshold
+    pairs with the same sequential-fold cosine arithmetic as the exact
+    dedup, then the standard single-hop keeper election runs.
+
+    Scale shape: pair work drops from Θ(n²) to Σ_c |c|² — with k ∝ n
+    (SemDeDup's operating point) cluster sizes are bounded, so this is the
+    linear-ish path between exact all-pairs and LSH. A skewed giant
+    cluster should fall back to the blocked triangular kernel
+    (``operators/pairs``) within that cluster; fixture clusters are
+    near-balanced (pinned by ``ml_kmeans_lloyd_sizes``)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import (
+        as_double_array,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+        kmeans_lloyd,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        round_half_up_np,
+        seq_dot,
+        seq_self_dot,
+    )
+
+    pts = spread(cat.embeddings).select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    grp = pts.join(kmeans_lloyd(cat), "vec_id")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        norms = np.sqrt(seq_self_dot(mat))
+        cos = seq_dot(mat, mat) / (norms[:, None] * norms[None, :])
+        keep = round_half_up_np(cos, 4) >= COSINE_DEDUP_THRESHOLD
+        keep &= ids[:, None] < ids[None, :]
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj]})
+
+    pairs = grp.groupBy("cid").applyInPandas(kern, "vec_a long, vec_b long")
+    return _keeper_election(pts, pairs)
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 def dedup_minhash_groups(cat: Catalog) -> DataFrame:
     """Keep-one canonicalization over the near-dup graph → (doc_id,
@@ -452,4 +503,5 @@ QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
+    "pipeline_semantic_dedup",
 )

@@ -143,6 +143,7 @@ _ORDER: tuple[str, ...] = (
     "text_lang_rollup",  # NEW r5 — first driver row needed
     "pipeline_stratified_sample",  # NEW r5 — first driver row needed
     "pipeline_decontaminate",  # NEW r5 — first driver row needed
+    "pipeline_semantic_dedup",  # NEW r5 — first driver row needed
     # -- tier 3 fills: round-4-green re-verification (heaviest users of the
     #    derivation caches changed by eager load materialization) -----------
     "graph_edges",
@@ -152,11 +153,11 @@ _ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "pipeline_training_mix",
-    "stat_covariance_lineitem",
     "text_fingerprint",
     "q_skew_salted_user_counts",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 4: driver-green in round 4, unchanged since -------------------
+    "stat_covariance_lineitem",
     "dedup_exact",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
