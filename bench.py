@@ -93,8 +93,17 @@ def main() -> None:
         rows[name] = n
         total += dt
         if first is not None:
+            # One bad metric value must not zero the whole artifact (the
+            # same rule as query failures above): a NULL scalar or renamed
+            # column costs that evaluation entry, never the JSON line.
             for col in _EVAL_QUERIES[name]:
-                evaluation[f"{name}.{col}"] = float(first[col])
+                try:
+                    evaluation[f"{name}.{col}"] = float(first[col])
+                except (KeyError, TypeError, ValueError) as exc:
+                    print(
+                        f"# {name}.{col}: evaluation skipped: {exc}",
+                        file=sys.stderr,
+                    )
         print(
             f"# {name}: {dt:.3f}s (load {load:.2f}s) rows={n}", file=sys.stderr
         )

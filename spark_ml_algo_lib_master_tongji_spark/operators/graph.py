@@ -838,13 +838,22 @@ def triangles(pairs: DataFrame, csr=None, adj_bc_max_edges: int | None = None) -
     exact counts; the join arm is the 100 TB path."""
     if adj_bc_max_edges is None:
         adj_bc_max_edges = ADJ_BC_MAX_EDGES
-    if csr is None and pairs.storageLevel == StorageLevel.NONE:
+    own = csr is None and pairs.storageLevel == StorageLevel.NONE
+    if own:
         # The gate count would otherwise pay one full derivation pass just
         # for dispatch, then the chosen arm re-derives pairs (round-4
         # ADVICE; registry callers pass the session-cached relation).
         pairs = _cached(pairs)
     if csr is not None or pairs.count() <= adj_bc_max_edges:
-        return _triangles_csr_kernel(pairs, csr=csr)
+        out = _triangles_csr_kernel(pairs, csr=csr)
+        if own:
+            # the kernel arm materialized its output (own-CSR branch), so
+            # the gate cache is no longer needed — release it rather than
+            # pin a copy per standalone call (round-5 review)
+            pairs.unpersist(blocking=False)
+        return out
+    # join arm: result is lazy over the cached pairs — the cache must
+    # outlive this call; the caller owns materialization.
     return _triangles_wedge_join(pairs)
 
 
@@ -1079,28 +1088,39 @@ def min_plus_closure(
     squaring (the distributed loop is ~8 fixed-size supersteps of pure
     overhead for a 25-vertex graph); everything else runs the distributed
     doubling loop — the scale arm."""
-    if edges.storageLevel == StorageLevel.NONE:
+    own = edges.storageLevel == StorageLevel.NONE
+    if own:
         edges = _cached(edges)  # gate count + chosen arm share one pass
-    if edges.count() <= tiny_max_edges:
-        return _min_plus_closure_local(edges)
+    try:
+        if edges.count() <= tiny_max_edges:
+            return _min_plus_closure_local(edges)  # collects eagerly
 
-    def step(d: DataFrame, _i: int) -> DataFrame:
-        a = d.toDF("src", "mid", "d1")
-        b = d.toDF("mid", "dst", "d2")
-        both = d.unionByName(
-            a.join(b, "mid").select("src", "dst", (F.col("d1") + F.col("d2")).alias("dist"))
+        def step(d: DataFrame, _i: int) -> DataFrame:
+            a = d.toDF("src", "mid", "d1")
+            b = d.toDF("mid", "dst", "d2")
+            both = d.unionByName(
+                a.join(b, "mid").select(
+                    "src", "dst", (F.col("d1") + F.col("d2")).alias("dist")
+                )
+            )
+            return both.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+
+        d0 = edges.select("src", "dst", F.lit(1).cast("long").alias("dist"))
+        # Pair set grows; given equal counts only per-pair dist decreases
+        # can remain, so (count, Σdist) equality ⟺ fixed point.
+        return iterate(
+            d0,
+            step,
+            doublings,
+            verify_fixpoint=stat_fixpoint_probe("count(1)", "sum(dist)"),
         )
-        return both.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
-
-    d0 = edges.select("src", "dst", F.lit(1).cast("long").alias("dist"))
-    # Pair set grows; given equal counts only per-pair dist decreases can
-    # remain, so (count, Σdist) equality ⟺ fixed point.
-    return iterate(
-        d0,
-        step,
-        doublings,
-        verify_fixpoint=stat_fixpoint_probe("count(1)", "sum(dist)"),
-    )
+    finally:
+        # Both arms are fully materialized before return (local collect /
+        # eager localCheckpoint in ``iterate``), so an own-persisted gate
+        # cache never outlives this call (round-5 review: each standalone
+        # scc/closeness invocation pinned another copy for the session).
+        if own:
+            edges.unpersist(blocking=False)
 
 
 def closeness(edges: DataFrame, d: DataFrame | None = None) -> DataFrame:
@@ -1314,13 +1334,17 @@ def subgraph_match_counts(
     shuffle), the wedge-enumeration join past the ceiling (sparse giant
     graphs — work scales with actual wedge count, AQE handles skew). Both
     produce identical exact counts."""
-    if csr is None and pairs.storageLevel == StorageLevel.NONE:
+    own = csr is None and pairs.storageLevel == StorageLevel.NONE
+    if own:
         pairs = _cached(pairs)  # gate count + chosen arm share one pass
     n_edges = pairs.count()
     if n_edges <= adj_bc_max_edges:
         tri_n, sq = _match_counts_csr_kernel(pairs, csr=csr)
     else:
         tri_n, sq = _match_counts_wedge_join(pairs)
+    if own:
+        # both arms return collected scalars — the gate cache is spent
+        pairs.unpersist(blocking=False)
     spark = pairs.sparkSession
     return spark.createDataFrame(
         [("triangle", tri_n), ("four_cycle", sq)], "template string, matches long"

@@ -18,13 +18,18 @@ import argparse
 import json
 
 
-def cost_map(path: str) -> tuple[dict[str, float], float]:
+def cost_map(path: str) -> tuple[dict[str, float], float, bool]:
     d = json.load(open(path))
-    loads = d.get("loads", {})
+    loads = d.get("loads")
     costs = {
-        k: round(v - loads.get(k, 0.0), 2) for k, v in d.get("queries", {}).items()
+        k: round(v - (loads or {}).get(k, 0.0), 2)
+        for k, v in d.get("queries", {}).items()
     }
-    return costs, float(d.get("value", sum(d.get("queries", {}).values())))
+    return (
+        costs,
+        float(d.get("value", sum(d.get("queries", {}).values()))),
+        loads is not None,
+    )
 
 
 def main() -> None:
@@ -35,9 +40,17 @@ def main() -> None:
     ap.add_argument("--abs", dest="abs_floor", type=float, default=1.0, help="…and by ≥ this many seconds")
     args = ap.parse_args()
 
-    old, old_total = cost_map(args.old)
-    new, new_total = cost_map(args.new)
+    old, old_total, old_split = cost_map(args.old)
+    new, new_total, new_split = cost_map(args.new)
     print(f"total wall: {old_total:.1f}s -> {new_total:.1f}s")
+    if old_split != new_split:
+        # wall-vs-cost comparisons conflate the attribution change with
+        # real deltas (first-touch loads get flagged as phantom swings)
+        print(
+            "  WARNING: only one artifact carries a 'loads' split — "
+            "comparing wall against cost; per-query flags below are "
+            "unreliable for queries with first-touch derivation loads"
+        )
 
     flagged = []
     for name in sorted(set(old) & set(new)):

@@ -32,7 +32,10 @@ KEYED = {
     "customer": {"c_custkey": "custkey"},
     "supplier": {"s_suppkey": "suppkey"},
     "part": {"p_partkey": "partkey"},
-    "events": {"event_id": "event_id", "user_id": "user_id"},
+    # user_id is a customer key: stream_nation_event_revenue joins
+    # events.user_id = customer.c_custkey, so it must shift with the
+    # custkey family or replica events attach to replica-0 customers.
+    "events": {"event_id": "event_id", "user_id": "custkey"},
     "documents": {"doc_id": "doc_id"},
     "embeddings": {"vec_id": "vec_id"},
 }
