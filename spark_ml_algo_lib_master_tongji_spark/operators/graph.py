@@ -1229,12 +1229,19 @@ def _match_counts_wedge_join(pairs: DataFrame) -> tuple[int, int]:
     and ran 3.6× slower — the higher-order array functions fall back to
     interpreted eval; the join keeps whole-stage codegen."""
     p = _cached(pairs.select("src", "dst"))
+    try:
+        return _match_counts_wedge_join_on(p)
+    finally:
+        p.unpersist(blocking=False)  # scalar outputs — the cache is spent
+
+
+def _match_counts_wedge_join_on(p: DataFrame) -> tuple[int, int]:
     e1 = p.toDF("a", "b")
     e2 = p.toDF("b", "c")
     e3 = p.toDF("a", "c")
     tri_n = e1.join(e2, "b").join(e3, ["a", "c"]).count()
 
-    sym = symmetrize(pairs.withColumn("cnt", F.lit(1))).select("src", "dst")
+    sym = symmetrize(p.withColumn("cnt", F.lit(1))).select("src", "dst")
     s1 = sym.toDF("u", "b")
     s2 = sym.toDF("b", "w")
     common = (

@@ -377,3 +377,26 @@ def test_min_plus_closure_local_matches_dense_oracle(spark, seed):
         for r in _min_plus_closure_local(edges).collect()
     }
     assert got == expect
+
+
+def test_gate_caches_released_after_materializing_arms(spark):
+    """The dispatch gates persist an uncached input to share the gate
+    count with the chosen arm; arms that fully materialize before
+    returning (local closure, CSR kernel, scalar match counts) must
+    release that cache — a standalone scc/closeness/matching call may
+    not pin an edge-list copy for the session (round-5 review)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_ml_algo_lib_master_tongji_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    graph.min_plus_closure(edges).collect()
+    assert edges.storageLevel == StorageLevel.NONE
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    ).withColumn("cnt", F.lit(1))
+    graph.subgraph_match_counts(pairs).collect()
+    assert pairs.storageLevel == StorageLevel.NONE
