@@ -56,6 +56,11 @@ deg AS (
 )
 """
 
+#: betweenness-oracle walk-count unroll depth — must cover the nation
+#: graph's diameter (guarded by an error() CTE, never silent truncation);
+#: 8 keeps the intermediate walk counts < 25^8 ≈ 1.5e11, safely BIGINT.
+BETW_MAX_DIAM = 8
+
 NATION_CTES = """
 tn AS (
     SELECT DISTINCT c.c_nationkey::BIGINT AS src, s.s_nationkey::BIGINT AS dst
@@ -431,6 +436,63 @@ SELECT src AS v,
 FROM d{CLOSURE_DOUBLINGS}
 WHERE src <> dst
 GROUP BY src"""
+    )
+
+    # Exact directed betweenness by PAIR COUNTING — an algebraically
+    # different formulation from the operator's Brandes accumulation:
+    # BC(v) = Σ_{s≠v≠t, d(s,v)+d(v,t)=d(s,t)} σ_sv·σ_vt/σ_st, with σ read
+    # from length-L walk counts at L = d(s,t) (a minimal-length walk cannot
+    # revisit a vertex, so walk counts at the shortest distance ARE
+    # shortest-path counts). Unrolled to BETW_MAX_DIAM; the chk CTE errors
+    # loudly if the graph's diameter ever exceeds the unroll instead of
+    # silently dropping pairs.
+    sig_unroll = BETW_MAX_DIAM  # walk counts at this length stay < 25^8
+    walk_ctes = ["w1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS n FROM tn)"]
+    for i in range(1, sig_unroll):
+        walk_ctes.append(
+            f"""w{i + 1} AS (
+    SELECT a.src, b.dst, CAST(sum(a.n) AS BIGINT) AS n
+    FROM w{i} a JOIN tn b ON a.dst = b.src
+    GROUP BY a.src, b.dst
+)"""
+        )
+    allw = "\nUNION ALL\n".join(
+        f"SELECT src, dst, {L} AS len, n FROM w{L}" for L in range(1, sig_unroll + 1)
+    )
+    o["graph_betweenness"] = (
+        f"WITH {NATION_CTES.strip()},\n{_dist_closure_ctes()},\n"
+        + ",\n".join(walk_ctes)
+        + f""",
+allw AS ({allw}),
+chk AS (
+    SELECT CASE WHEN max(dist) > {sig_unroll}
+                THEN CAST(error('betweenness unroll shorter than diameter') AS BIGINT)
+                ELSE 0 END AS ok
+    FROM d{CLOSURE_DOUBLINGS}
+),
+sig AS (
+    SELECT d.src, d.dst, d.dist, w.n AS sigma
+    FROM d{CLOSURE_DOUBLINGS} d
+    JOIN allw w ON w.src = d.src AND w.dst = d.dst AND w.len = d.dist
+),
+bc AS (
+    SELECT sv.dst AS v,
+           sum(CAST(sv.sigma AS DOUBLE) * vt.sigma / st.sigma) AS b
+    FROM sig sv
+    JOIN sig vt ON sv.dst = vt.src
+    JOIN sig st ON st.src = sv.src AND st.dst = vt.dst
+    WHERE sv.src <> sv.dst AND vt.src <> vt.dst AND sv.src <> vt.dst
+      AND sv.dist + vt.dist = st.dist
+    GROUP BY sv.dst
+),
+nodes AS (
+    SELECT DISTINCT v FROM (
+        SELECT src AS v FROM tn UNION ALL SELECT dst FROM tn
+    )
+)
+SELECT n.v, round(coalesce(b.b, CAST(0.0 AS DOUBLE)), 6) AS betweenness
+FROM nodes n LEFT JOIN bc b ON n.v = b.v CROSS JOIN chk
+WHERE chk.ok = 0"""
     )
 
     o["graph_subgraph_matching"] = (

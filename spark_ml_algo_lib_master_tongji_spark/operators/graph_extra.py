@@ -803,8 +803,18 @@ def betweenness(cat: Catalog) -> DataFrame:
                 if w != s:
                     bc[w] += delta[w]
             del delta
+        # shared half-up rounding (functions.rounding formula) — Python's
+        # banker's round would tie-break differently from the DuckDB
+        # oracle's round() at exact 1e-6 midpoints
+        import math
+
         return pd.DataFrame(
-            {"v": sorted(bc), "betweenness": [round(bc[k], 6) for k in sorted(bc)]}
+            {
+                "v": sorted(bc),
+                "betweenness": [
+                    math.floor(bc[k] * 1e6 + 0.5) / 1e6 for k in sorted(bc)
+                ],
+            }
         )
 
     return (

@@ -144,6 +144,7 @@ _ORDER: tuple[str, ...] = (
     "pipeline_stratified_sample",  # NEW r5 — first driver row needed
     "pipeline_decontaminate",  # NEW r5 — first driver row needed
     "pipeline_semantic_dedup",  # NEW r5 — first driver row needed
+    "graph_betweenness",  # NEW r5 oracle (pair-counting SQL) — first row
     # -- tier 3 fills: round-4-green re-verification (heaviest users of the
     #    derivation caches changed by eager load materialization) -----------
     "graph_edges",
@@ -153,10 +154,10 @@ _ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "pipeline_training_mix",
-    "text_fingerprint",
     "q_skew_salted_user_counts",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 4: driver-green in round 4, unchanged since -------------------
+    "text_fingerprint",
     "stat_covariance_lineitem",
     "dedup_exact",
     "q1_pricing_summary",
@@ -220,7 +221,6 @@ _ORDER: tuple[str, ...] = (
     "ml_est_pca_sparse",
     "ml_est_xgboost",
     "graph_node2vec_embeddings",
-    "graph_betweenness",
     "ml_knn_spilltree",
     "ml_knn_spilltree_classifier",
     "sim_ivf_topk",
