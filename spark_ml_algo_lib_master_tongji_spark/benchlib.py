@@ -27,6 +27,7 @@ Two concerns live here because every timing entry point needs both:
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 
 from pyspark.sql import DataFrame
@@ -60,26 +61,34 @@ def materialize(df: DataFrame, collect_first: bool = False):
 #: ``load_seconds()`` around each query for first-touch attribution).
 LOAD_TALLY: dict[str, float] = {}
 
-_depth = 0
+#: nesting depth is PER-THREAD (a build on thread A must not suppress a
+#: concurrent build on thread B), and the shared tally dict is written
+#: under a lock — parallel pytest workers in one process or a threaded
+#: driver would otherwise corrupt the depth and misattribute load time
+#: between queries (round-5 ADVICE).
+_local = threading.local()
+_tally_lock = threading.Lock()
 
 
 @contextlib.contextmanager
 def load_timer(name: str):
-    """Time a derivation build; only the OUTERMOST build records (builds
-    nest — ``copurchase_pairs`` touches ``sym_copurchase`` inside its own
-    build — and recording both would double-count the shared load)."""
-    global _depth
-    _depth += 1
+    """Time a derivation build; only the OUTERMOST build on this thread
+    records (builds nest — ``copurchase_pairs`` touches ``sym_copurchase``
+    inside its own build — and recording both would double-count the
+    shared load)."""
+    _local.depth = getattr(_local, "depth", 0) + 1
     t0 = time.perf_counter()
     try:
         yield
     finally:
         dt = time.perf_counter() - t0
-        _depth -= 1
-        if _depth == 0:
-            LOAD_TALLY[name] = LOAD_TALLY.get(name, 0.0) + dt
+        _local.depth -= 1
+        if _local.depth == 0:
+            with _tally_lock:
+                LOAD_TALLY[name] = LOAD_TALLY.get(name, 0.0) + dt
 
 
 def load_seconds() -> float:
     """Cumulative session-shared derivation build time so far."""
-    return sum(LOAD_TALLY.values())
+    with _tally_lock:
+        return sum(LOAD_TALLY.values())

@@ -15,7 +15,11 @@ from spark_ml_algo_lib_master_tongji_spark.graph_oracles import (
 from spark_ml_algo_lib_master_tongji_spark.operators.density import (
     DBSCAN_CC_ROUNDS,
     EPS2,
+    GRID_DEMO_SCALE,
     MIN_PTS,
+)
+from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+    SEMDEDUP_TARGET_CLUSTER_SIZE,
 )
 from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
     IDF_MIN_DF,
@@ -45,10 +49,19 @@ _PTS = (
 )
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(
+    k_sql: str = str(KMEANS_K), extra_ctes: tuple[str, ...] = ()
+) -> str:
+    """Unrolled Lloyd CTE chain; ``k_sql`` is the init-center count — a
+    literal for the pinned-k queries, a scalar subquery over ``pts`` for
+    the k ∝ n semantic dedup (both filter the row_number'd smallest
+    vec_ids, identical to the former ORDER BY/LIMIT form at literal k)."""
     ctes = [
         _PTS,
-        f"c0 AS (SELECT vec_id AS cid, v AS c FROM pts ORDER BY vec_id LIMIT {KMEANS_K})",
+        *extra_ctes,
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM ("
+        "SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM pts"
+        f") WHERE rn <= ({k_sql}))",
     ]
     for i in range(KMEANS_ITERS):
         ctes.append(
@@ -129,8 +142,18 @@ GROUP BY p.slope, p.intercept
     # SemDeDup composition: the Lloyd assignment scopes the cosine keeper
     # election to same-cluster pairs (threshold literal matches
     # dedup.COSINE_DEDUP_THRESHOLD and the dedup_embedding_cosine oracle).
+    # k ∝ n: both engines derive k = max(1, floor(n/TARGET + 0.5)) from the
+    # corpus count (dedup.semdedup_k), so the oracle tracks the policy at
+    # any scale factor, not just the fixture where it equals KMEANS_K.
     o["pipeline_semantic_dedup"] = (
-        _kmeans_ctes()
+        _kmeans_ctes(
+            k_sql="SELECT k FROM kparam",
+            extra_ctes=(
+                "kparam AS (SELECT greatest(1, CAST(floor(count(*) / "
+                f"{float(SEMDEDUP_TARGET_CLUSTER_SIZE)!r} + 0.5) AS BIGINT)) "
+                "AS k FROM pts)",
+            ),
+        )
         + """,
 p AS (SELECT pts.vec_id, pts.v, a.cid FROM pts JOIN afinal a USING (vec_id)),
 nbr AS (
@@ -238,6 +261,27 @@ SELECT sum(CASE WHEN role = 0 THEN 1 ELSE 0 END)::BIGINT AS n_core,
        sum(CASE WHEN role = -1 THEN 1 ELSE 0 END)::BIGINT AS n_noise,
        count(DISTINCT CASE WHEN cluster >= 0 THEN cluster END) AS n_clusters
 FROM final"""
+
+    # Grid candidate arm (operators/pairs.grid_apply): the spread 2-d
+    # projection routes to the ε-grid; the oracle is the plain cross-join
+    # ε-predicate — candidate generation must never change the pair set.
+    # DuckDB lists are 1-indexed (embedding[1] = Spark v[0]).
+    o["ml_dbscan_grid_neighbors"] = f"""
+WITH gpts AS (
+    SELECT vec_id,
+           [CAST(embedding[1] AS DOUBLE) * {GRID_DEMO_SCALE!r},
+            CAST(embedding[2] AS DOUBLE) * {GRID_DEMO_SCALE!r}] AS v
+    FROM embeddings
+),
+pr AS (
+    SELECT a.vec_id AS i, b.vec_id AS j
+    FROM gpts a CROSS JOIN gpts b
+    WHERE a.vec_id < b.vec_id
+      AND {_d2('a.v', 'b.v')} <= CAST({EPS2!r} AS DOUBLE)
+),
+nbr AS (SELECT i AS p, j AS q FROM pr UNION ALL SELECT j AS p, i AS q FROM pr)
+SELECT p, count(*) AS c FROM nbr GROUP BY p
+"""
 
     o["ml_simrank"] = _simrank_sql()
 

@@ -399,28 +399,50 @@ def dedup_embedding_cosine_lsh(cat: Catalog) -> DataFrame:
     return _keeper_election(pts, pairs)
 
 
+#: SemDeDup operating point: k(n) = max(1, ⌊n / TARGET + 0.5⌋) — k grows
+#: linearly with the corpus so the mean cluster size (and with it the
+#: Σ_c |c|² pair work per point) stays bounded at any scale. TARGET = 62
+#: makes k(500) = 8 on the oracle fixture, so the driver's sf0.01 hash and
+#: the shared KMEANS_K Lloyd derivation are both preserved.
+SEMDEDUP_TARGET_CLUSTER_SIZE = 62
+
+
+def semdedup_k(n: int) -> int:
+    """Corpus-scaled cluster count (floor(n/TARGET + 0.5), min 1) — the
+    same IEEE double expression the SQL oracle evaluates, so both engines
+    derive the identical k from the identical count."""
+    import math
+
+    return max(1, int(math.floor(n / float(SEMDEDUP_TARGET_CLUSTER_SIZE) + 0.5)))
+
+
 def pipeline_semantic_dedup(cat: Catalog) -> DataFrame:
     """SemDeDup-style semantic dedup → (vec_id, keeper): cosine near-dup
     keeper election restricted to pairs INSIDE the same k-means cluster —
     cluster first, compare only within clusters (Abbas et al., SemDeDup).
 
     Composition of two oracle-checked stages: the deterministic Lloyd
-    assignment (session-shared, ``ml_kmeans_lloyd_assign``) scopes the
+    assignment (session-shared, k ∝ n via ``semdedup_k`` — SemDeDup's
+    operating point, coded not just documented since round 6) scopes the
     comparison; one grouped-map kernel per cluster emits the ≥-threshold
     pairs with the same sequential-fold cosine arithmetic as the exact
     dedup, then the standard single-hop keeper election runs.
 
-    Scale shape: pair work drops from Θ(n²) to Σ_c |c|² — with k ∝ n
-    (SemDeDup's operating point) cluster sizes are bounded, so this is the
-    linear-ish path between exact all-pairs and LSH. A skewed giant
-    cluster should fall back to the blocked triangular kernel
-    (``operators/pairs``) within that cluster; fixture clusters are
-    near-balanced (pinned by ``ml_kmeans_lloyd_sizes``)."""
+    Scale shape: pair work drops from Θ(n²) to Σ_c |c|² — with k ∝ n the
+    mean cluster size is pinned at SEMDEDUP_TARGET_CLUSTER_SIZE, so the
+    per-point pair work is ~constant and the stage is linear-ish in the
+    corpus (between exact all-pairs and LSH). A skewed giant cluster
+    should fall back to the blocked triangular kernel (``operators/
+    pairs``) within that cluster; fixture clusters are near-balanced
+    (pinned by ``ml_kmeans_lloyd_sizes``)."""
     import numpy as np
     import pandas as pd
 
     from spark_ml_algo_lib_master_tongji_spark.functions.vectors import (
         as_double_array,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _derived_scalar,
     )
     from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
         kmeans_lloyd,
@@ -434,7 +456,8 @@ def pipeline_semantic_dedup(cat: Catalog) -> DataFrame:
     pts = spread(cat.embeddings).select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    grp = pts.join(kmeans_lloyd(cat), "vec_id")
+    n = _derived_scalar(cat, "embeddings_count", lambda: pts.count())
+    grp = pts.join(kmeans_lloyd(cat, k=semdedup_k(n)), "vec_id")
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()

@@ -24,18 +24,25 @@ in the plan; task memory is bounded by the block size; the distance
 arithmetic is vectorized instead of the interpreted ``aggregate``-HOF
 expression (which dominated round-1 wall time).
 
-Why not a grid-cell candidate join: the fixture embeddings are uniform on
-the 64-d unit sphere (measured: per-axis range 0.77 < ε 1.18, label-
-conditional neighbor rates identical), so every axis-aligned or projected
-grid with exact guarantees degenerates to ≤4 occupied cells — the same
-all-pairs work with skew on top. For *clusterable* corpora the cell-local
-design in SURVEY §7 applies as a pre-filter in front of this kernel;
-for isotropic data the exact ε-join is irreducibly Θ(n²) candidate checks
-(distance concentration), and the blocked join distributes that work
-evenly, which is the best exact shape at scale.
+Candidate generation dispatches on measured occupancy (``_eps_arm``): a
+grid-cell candidate join (cells of side ε on ``GRID_DIMS`` projected
+axes, 3^d neighbor-cell pairs — ``operators/pairs.grid_apply``) when the
+cell histogram shows it prunes, else the blocked triangular join. The
+fixture embeddings are uniform on the 64-d unit sphere (measured:
+per-axis range 0.77 < ε 1.18, label-conditional neighbor rates
+identical), so every axis-aligned grid there degenerates to ≤4 occupied
+cells — the same all-pairs work with skew on top — and the gate routes
+them to the blocked join: for isotropic data the exact ε-join is
+irreducibly Θ(n²) candidate checks (distance concentration), and the
+blocked join distributes that work evenly, which is the best exact shape
+at scale. Clusterable corpora (the regime a real deployment runs DBSCAN
+on) route to the grid arm; ``ml_dbscan_grid_neighbors`` exercises it on a
+spread 2-d projection of the fixture with its own exact SQL oracle.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -45,7 +52,11 @@ from pyspark.sql import functions as F
 from spark_ml_algo_lib_master_tongji_spark.operators.graph import _bc, _cached
 from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import _points
 from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+    GRID_DIMS,
+    GRID_GAIN_MAX,
     blocked_apply,
+    grid_apply,
+    grid_gain,
     round_half_up_np,
     seq_dot,
     seq_self_dot,
@@ -61,24 +72,50 @@ EPS2 = 1.4  # squared-L2 radius (≈1% quantile of pairwise distances)
 MIN_PTS = 4
 DBSCAN_CC_ROUNDS = 12
 
+#: grid-cell side for the candidate arm: the pair predicate is
+#: round(d², 6) ≤ EPS2, so the effective radius is √(EPS2 + 5e-7); the
+#: +1e-6 slack keeps every qualifying pair within one cell per axis.
+EPS_CELL_SIDE = math.sqrt(EPS2 + 1e-6)
 
-def _eps_pairs(pts: DataFrame) -> DataFrame:
-    """(i, j) with i<j and rounded |vi−vj|² ≤ EPS2 — exact, via the blocked
-    triangular self-join (d² by the dot identity, sequential-fold
-    summation, half-up rounding at 6 decimals — all matching the SQL
-    oracle's arithmetic exactly)."""
+#: axis spread for the grid-demo projection (``ml_dbscan_grid_neighbors``):
+#: ×15 turns the fixture's ~[−0.4, 0.4] coordinates into a ~12ε-wide 2-d
+#: extent, the occupancy regime where the grid arm pays.
+GRID_DEMO_SCALE = 15.0
 
-    def kernel(ids_a, mat_a, ids_b, mat_b, same) -> pd.DataFrame:
-        na, nb = seq_self_dot(mat_a), seq_self_dot(mat_b)
-        d2 = (na[:, None] + nb[None, :]) - 2 * seq_dot(mat_a, mat_b)
-        keep = round_half_up_np(d2, 6) <= EPS2
-        if same:
-            keep &= ids_a[:, None] < ids_b[None, :]
-        ai, bj = np.nonzero(keep)
-        lo, hi = ids_a[ai], ids_b[bj]
-        return pd.DataFrame({"i": np.minimum(lo, hi), "j": np.maximum(lo, hi)})
 
-    return blocked_apply(pts, kernel, "i long, j long")
+def _eps_kernel(ids_a, mat_a, ids_b, mat_b, same) -> pd.DataFrame:
+    """(i, j) with i<j and rounded |vi−vj|² ≤ EPS2 (d² by the dot identity,
+    sequential-fold summation, half-up rounding at 6 decimals — all
+    matching the SQL oracle's arithmetic exactly). Shared by both
+    candidate arms, so their results are byte-identical."""
+    na, nb = seq_self_dot(mat_a), seq_self_dot(mat_b)
+    d2 = (na[:, None] + nb[None, :]) - 2 * seq_dot(mat_a, mat_b)
+    keep = round_half_up_np(d2, 6) <= EPS2
+    if same:
+        keep &= ids_a[:, None] < ids_b[None, :]
+    ai, bj = np.nonzero(keep)
+    lo, hi = ids_a[ai], ids_b[bj]
+    return pd.DataFrame({"i": np.minimum(lo, hi), "j": np.maximum(lo, hi)})
+
+
+def _eps_arm(pts: DataFrame) -> str:
+    """Dispatch: 'grid' when the measured candidate volume of the ε-grid
+    is under ``GRID_GAIN_MAX``·n², else 'blocked'. One linear histogram
+    pass over (cached) ``pts`` — cheap next to either arm's pair work."""
+    gain = grid_gain(pts, EPS_CELL_SIDE, GRID_DIMS)
+    return "grid" if gain <= GRID_GAIN_MAX else "blocked"
+
+
+def _eps_pairs(pts: DataFrame, arm: str | None = None) -> DataFrame:
+    """(i, j) with i<j and rounded |vi−vj|² ≤ EPS2 — exact under either
+    arm; ``arm`` overrides the occupancy gate (tests pin both arms)."""
+    if arm is None:
+        arm = _eps_arm(pts)
+    if arm == "grid":
+        return grid_apply(
+            pts, _eps_kernel, "i long, j long", EPS_CELL_SIDE, GRID_DIMS
+        )
+    return blocked_apply(pts, _eps_kernel, "i long, j long")
 
 
 def dbscan(cat: Catalog) -> DataFrame:
@@ -176,8 +213,42 @@ def ml_dbscan_summary(cat: Catalog) -> DataFrame:
     )
 
 
+def _grid_points(cat: Catalog) -> DataFrame:
+    """Session-shared 2-d spread projection of the embeddings —
+    (vec_id, [v₀·15, v₁·15]): a clusterable-occupancy point set derived
+    from fixture data (≈12ε extent per axis → ~100 occupied ε-cells), the
+    regime the grid candidate arm exists for."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    def build() -> DataFrame:
+        p = _points(cat)
+        return p.select(
+            "vec_id",
+            F.array(
+                F.col("v")[0] * GRID_DEMO_SCALE, F.col("v")[1] * GRID_DEMO_SCALE
+            ).alias("v"),
+        )
+
+    return _derived(cat, "dbscan_grid_points", build)
+
+
+def ml_dbscan_grid_neighbors(cat: Catalog) -> DataFrame:
+    """ε-neighbor counts (p, c) on the spread 2-d projection — the
+    grid-cell candidate arm's driver-checked surface (the occupancy gate
+    routes this point set to ``grid_apply``; the 64-d isotropic
+    ``ml_dbscan`` routes to the blocked join — one oracle row per arm).
+    Exact SQL twin: cross-join ε-predicate + symmetric count."""
+    pts = _grid_points(cat)
+    pr = _eps_pairs(pts)
+    nbr = pr.select(F.col("i").alias("p"), F.col("j").alias("q")).unionByName(
+        pr.select(F.col("j").alias("p"), F.col("i").alias("q"))
+    )
+    return nbr.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "ml_dbscan",
     "ml_dbscan_summary",
+    "ml_dbscan_grid_neighbors",
 )

@@ -105,8 +105,16 @@ def _derived(cat: Catalog, name: str, build) -> DataFrame:
             # (one cheap aggregation over rows the first consumer needs
             # anyway) makes the load/cost split in bench.py real instead of
             # attributing the whole build to whichever query's first action
-            # touches the cache.
-            df.count()
+            # touches the cache. If the count fails, the fresh persist must
+            # be released before the exception escapes, or a failed build
+            # leaves stray MEMORY_AND_DISK partitions pinned for the
+            # session (round-5 ADVICE — same failure-path rule as
+            # benchlib.materialize).
+            try:
+                df.count()
+            except Exception:
+                df.unpersist(blocking=False)
+                raise
         _DERIV_CACHE[key] = df
     return _DERIV_CACHE[key]
 
@@ -852,15 +860,32 @@ def triangles(pairs: DataFrame, csr=None, adj_bc_max_edges: int | None = None) -
             # pin a copy per standalone call (round-5 review)
             pairs.unpersist(blocking=False)
         return out
-    # join arm: result is lazy over the cached pairs — the cache must
-    # outlive this call; the caller owns materialization.
-    return _triangles_wedge_join(pairs)
+    if not own:
+        # join arm over a caller-cached relation: result stays lazy — the
+        # caller owns materialization and its cache's lifetime.
+        return _triangles_wedge_join(pairs)
+    # Standalone join-arm call: this function owns the gate cache, so
+    # materialize the wedge-join output eagerly and release the cache in a
+    # finally — the arm that fires on the LARGEST inputs must not pin an
+    # O(|E|) MEMORY_AND_DISK copy for the session (round-5 ADVICE).
+    try:
+        out = _cached(_triangles_wedge_join(pairs))
+        try:
+            out.count()
+        except Exception:
+            out.unpersist(blocking=False)
+            raise
+        return out
+    finally:
+        pairs.unpersist(blocking=False)
 
 
 def _triangles_wedge_join(pairs: DataFrame) -> DataFrame:
     """(v, triangles) by relational joins — one canonical triangle a<b<c
-    per closed triple via the two-path + closing-edge join."""
-    p = _cached(pairs.select("src", "dst"))
+    per closed triple via the two-path + closing-edge join. ``pairs``
+    should already be cached (``triangles()`` guarantees it); re-caching
+    the projection here would pin a duplicate copy with no release path."""
+    p = pairs.select("src", "dst")
     e1 = p.toDF("a", "b")
     e2 = p.toDF("b", "c")
     e3 = p.toDF("a", "c")

@@ -965,7 +965,13 @@ def graph_weak_cliques(cat: Catalog) -> DataFrame:
 
 
 def graph_louvain(cat: Catalog) -> DataFrame:
-    return louvain(cat)
+    """Session-shared (``_derived``): the registry query and bench's
+    ``louvain_modularity_q`` evaluation scalar both read this labeling —
+    one two-level Louvain run serves both (the reference's runner also
+    reports (Q, communities) from one run, ``LouvainRunner.scala:92-99``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(cat, "louvain_communities", lambda: louvain(cat))
 
 
 def graph_node2vec_walks(cat: Catalog) -> DataFrame:

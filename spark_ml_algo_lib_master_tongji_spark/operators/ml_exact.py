@@ -125,24 +125,30 @@ def _kmeans_update(assign: DataFrame) -> DataFrame:
     ).select("cid", F.col("pm.m").alias("c"))
 
 
-def kmeans_lloyd(cat: Catalog) -> DataFrame:
+def kmeans_lloyd(cat: Catalog, k: int = KMEANS_K) -> DataFrame:
     """Fixed-seed fixed-iteration Lloyd's k-means on the embeddings table →
-    final assignment (vec_id, cid). Init = the KMEANS_K smallest vec_ids'
+    final assignment (vec_id, cid). Init = the ``k`` smallest vec_ids'
     vectors (deterministic analogue of the seeded init in
     ``KMeansRunner.scala:147-154``); KMEANS_ITERS assign/update rounds.
 
-    Session-shared: the assignment is the common input of the ``*_assign``
-    and ``*_sizes`` registry queries — one Lloyd loop per session."""
+    Session-shared per k: the default-k assignment is the common input of
+    the ``*_assign`` and ``*_sizes`` registry queries; semantic dedup
+    requests its corpus-scaled k (``dedup.semdedup_k`` — k ∝ n), which
+    collapses to the same shared derivation whenever it equals KMEANS_K
+    (it does on the 500-point oracle fixture)."""
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
 
-    return _derived(cat, "kmeans_lloyd_assign", lambda: _kmeans_lloyd_build(cat))
+    name = (
+        "kmeans_lloyd_assign" if k == KMEANS_K else f"kmeans_lloyd_assign_k{k}"
+    )
+    return _derived(cat, name, lambda: _kmeans_lloyd_build(cat, k))
 
 
-def _kmeans_lloyd_build(cat: Catalog) -> DataFrame:
+def _kmeans_lloyd_build(cat: Catalog, k: int = KMEANS_K) -> DataFrame:
     points = _points(cat).persist(StorageLevel.MEMORY_AND_DISK)
     centers = (
         points.orderBy("vec_id")
-        .limit(KMEANS_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
     for _ in range(KMEANS_ITERS):

@@ -20,6 +20,7 @@ front and keep this as the verification kernel.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 import numpy as np
@@ -78,6 +79,37 @@ def _n_blocks(n: int, block_rows: int, max_blocks: int | None = None) -> int:
     return b if max_blocks is None else min(b, max_blocks)
 
 
+def _pair_group_runner(kernel: PairKernel, out_schema: str, id_col: str, vec_col: str):
+    """Shared (block- and grid-) group runner: a group's rows carry their
+    own side key in ``g`` and the group key is the canonical (ga, gb)
+    pair; a group where one side is empty yields an empty result frame.
+    Works for integer block ids and string cell keys alike."""
+    # Parse the DDL properly: a naive split(",") breaks on parameterized /
+    # nested types (decimal(10,2), array<struct<...>>) and would hand the
+    # empty frame wrong column names (round-3 ADVICE).
+    out_cols = [f.name for f in T._parse_datatype_string(out_schema).fields]
+    empty = pd.DataFrame({c: [] for c in out_cols})
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = key[0], key[1]
+        pa = pdf[pdf["g"] == ga]
+        if len(pa) == 0:
+            return empty
+        ids_a = pa[id_col].to_numpy()
+        mat_a = np.stack(pa[vec_col].to_numpy())
+        if ga == gb:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            pb = pdf[pdf["g"] == gb]
+            if len(pb) == 0:
+                return empty
+            ids_b = pb[id_col].to_numpy()
+            mat_b = np.stack(pb[vec_col].to_numpy())
+        return kernel(ids_a, mat_a, ids_b, mat_b, ga == gb)
+
+    return run
+
+
 def blocked_apply(
     pts: DataFrame,
     kernel: PairKernel,
@@ -96,34 +128,141 @@ def blocked_apply(
     side hashed empty yields an empty result frame."""
     n = pts.count()
     n_blocks = _n_blocks(n, block_rows, max_blocks)
-    # Parse the DDL properly: a naive split(",") breaks on parameterized /
-    # nested types (decimal(10,2), array<struct<...>>) and would hand the
-    # empty frame wrong column names (round-3 ADVICE).
-    out_cols = [f.name for f in T._parse_datatype_string(out_schema).fields]
-    empty = pd.DataFrame({c: [] for c in out_cols})
-
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ga, gb = int(key[0]), int(key[1])
-        pa = pdf[pdf["g"] == ga]
-        if len(pa) == 0:
-            return empty
-        ids_a = pa[id_col].to_numpy()
-        mat_a = np.stack(pa[vec_col].to_numpy())
-        if ga == gb:
-            ids_b, mat_b = ids_a, mat_a
-        else:
-            pb = pdf[pdf["g"] == gb]
-            if len(pb) == 0:
-                return empty
-            ids_b = pb[id_col].to_numpy()
-            mat_b = np.stack(pb[vec_col].to_numpy())
-        return kernel(ids_a, mat_a, ids_b, mat_b, ga == gb)
+    run = _pair_group_runner(kernel, out_schema, id_col, vec_col)
 
     replicated = pts.select(
         id_col,
         vec_col,
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("g"),
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("h"),
+    ).select(
+        F.least("g", "h").alias("ga"),
+        F.greatest("g", "h").alias("gb"),
+        id_col,
+        vec_col,
+        "g",
+    )
+    return replicated.groupBy("ga", "gb").applyInPandas(run, out_schema)
+
+
+# ---- grid-cell candidate generation -----------------------------------------
+#
+# For ε-radius pair predicates over *clusterable* data, the exact blocked
+# join above checks Θ(n²) candidates it does not need: any pair within L2
+# distance ε differs by ≤ cell_side per axis, so cells of side ≥ ε on a few
+# projected axes make every qualifying pair land in the same or an adjacent
+# cell. Candidate work collapses from n² to Σ over neighbor cell pairs of
+# |a|·|b| — linear-ish when occupancy is bounded — while the kernel (and
+# therefore the result) stays byte-identical to the blocked join's.
+# Reference surface: ``DBSCANRunner.scala:52-73`` (the closed BoostKit
+# kernel's ε-neighborhood stage); grid partitioning per Gan & Tao,
+# SIGMOD'15.
+
+#: projected axes used for cells — 2 keeps the per-point replication at
+#: 3²=9 groups; higher dims prune more but replicate 3^d.
+GRID_DIMS = 2
+
+#: dispatch threshold: use the grid arm when its candidate volume is below
+#: this fraction of n² (isotropic data degenerates to a handful of occupied
+#: cells — same n² work with skew on top, so the blocked join wins there).
+GRID_GAIN_MAX = 0.5
+
+#: neighbor-offset lists per dimensionality (3^d tuples).
+def _grid_offsets(dims: int) -> list[tuple[int, ...]]:
+    return list(itertools.product((-1, 0, 1), repeat=dims))
+
+
+def _cell_coords(vec_col: str, cell_side: float, dims: int):
+    """Per-axis cell index expressions floor(vᵢ / side) (partitioning only
+    — never part of the emitted values, so the floor needs no rounding
+    discipline)."""
+    return [
+        F.floor(F.col(vec_col)[i] / F.lit(float(cell_side))).cast("long")
+        for i in range(dims)
+    ]
+
+
+def _cell_key(coords) -> "F.Column":
+    return F.concat_ws(":", *[c.cast("string") for c in coords])
+
+
+def grid_gain(
+    pts: DataFrame,
+    cell_side: float,
+    dims: int = GRID_DIMS,
+    vec_col: str = "v",
+    n: int | None = None,
+) -> float:
+    """Candidate-volume ratio of the grid arm: Σ_{cells c, offsets o}
+    cnt(c)·cnt(c+o) over n² (ordered-pair counting on both sides). One
+    linear pass builds the cell histogram; the neighbor join runs on the
+    histogram (≤ #occupied-cells rows), never on points — the occupancy
+    gate stays cheap at any corpus size."""
+    if n is None:
+        n = pts.count()
+    if n == 0:
+        return 0.0
+    coords = _cell_coords(vec_col, cell_side, dims)
+    cells = (
+        pts.select(*[c.alias(f"_c{i}") for i, c in enumerate(coords)])
+        .groupBy(*[f"_c{i}" for i in range(dims)])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    off_keys = F.array(
+        *[
+            _cell_key([F.col(f"_c{i}") + F.lit(o[i]) for i in range(dims)])
+            for o in _grid_offsets(dims)
+        ]
+    )
+    a = cells.select(
+        F.col("cnt").alias("cnt_a"), F.explode(off_keys).alias("k")
+    )
+    b = cells.select(
+        _cell_key([F.col(f"_c{i}") for i in range(dims)]).alias("k"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    w = a.join(b, "k").agg(F.sum(F.col("cnt_a") * F.col("cnt_b"))).first()[0]
+    return float(w or 0) / (float(n) ** 2)
+
+
+def grid_apply(
+    pts: DataFrame,
+    kernel: PairKernel,
+    out_schema: str,
+    cell_side: float,
+    dims: int = GRID_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Run ``kernel`` over every pair of SAME-OR-ADJACENT grid cells of
+    ``pts`` — exact for any pair predicate implying per-axis |Δ| ≤
+    ``cell_side`` on the first ``dims`` axes (choose the side to cover any
+    rounding slack in the predicate).
+
+    Every unordered candidate pair reaches the kernel exactly once: a
+    point in cell c ships to the canonical (min, max) group of each of its
+    3^dims neighbor cell pairs, so the group of the pair {c, c'} holds
+    both cells' points once each (same-cell pairs take the kernel's
+    strict-upper-triangle path). The plan is the same
+    explode → groupBy → applyInPandas shape as ``blocked_apply`` — no
+    cartesian node, task memory bounded by the two cells' occupancy."""
+    run = _pair_group_runner(kernel, out_schema, id_col, vec_col)
+    coords = _cell_coords(vec_col, cell_side, dims)
+    with_cells = pts.select(
+        id_col, vec_col, *[c.alias(f"_c{i}") for i, c in enumerate(coords)]
+    )
+    nbr_keys = F.array(
+        *[
+            _cell_key([F.col(f"_c{i}") + F.lit(o[i]) for i in range(dims)])
+            for o in _grid_offsets(dims)
+        ]
+    )
+    own_key = _cell_key([F.col(f"_c{i}") for i in range(dims)])
+    replicated = with_cells.select(
+        id_col,
+        vec_col,
+        own_key.alias("g"),
+        F.explode(nbr_keys).alias("h"),
     ).select(
         F.least("g", "h").alias("ga"),
         F.greatest("g", "h").alias("gb"),

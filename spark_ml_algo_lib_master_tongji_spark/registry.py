@@ -91,80 +91,20 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 5 rotation. Tier 1: the 32 oracles whose latest
-#: driver CORRECTNESS row is round 3 (one round stale — verdict r4 item 4).
-#: Tier 2: oracle-bearing queries whose implementation changed this round
-#: (CSR counting-kernel rewrite → triangle family + subgraph matching,
-#: which sits in tier 1 anyway; local min-plus closure arm → nation
-#: closeness/SCC). Tier 3 fills: round-4-green re-verification, weighted
-#: toward queries sitting on the derivation caches the round-5 eager-
-#: materialization change touched. Tier 4 (behind the window): round-4-
-#: green unchanged, then the no-oracle estimator workloads (pytest-only).
+#: Priority order, round 6 rotation. Tier 1: the 38 oracles whose latest
+#: driver CORRECTNESS row is round 4 (one round stale — verdict r5 item 4).
+#: Tier 2: oracle-bearing queries whose implementation changed or is NEW
+#: this round (grid-cell ε-candidate arm → dbscan family; k ∝ n semantic
+#: dedup → Lloyd parameterization). Tier 3 fills: round-5-green
+#: re-verification, weighted toward queries sitting on the blocked-kernel
+#: runner this round's pairs.py refactor touched. Tier 4 (behind the
+#: window): round-5-green unchanged, then the no-oracle estimator
+#: workloads (pytest-only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1: driver row is from round 3, unchanged but one round stale --
-    "ml_dbscan_summary",
-    "stat_spearman_lineitem",
-    "graph_cycle_detection",
-    "graph_maximal_cliques",
-    "graph_subgraph_matching",  # also tier 2: CSR kernel rewrite (r5)
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "sim_lsh_bucket_pairs",
-    "q_sql_entry_top_suppliers",
-    "q_events_first_per_user",
-    "q_events_type_rollup",
-    "q_string_id_dictionary",
-    "ml_idf",
-    "ml_prefixspan",
-    "ml_est_prefixspan",
-    "ml_kmeans_lloyd_assign",
-    "ml_kmeans_lloyd_sizes",
-    "ml_knn_classifier",
-    "ml_knn_regressor",
-    "stream_windowed_counts",
-    "stream_distinct_pairs",
-    "stream_sessionization",
-    "stream_user_totals_stateful",
-    "stream_nation_event_revenue",
-    "mm_manifest",
-    "mm_frame_sample",
-    "mm_byte_features",
-    "mm_fake_decode",
-    "graph_node2vec_walks",
-    "graph_node2vec_biased_walks",
-    "graph_trustrank",
-    "graph_ppr_multi",
-    # -- tier 2: implementation changed / NEW in round 5 ---------------------
-    "graph_triangle_count",  # searchsorted CSR kernel (sorted adjacency)
-    "graph_clustering_coefficient",  # consumes the rewritten triangle rel.
-    "graph_closeness_nation",  # local Floyd-Warshall closure arm
-    "graph_scc_nation",  # reads the same gated closure
-    "text_top_ngrams",  # NEW r5 — first driver row needed
-    "text_lang_rollup",  # NEW r5 — first driver row needed
-    "pipeline_stratified_sample",  # NEW r5 — first driver row needed
-    "pipeline_decontaminate",  # NEW r5 — first driver row needed
-    "pipeline_semantic_dedup",  # NEW r5 — first driver row needed
-    "graph_betweenness",  # NEW r5 oracle (pair-counting SQL) — first row
-    # -- tier 3 fills: round-4-green re-verification (heaviest users of the
-    #    derivation caches changed by eager load materialization) -----------
-    "graph_edges",
-    "graph_degrees",
-    "graph_modularity",
-    "graph_louvain",
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",
-    "pipeline_training_mix",
-    "q_skew_salted_user_counts",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- tier 4: driver-green in round 4, unchanged since -------------------
-    "text_fingerprint",
-    "stat_covariance_lineitem",
-    "dedup_exact",
+    # -- tier 1: driver row is from round 4, unchanged but one round stale --
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q6_forecast_revenue",
-    "ml_linreg_ols",
-    "stat_pearson_lineitem",
     "q_broadcast_dim_join",
     "q_anti_join_customers_without_orders",
     "q_semi_join_suppliers_with_big_lineitems",
@@ -174,9 +114,14 @@ _ORDER: tuple[str, ...] = (
     "q_case_conditional_agg",
     "q_grouped_having",
     "stat_summary_lineitem",
+    "stat_covariance_lineitem",
+    "stat_pearson_lineitem",
+    "ml_linreg_ols",
+    "text_fingerprint",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
+    "dedup_exact",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
@@ -195,6 +140,62 @@ _ORDER: tuple[str, ...] = (
     "graph_pagerank_personalized",
     "graph_pagerank_weighted",
     "ml_dbscan",
+    # -- tier 2: implementation changed / NEW in round 6 ---------------------
+    "ml_dbscan_grid_neighbors",  # NEW r6 — grid candidate arm, first row
+    "ml_dbscan_summary",  # ε-pair arm dispatch added upstream
+    "pipeline_semantic_dedup",  # k ∝ n cluster-count policy (r6)
+    "ml_kmeans_lloyd_assign",  # kmeans_lloyd parameterized by k (r6)
+    "ml_kmeans_lloyd_sizes",
+    # -- tier 3 fills: round-5-green re-verification (blocked-kernel runner
+    #    refactor consumers + newest oracles' second row) --------------------
+    "dedup_embedding_cosine",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_betweenness",
+    "graph_louvain",
+    "graph_modularity",
+    "pipeline_training_mix",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- tier 4: driver-green in round 5, unchanged since -------------------
+    "stat_spearman_lineitem",
+    "graph_cycle_detection",
+    "graph_maximal_cliques",
+    "graph_subgraph_matching",
+    "dedup_embedding_cosine_lsh",
+    "sim_lsh_bucket_pairs",
+    "q_sql_entry_top_suppliers",
+    "q_events_first_per_user",
+    "q_events_type_rollup",
+    "q_string_id_dictionary",
+    "ml_idf",
+    "ml_prefixspan",
+    "ml_est_prefixspan",
+    "ml_knn_classifier",
+    "ml_knn_regressor",
+    "stream_windowed_counts",
+    "stream_distinct_pairs",
+    "stream_sessionization",
+    "stream_user_totals_stateful",
+    "stream_nation_event_revenue",
+    "mm_manifest",
+    "mm_frame_sample",
+    "mm_byte_features",
+    "mm_fake_decode",
+    "graph_node2vec_walks",
+    "graph_node2vec_biased_walks",
+    "graph_trustrank",
+    "graph_ppr_multi",
+    "graph_closeness_nation",
+    "graph_scc_nation",
+    "text_top_ngrams",
+    "text_lang_rollup",
+    "pipeline_stratified_sample",
+    "pipeline_decontaminate",
+    "graph_edges",
+    "graph_degrees",
+    "dedup_minhash_lsh",
+    "dedup_minhash_groups",
+    "q_skew_salted_user_counts",
     # -- tier 4: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -235,7 +236,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "q_skew_salted_user_counts", (
+assert _ORDER[DRIVER_WINDOW - 1] == "pipeline_training_mix", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

@@ -314,3 +314,34 @@ def test_ivf_recall_vs_exact_search(cat):
     total = sum(len(v) for v in exact.values())
     recall = hits / total
     assert recall >= 0.35, f"recall {recall:.2f}"
+
+
+def test_semdedup_k_policy_and_scaled_lloyd(cat):
+    """k ∝ n (SemDeDup's operating point, round-6): the cluster count must
+    track corpus size with mean cluster size pinned at TARGET, collapse to
+    KMEANS_K on the 500-point oracle fixture (hash stability), and the
+    parameterized Lloyd loop must honor a non-default k."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        SEMDEDUP_TARGET_CLUSTER_SIZE,
+        semdedup_k,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+        KMEANS_K,
+        kmeans_lloyd,
+    )
+
+    assert semdedup_k(500) == KMEANS_K  # oracle fixture → shared derivation
+    assert semdedup_k(0) == 1 and semdedup_k(1) == 1
+    for n in (2_000, 50_000, 10_000_000):
+        k = semdedup_k(n)
+        mean = n / k
+        assert 0.5 * SEMDEDUP_TARGET_CLUSTER_SIZE <= mean <= 2 * SEMDEDUP_TARGET_CLUSTER_SIZE, (n, k)
+
+    got = kmeans_lloyd(cat, k=3)
+    cids = {r["cid"] for r in got.select("cid").distinct().collect()}
+    assert 1 <= len(cids) <= 3
+    # non-default k must NOT alias the shared KMEANS_K derivation
+    default_cids = {
+        r["cid"] for r in kmeans_lloyd(cat).select("cid").distinct().collect()
+    }
+    assert len(default_cids) > len(cids)

@@ -1,12 +1,24 @@
 """Blocked all-pairs kernel (operators/pairs.py): block-grid sizing and
 pair totality under sparse/structured id spaces (round-2 ADVICE: pmod of
 raw ids crashed on empty blocks; a fixed 64-block cap let task memory grow
-linearly past ~32k points)."""
+linearly past ~32k points). Plus the grid-cell candidate arm (round-6):
+result parity with the exact blocked join, and the occupancy gate that
+dispatches between them."""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    return Catalog(spark, SF_SMOKE)
 
 
 def test_block_count_derives_from_n():
@@ -62,3 +74,113 @@ def test_blocked_apply_total_pairs_on_sparse_ids(spark):
         (min(x, y), max(x, y)) for i, x in enumerate(ids) for y in ids[i + 1 :]
     )
     assert got == want
+
+
+def _blob_points(spark, n_blobs=6, per_blob=30, spread=0.3):
+    """Deterministic 2-d blob fixture: clusterable — the regime the grid
+    arm exists for. Blob centers 5 apart ≫ cell side, points jittered by a
+    seeded hash-like recurrence (no RNG → stable across runs)."""
+    rows = []
+    for b in range(n_blobs):
+        cx, cy = 5.0 * (b % 3), 5.0 * (b // 3)
+        for i in range(per_blob):
+            # deterministic jitter in (−spread, spread)
+            jx = (((b * 131 + i * 17) % 97) / 97.0 - 0.5) * 2 * spread
+            jy = (((b * 37 + i * 53) % 89) / 89.0 - 0.5) * 2 * spread
+            rows.append((b * per_blob + i, [cx + jx, cy + jy]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>").cache()
+
+
+def _eps_kernel_factory(eps2):
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        round_half_up_np,
+        seq_dot,
+        seq_self_dot,
+    )
+
+    def kernel(ids_a, mat_a, ids_b, mat_b, same):
+        na, nb = seq_self_dot(mat_a), seq_self_dot(mat_b)
+        d2 = (na[:, None] + nb[None, :]) - 2 * seq_dot(mat_a, mat_b)
+        keep = round_half_up_np(d2, 6) <= eps2
+        if same:
+            keep &= ids_a[:, None] < ids_b[None, :]
+        ai, bj = np.nonzero(keep)
+        lo, hi = ids_a[ai], ids_b[bj]
+        return pd.DataFrame({"i": np.minimum(lo, hi), "j": np.maximum(lo, hi)})
+
+    return kernel
+
+
+def test_grid_apply_matches_blocked_apply_on_blobs(spark):
+    """The grid candidate arm must emit the byte-identical ε-pair set the
+    exact blocked join emits — candidate generation can only PRUNE pairs
+    the predicate would reject anyway (per-axis |Δ| ≤ cell side)."""
+    import math
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        blocked_apply,
+        grid_apply,
+    )
+
+    eps2 = 0.4
+    side = math.sqrt(eps2 + 1e-6)
+    pts = _blob_points(spark)
+    kern = _eps_kernel_factory(eps2)
+    g = sorted(
+        map(tuple, grid_apply(pts, kern, "i long, j long", side).collect())
+    )
+    b = sorted(
+        map(tuple, blocked_apply(pts, kern, "i long, j long").collect())
+    )
+    assert g == b
+    assert len(g) > 0  # blobs must actually produce ε-pairs
+
+
+def test_grid_gain_gate_routes_by_occupancy(spark, cat):
+    """Blobs (many occupied cells) must measure a small candidate ratio;
+    the 64-d isotropic fixture embeddings (≤4 occupied cells at ε) must
+    measure ~1 — so `_eps_arm` keeps the blocked join exactly where the
+    grid would degenerate (density.py docstring's measured claim, now a
+    coded dispatch)."""
+    import math
+
+    from spark_ml_algo_lib_master_tongji_spark.operators import density
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _cached
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        GRID_GAIN_MAX,
+        grid_gain,
+    )
+
+    pts = _blob_points(spark)
+    gain_blobs = grid_gain(pts, math.sqrt(0.4 + 1e-6))
+    assert gain_blobs <= GRID_GAIN_MAX, gain_blobs
+
+    emb = _cached(density._points(cat))
+    emb.count()
+    assert density._eps_arm(emb) == "blocked"
+    grid_pts = density._grid_points(cat)
+    assert density._eps_arm(grid_pts) == "grid"
+    emb.unpersist(blocking=False)
+
+
+def test_dbscan_grid_neighbors_arms_agree(cat):
+    """The registry query's result must be arm-invariant: forcing the
+    blocked join over the same spread projection yields identical
+    neighbor counts (the driver's oracle row covers the dispatched grid
+    arm; this pins the other arm to the same answer)."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators import density
+
+    pts = density._grid_points(cat)
+    got = {}
+    for arm in ("grid", "blocked"):
+        pr = density._eps_pairs(pts, arm=arm)
+        nbr = pr.select(F.col("i").alias("p"), F.col("j").alias("q")).unionByName(
+            pr.select(F.col("j").alias("p"), F.col("i").alias("q"))
+        )
+        got[arm] = sorted(
+            map(tuple, nbr.groupBy("p").agg(F.count(F.lit(1)).alias("c")).collect())
+        )
+    assert got["grid"] == got["blocked"]
+    assert len(got["grid"]) > 0

@@ -6,6 +6,7 @@ events to replica-0 customers)."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -14,6 +15,8 @@ import duckdb
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
+#: same default as the tool/bench — override with SPARK_GRAFT_SF_DIR.
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: child-table column → parent table.column, as the queries join them.
 FOREIGN_KEYS = [
@@ -32,6 +35,8 @@ def scaled_dir(tmp_path_factory):
         [
             sys.executable,
             str(REPO / "tools" / "scale_testdata.py"),
+            "--src",
+            SRC,
             "--out",
             str(out),
             "--factor",
@@ -59,7 +64,7 @@ def test_scaled_fixture_scales_rows_linearly(scaled_dir):
     con = duckdb.connect()
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         n_src = con.execute(
-            f"SELECT count(*) FROM read_parquet('/root/testdata/sf0.1/{t}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
         ).fetchone()[0]
         n_out = con.execute(
             f"SELECT count(*) FROM read_parquet('{scaled_dir}/{t}.parquet')"
@@ -68,7 +73,7 @@ def test_scaled_fixture_scales_rows_linearly(scaled_dir):
     # dimensions stay fixed like real TPC-H
     for t in ("region", "nation"):
         n_src = con.execute(
-            f"SELECT count(*) FROM read_parquet('/root/testdata/sf0.1/{t}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
         ).fetchone()[0]
         n_out = con.execute(
             f"SELECT count(*) FROM read_parquet('{scaled_dir}/{t}.parquet')"

@@ -11,8 +11,10 @@ across replicas, so dedup/similarity queries see FACTOR-sized duplicate
 groups — a *worst-case* collision load for the LSH paths, not an organic
 one.
 
-Usage: python tools/scale_testdata.py [--out DIR] [--factor N]
-Writes DIR/*.parquet (default /root/repo/testdata_sf1, factor 10).
+Usage: python tools/scale_testdata.py [--src DIR] [--out DIR] [--factor N]
+Writes DIR/*.parquet (default /root/repo/testdata_sf1, factor 10); --src
+defaults to $SPARK_GRAFT_SF_DIR like bench.py, so the tool has no baked-in
+machine path (round-5 ADVICE).
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import os
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+DEFAULT_SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: table → columns shifted by (replica · family_offset); offsets are per
 #: key family so e.g. l_orderkey and o_orderkey shift identically.
@@ -44,9 +46,11 @@ COPY_AS_IS = ("region", "nation")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=DEFAULT_SRC)
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
+    src = args.src
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
@@ -54,13 +58,13 @@ def main() -> None:
     for table, cols in KEYED.items():
         for col, family in cols.items():
             m = con.execute(
-                f"SELECT max({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+                f"SELECT max({col}) FROM read_parquet('{src}/{table}.parquet')"
             ).fetchone()[0]
             offsets[family] = max(offsets.get(family, 0), int(m) + 1)
 
     for table in COPY_AS_IS:
         con.execute(
-            f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet')) "
+            f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet')) "
             f"TO '{args.out}/{table}.parquet' (FORMAT parquet)"
         )
         print(f"{table}: copied")
@@ -70,12 +74,12 @@ def main() -> None:
             f"{col} + r.k * {offsets[family]} AS {col}" for col, family in cols.items()
         )
         schema = con.execute(
-            f"SELECT * FROM read_parquet('{SRC}/{table}.parquet') LIMIT 0"
+            f"SELECT * FROM read_parquet('{src}/{table}.parquet') LIMIT 0"
         ).df().columns
         others = ", ".join(f'"{n}"' for n in schema if n not in cols)
         sel = shifted + (", " + others if others else "")
         con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{table}.parquet'), "
+            f"COPY (SELECT {sel} FROM read_parquet('{src}/{table}.parquet'), "
             f"(SELECT unnest(range({args.factor})) AS k) r) "
             f"TO '{args.out}/{table}.parquet' (FORMAT parquet)"
         )
