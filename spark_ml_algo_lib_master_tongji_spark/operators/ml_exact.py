@@ -100,7 +100,13 @@ def _dist2(v, c):
 
 
 def _kmeans_assign(points: DataFrame, centers: DataFrame) -> DataFrame:
-    """(vec_id, v, cid): nearest center, ties → smaller cid."""
+    """(vec_id, v, cid): nearest center, ties → smaller cid — the
+    relational arm (crossJoin + window). Correct at any k but its
+    intermediate is n·k rows each dragging TWO dim-sized arrays through an
+    interpreted HOF fold plus a window shuffle: at k ∝ n (semantic dedup)
+    this measured 494s for the sf1 build vs ~8s for the kernel arm below.
+    Kept as the past-the-broadcast-ceiling fallback and the pytest
+    arm-agreement twin."""
     d = points.crossJoin(F.broadcast(centers)).select(
         "vec_id", "v", "cid", _dist2(F.col("v"), F.col("c")).alias("d2")
     )
@@ -110,6 +116,62 @@ def _kmeans_assign(points: DataFrame, centers: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "v", "cid")
     )
+
+
+#: Assign-kernel ceiling (center rows): the kernel broadcasts the k×dim
+#: center matrix once per iteration (~½ MB at the semantic-dedup sf1
+#: k=807, 64-d; ~50 MB at the ceiling). Past it, the relational assign
+#: shuffles instead of shipping an oversized broadcast.
+CENTERS_BC_MAX_ROWS = 100_000
+
+
+def _kmeans_assign_np(points: DataFrame, cids, cmat):
+    """Kernel arm of the assign step → (result frame, centers broadcast).
+
+    One Arrow-batched pass over ``points`` against the driver-held center
+    matrix: per batch, d² by the dot identity with the SAME sequential
+    fold (``pairs.seq_dot`` — bit-identical to the ``F.aggregate`` HOF and
+    DuckDB's list_dot_product), half-up-rounded at 6 decimals, then a row
+    argmin. ``cids`` must be sorted ascending so argmin's first-minimum
+    rule equals the relational arm's (d2 asc, cid asc) tie-break. No n·k
+    intermediate, no window shuffle — the scale shape of a 100 TB Lloyd
+    pass (points never move; centers ship as one broadcast).
+
+    The caller owns the returned broadcast: iteration-intermediate ones
+    are spent once the update is collected; the final one must outlive the
+    returned lazy frame."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        round_half_up_np,
+        seq_dot,
+        seq_self_dot,
+    )
+
+    bc = points.sparkSession.sparkContext.broadcast(
+        (np.asarray(cids, dtype=np.int64), np.asarray(cmat, dtype=np.float64))
+    )
+
+    def gen(batches):
+        cid_arr, cmat_v = bc.value
+        cc = seq_self_dot(cmat_v)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["v"].to_numpy())
+            d2 = (seq_self_dot(v)[:, None] + cc[None, :]) - 2 * seq_dot(v, cmat_v)
+            idx = round_half_up_np(d2, 6).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cid": cid_arr[idx],
+                }
+            )
+
+    out = points.mapInPandas(gen, "vec_id long, v array<double>, cid long")
+    return out, bc
 
 
 def _kmeans_update(assign: DataFrame) -> DataFrame:
@@ -151,10 +213,36 @@ def _kmeans_lloyd_build(cat: Catalog, k: int = KMEANS_K) -> DataFrame:
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
+    if k > CENTERS_BC_MAX_ROWS:
+        # relational fallback: center matrix too large to broadcast —
+        # fully lazy crossJoin/window chain, shuffles on vec_id.
+        for _ in range(KMEANS_ITERS):
+            assign = _kmeans_assign(points, centers)
+            centers = _kmeans_update(assign)
+        return _kmeans_assign(points, centers).select("vec_id", "cid")
+
+    # Kernel arm: centers live on the driver between iterations (k×dim
+    # doubles — tiny next to the corpus), exactly the production Lloyd
+    # topology; the update stays the SAME relational posexplode/avg as the
+    # fallback so the 9-decimal per-dimension means (and therefore the
+    # oracle hash) are arm-invariant.
+    def to_mat(rows):
+        rows = sorted(rows, key=lambda r: r["cid"])
+        return [r["cid"] for r in rows], [list(r["c"]) for r in rows]
+
+    cids, cmat = to_mat(centers.collect())
+    spent = []
     for _ in range(KMEANS_ITERS):
-        assign = _kmeans_assign(points, centers)
-        centers = _kmeans_update(assign)
-    return _kmeans_assign(points, centers).select("vec_id", "cid")
+        assign, bc = _kmeans_assign_np(points, cids, cmat)
+        cids, cmat = to_mat(_kmeans_update(assign).collect())
+        spent.append(bc)
+    out, _final_bc = _kmeans_assign_np(points, cids, cmat)
+    # intermediate center broadcasts are spent (their updates collected);
+    # the final one must stay alive — `out` references it lazily and
+    # _derived's cache can be rebuilt after eviction.
+    for b in spent:
+        b.destroy(blocking=False)
+    return out.select("vec_id", "cid")
 
 
 def ml_kmeans_lloyd_assign(cat: Catalog) -> DataFrame:

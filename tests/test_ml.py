@@ -345,3 +345,39 @@ def test_semdedup_k_policy_and_scaled_lloyd(cat):
         r["cid"] for r in kmeans_lloyd(cat).select("cid").distinct().collect()
     }
     assert len(default_cids) > len(cids)
+
+
+def test_kmeans_assign_arms_agree(cat):
+    """The Arrow-batched assign kernel (centers broadcast, seq-fold d²,
+    argmin) must reproduce the relational crossJoin+window arm
+    bit-for-bit — same sequential-fold arithmetic, same 6-decimal half-up
+    rounding, same smaller-cid tie-break. The driver's oracle row covers
+    the dispatched kernel arm; this pins the past-the-ceiling fallback to
+    the same answer."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_exact
+
+    points = ml_exact._points(cat).cache()
+    points.count()
+    centers = (
+        points.orderBy("vec_id")
+        .limit(ml_exact.KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    for _ in range(ml_exact.KMEANS_ITERS):
+        assign = ml_exact._kmeans_assign(points, centers)
+        centers = ml_exact._kmeans_update(assign)
+    rel = sorted(
+        (r["vec_id"], r["cid"])
+        for r in ml_exact._kmeans_assign(points, centers)
+        .select("vec_id", "cid")
+        .collect()
+    )
+    kern = sorted(
+        (r["vec_id"], r["cid"])
+        for r in ml_exact._kmeans_lloyd_build(cat, ml_exact.KMEANS_K).collect()
+    )
+    points.unpersist(blocking=False)
+    assert rel == kern
+    assert len(kern) > 0
