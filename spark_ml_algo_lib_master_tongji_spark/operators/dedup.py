@@ -416,7 +416,19 @@ def semdedup_k(n: int) -> int:
     return max(1, int(math.floor(n / float(SEMDEDUP_TARGET_CLUSTER_SIZE) + 0.5)))
 
 
-def pipeline_semantic_dedup(cat: Catalog) -> DataFrame:
+#: cluster-size gate for the giant-cluster re-dispatch: past this many
+#: members a cluster's pair enumeration moves from one grouped-map task
+#: (|c|² work, |c|·dim memory) to the blocked triangular kernel scoped
+#: inside the cluster. 16× the target mean size — far above balanced-
+#: assignment noise, low enough that one runaway task never holds the
+#: stage hostage (2×BLOCK_ROWS would also be a fine setting; keep it a
+#: multiple of the policy knob so the two scale together).
+SEMDEDUP_GIANT_ROWS = 16 * SEMDEDUP_TARGET_CLUSTER_SIZE
+
+
+def pipeline_semantic_dedup(
+    cat: Catalog, giant_rows: int = SEMDEDUP_GIANT_ROWS
+) -> DataFrame:
     """SemDeDup-style semantic dedup → (vec_id, keeper): cosine near-dup
     keeper election restricted to pairs INSIDE the same k-means cluster —
     cluster first, compare only within clusters (Abbas et al., SemDeDup).
@@ -431,10 +443,14 @@ def pipeline_semantic_dedup(cat: Catalog) -> DataFrame:
     Scale shape: pair work drops from Θ(n²) to Σ_c |c|² — with k ∝ n the
     mean cluster size is pinned at SEMDEDUP_TARGET_CLUSTER_SIZE, so the
     per-point pair work is ~constant and the stage is linear-ish in the
-    corpus (between exact all-pairs and LSH). A skewed giant cluster
-    should fall back to the blocked triangular kernel (``operators/
-    pairs``) within that cluster; fixture clusters are near-balanced
-    (pinned by ``ml_kmeans_lloyd_sizes``)."""
+    corpus (between exact all-pairs and LSH). Clusters past
+    ``giant_rows`` (assignment skew) don't get one |c|²-work,
+    |c|·dim-memory task: they re-dispatch to the blocked triangular
+    kernel scoped inside the cluster (``pairs.grouped_blocked_apply`` —
+    bounded tasks, identical pair set); the gate is one k-row aggregate.
+    Fixture clusters are near-balanced (pinned by
+    ``ml_kmeans_lloyd_sizes``), so the fixture exercises the grouped-map
+    arm and pytest pins giant-arm equality by forcing the gate down."""
     import numpy as np
     import pandas as pd
 
@@ -448,6 +464,7 @@ def pipeline_semantic_dedup(cat: Catalog) -> DataFrame:
         kmeans_lloyd,
     )
     from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        grouped_blocked_apply,
         round_half_up_np,
         seq_dot,
         seq_self_dot,
@@ -469,7 +486,44 @@ def pipeline_semantic_dedup(cat: Catalog) -> DataFrame:
         ai, bj = np.nonzero(keep)
         return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj]})
 
-    pairs = grp.groupBy("cid").applyInPandas(kern, "vec_a long, vec_b long")
+    def cross_kern(ids_a, mat_a, ids_b, mat_b, same) -> pd.DataFrame:
+        # block-pair twin of ``kern``: same sequential-fold cosine, same
+        # 4-decimal half-up rounding, canonical (min, max) emission.
+        na = np.sqrt(seq_self_dot(mat_a))
+        nb = np.sqrt(seq_self_dot(mat_b))
+        cos = seq_dot(mat_a, mat_b) / (na[:, None] * nb[None, :])
+        keep = round_half_up_np(cos, 4) >= COSINE_DEDUP_THRESHOLD
+        if same:
+            keep &= ids_a[:, None] < ids_b[None, :]
+        else:
+            keep &= ids_a[:, None] != ids_b[None, :]
+        ai, bj = np.nonzero(keep)
+        lo, hi = ids_a[ai], ids_b[bj]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(lo, hi), "vec_b": np.maximum(lo, hi)}
+        )
+
+    sizes = grp.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    has_giant = (
+        sizes.where(F.col("_n") > giant_rows).limit(1).count() > 0
+    )
+    if not has_giant:
+        pairs = grp.groupBy("cid").applyInPandas(kern, "vec_a long, vec_b long")
+    else:
+        sized = grp.join(sizes, "cid")
+        normal = (
+            sized.where(F.col("_n") <= giant_rows)
+            .drop("_n")
+            .groupBy("cid")
+            .applyInPandas(kern, "vec_a long, vec_b long")
+        )
+        giant = grouped_blocked_apply(
+            sized.where(F.col("_n") > giant_rows).drop("_n"),
+            "cid",
+            cross_kern,
+            "vec_a long, vec_b long",
+        )
+        pairs = normal.unionByName(giant)
     return _keeper_election(pts, pairs)
 
 

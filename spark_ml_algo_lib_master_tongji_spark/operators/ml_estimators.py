@@ -393,13 +393,27 @@ def ml_est_pca_rdd(cat: Catalog) -> DataFrame:
     )
 
 
+def _doc_tokens(cat: Catalog) -> DataFrame:
+    """Session-shared (doc_id, toks) distinct-token corpus — the common
+    input of the LDA and IDF estimator workloads, whose CountVectorizer
+    fits each make two passes over it; one scan + tokenize serves both
+    (the RDD LDA arm samples its input, so it stays separate)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(
+        cat,
+        "doc_tokens_distinct",
+        lambda: cat.documents.select(
+            "doc_id", F.array_distinct(tokens("text")).alias("toks")
+        ),
+    )
+
+
 def ml_est_lda(cat: Catalog) -> DataFrame:
     """LDA topic model (``LDARunner.scala:157-186``): CountVectorizer corpus
     → online LDA k=5; logLikelihood/logPerplexity eval on the training
     corpus (``LDARunner.scala:211-219`` uses a seeded sample)."""
-    docs = cat.documents.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("toks")
-    )
+    docs = _doc_tokens(cat)
     cv = CountVectorizer(
         inputCol="toks", outputCol="tf", vocabSize=500, minDF=2.0
     ).fit(docs)
@@ -751,9 +765,7 @@ def ml_est_idf(cat: Catalog) -> DataFrame:
     """spark.ml IDF estimator over a CountVectorizer corpus
     (``IDFRunner.scala:102-111``) → (df_bucket, n_terms, idf_sum): aggregate
     of the model's idf vector, stable under vocabulary-order ties."""
-    docs = cat.documents.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("toks")
-    )
+    docs = _doc_tokens(cat)
     cv = CountVectorizer(inputCol="toks", outputCol="tf", vocabSize=1000).fit(docs)
     tf = cv.transform(docs)
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)

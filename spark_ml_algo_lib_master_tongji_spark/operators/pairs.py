@@ -145,6 +145,48 @@ def blocked_apply(
     return replicated.groupBy("ga", "gb").applyInPandas(run, out_schema)
 
 
+def grouped_blocked_apply(
+    pts: DataFrame,
+    group_col: str,
+    kernel: PairKernel,
+    out_schema: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    block_rows: int = BLOCK_ROWS,
+) -> DataFrame:
+    """``blocked_apply`` scoped to each group of ``group_col``: the kernel
+    sees every pair of points WITHIN a group, never across groups, and a
+    group's block count derives from ITS row count (``ceil(n_g /
+    block_rows)``) — so one oversized group is split across
+    B_g·(B_g+1)/2 bounded tasks instead of handed to a single
+    ``groupBy(group).applyInPandas`` task doing |g|² work in |g|·dim
+    memory. Group sizes come from one partial-aggregated count joined
+    back on the group key (grows with #groups, not points); block keys
+    are ``group:block`` strings so two groups can never share a task."""
+    sizes = pts.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    sized = pts.join(sizes, group_col)
+    b = F.greatest(
+        F.lit(1), F.ceil(F.col("_n") / F.lit(float(block_rows)))
+    ).cast("long")
+    gidx = F.pmod(F.xxhash64(F.col(id_col)), b)
+    hidx = F.explode(F.sequence(F.lit(0), b - F.lit(1)))
+
+    def key(idx):
+        return F.concat_ws(":", F.col(group_col).cast("string"), idx.cast("string"))
+
+    replicated = sized.select(
+        id_col, vec_col, group_col, gidx.alias("_g"), hidx.alias("_h")
+    ).select(
+        key(F.least("_g", "_h")).alias("ga"),
+        key(F.greatest("_g", "_h")).alias("gb"),
+        id_col,
+        vec_col,
+        key(F.col("_g")).alias("g"),
+    )
+    run = _pair_group_runner(kernel, out_schema, id_col, vec_col)
+    return replicated.groupBy("ga", "gb").applyInPandas(run, out_schema)
+
+
 # ---- grid-cell candidate generation -----------------------------------------
 #
 # For ε-radius pair predicates over *clusterable* data, the exact blocked

@@ -184,3 +184,79 @@ def test_dbscan_grid_neighbors_arms_agree(cat):
         )
     assert got["grid"] == got["blocked"]
     assert len(got["grid"]) > 0
+
+
+def test_grouped_blocked_apply_matches_per_group_bruteforce(spark):
+    """Per-group pair totality and scoping: every within-group pair under
+    the predicate appears exactly once, no cross-group pair ever — with
+    one group big enough (> BLOCK_ROWS) to split into multiple block-pair
+    tasks."""
+    import math
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        BLOCK_ROWS,
+        grouped_blocked_apply,
+    )
+
+    eps2 = 2.0
+    sizes = {0: 5, 1: BLOCK_ROWS + 88, 2: 30}  # group 1 spans 2 blocks
+    rows, nid = [], 0
+    for g, sz in sizes.items():
+        for i in range(sz):
+            # deterministic 2-d spiral per group, ids interleaved across
+            # groups so block hashing sees a structured id space
+            rows.append(
+                (
+                    nid,
+                    g,
+                    [g * 100.0 + (i % 19) * 0.35, ((i * 7) % 23) * 0.3],
+                )
+            )
+            nid += 1
+    pts = spark.createDataFrame(
+        rows, "vec_id long, grp int, v array<double>"
+    ).cache()
+    kern = _eps_kernel_factory(eps2)
+    got = sorted(
+        map(
+            tuple,
+            grouped_blocked_apply(
+                pts, "grp", kern, "i long, j long"
+            ).collect(),
+        )
+    )
+    by_group = {}
+    for vid, g, v in rows:
+        by_group.setdefault(g, []).append((vid, v))
+    want = []
+    for g, members in by_group.items():
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                ia, va = members[a]
+                ib, vb = members[b]
+                d2 = sum((x - y) ** 2 for x, y in zip(va, vb))
+                # same half-up rounding as the kernel
+                if math.floor(d2 * 1e6 + 0.5) / 1e6 <= eps2:
+                    want.append((min(ia, ib), max(ia, ib)))
+    assert got == sorted(want)
+    assert len(got) > 0
+    pts.unpersist(blocking=False)
+
+
+def test_semantic_dedup_giant_arm_matches_grouped_map(cat):
+    """Forcing the giant-cluster gate down to 1 re-dispatches EVERY
+    cluster through the blocked triangular kernel — the keeper mapping
+    must be identical to the default grouped-map arm (the driver's oracle
+    row covers the default dispatch; this pins the skew arm)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        pipeline_semantic_dedup,
+    )
+
+    default = sorted(
+        map(tuple, pipeline_semantic_dedup(cat).collect())
+    )
+    forced = sorted(
+        map(tuple, pipeline_semantic_dedup(cat, giant_rows=1).collect())
+    )
+    assert default == forced
+    assert len(default) > 0
