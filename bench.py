@@ -121,9 +121,57 @@ def _cross_evals(spark, sf_dir: str) -> dict[str, float]:
         ).first()
         return q["modularity"]
 
+    def lloyd_ivf_agreement():
+        # the Lloyd analogue of ivf_recall_at_k: two-level vs flat assign
+        # over the semantic-dedup corpus-scaled k (⌈√k⌉ cells > the probe
+        # budget there, so the approximation is exercised for real; the
+        # default-k run would trivially report 1.0). Reads the
+        # session-shared Lloyd build pipeline_semantic_dedup already made.
+        from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+            semdedup_k,
+        )
+        from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+            _derived_scalar,
+        )
+        from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+            _points_shared,
+            lloyd_ivf_agreement as agreement,
+        )
+
+        n = _derived_scalar(
+            cat, "embeddings_count", lambda: _points_shared(cat).count()
+        )
+        return agreement(cat, semdedup_k(n))
+
+    def lloyd_ivf_agreement_halfprobe():
+        # stress row: probe only ⌈√k⌉/2 cells, so the scalar moves off 1.0
+        # even while the corpus is small enough that the production budget
+        # covers every cell — the regression-visible arm-quality signal.
+        import math
+
+        from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+            semdedup_k,
+        )
+        from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+            _derived_scalar,
+        )
+        from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+            _points_shared,
+            lloyd_ivf_agreement as agreement,
+        )
+
+        n = _derived_scalar(
+            cat, "embeddings_count", lambda: _points_shared(cat).count()
+        )
+        k = semdedup_k(n)
+        n_cells = max(1, int(round(math.sqrt(k))))
+        return agreement(cat, k, n_probes=max(1, n_cells // 2))
+
     record("ivf_recall_at_k", ivf_recall)
     record("knn_containment_rate", knn_containment)
     record("louvain_modularity_q", louvain_q)
+    record("lloyd_ivf_assign_agreement", lloyd_ivf_agreement)
+    record("lloyd_ivf_assign_agreement_halfprobe", lloyd_ivf_agreement_halfprobe)
     return out
 
 
@@ -233,21 +281,33 @@ def main() -> None:
     # split, which cost the judge a round of attribution archaeology
     # (round-5 verdict item 3). A query's costTime analogue =
     # queries[name] − loads.get(name, 0).
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "unit": "sec",
-                "queries": {k: round(timings[k], 2) for k in reversed(timings)},
-                **({"errors": errors} if errors else {}),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loads": {k: loads[k] for k in reversed(loads)},
-                "evaluation": evaluation,
-                "value": round(total, 2),
-            },
-            separators=(",", ":"),
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "unit": "sec",
+            "queries": {k: round(timings[k], 2) for k in reversed(timings)},
+            **({"errors": errors} if errors else {}),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "loads": {k: loads[k] for k in reversed(loads)},
+            "evaluation": evaluation,
+            "value": round(total, 2),
+        },
+        separators=(",", ":"),
     )
+    print(line)
+    # Full-artifact sidecar: the driver's capture keeps only a ~2000-char
+    # tail of stdout, which truncates the 120+-entry queries map — the
+    # complete line is preserved here so round-over-round per-query cost
+    # diffs (tools/compare_bench.py) never need git archaeology. Snapshot
+    # it per round (cp BENCH_LOCAL_LAST.json BENCH_LOCAL_r{N}.json) at
+    # round end (round-6 verdict item 5).
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_LOCAL_LAST.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # sidecar failure must not fail the bench contract
+        print(f"# BENCH_LOCAL_LAST.json write skipped: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -20,3 +20,14 @@ def round_half_up(col: Column | str, digits: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     scale = 10 ** digits
     return F.floor(c * F.lit(float(scale)) + F.lit(0.5)) / F.lit(float(scale))
+
+
+def round_half_up_f(x: float, digits: int = 4) -> float:
+    """Python-float twin of ``round_half_up`` — the same IEEE
+    multiply/add/floor/divide sequence, for driver-side values that feed
+    the differential hash (builtin ``round`` is banker's and disagrees at
+    decimal-half doubles)."""
+    import math
+
+    scale = float(10 ** digits)
+    return math.floor(x * scale + 0.5) / scale

@@ -285,6 +285,67 @@ SELECT p, count(*) AS c FROM nbr GROUP BY p
 
     o["ml_simrank"] = _simrank_sql()
 
+    # ---- estimator-family value-hash promotions (round 7) ------------------
+    # Deterministic estimator outputs whose SQL twins are exact: the mllib
+    # covariance / pearson matrices are plain covar_samp / corr aggregates
+    # (CovRunner.scala:93-116, PearsonRunner.scala:108-113), the IDF-model
+    # aggregate is the ln((m+1)/(df+1)) sum over the top-vocabSize tokens
+    # (cut-boundary ties share a df, hence an idf — sum is order
+    # invariant), and the full-spectrum SVD energy is Parseval's identity
+    # (Σσ² = Σ cells x²). Rounding goes through fix_rounds' floor formula
+    # on both sides.
+    _LI_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+    def _matrix_sql(fn: str, out_col: str, digits: int) -> str:
+        n = len(_LI_COLS)
+        aggs = ", ".join(
+            f"{fn}({a}, {b}) AS c{i}_{j}"
+            for i, a in enumerate(_LI_COLS)
+            for j, b in enumerate(_LI_COLS)
+        )
+        idx = ", ".join(f"({i}, {j})" for i in range(n) for j in range(n))
+        cases = " ".join(
+            f"WHEN idx.i = {i} AND idx.j = {j} THEN c{i}_{j}"
+            for i in range(n)
+            for j in range(n)
+        )
+        return f"""
+WITH m AS (SELECT {aggs} FROM lineitem),
+idx AS (SELECT * FROM (VALUES {idx}) AS t(i, j))
+SELECT idx.i AS i, idx.j AS j,
+       round(CASE {cases} END, {digits}) AS {out_col}
+FROM idx, m
+"""
+
+    o["ml_est_covariance"] = _matrix_sql("covar_samp", "cov", 4)
+    o["ml_est_pearson_rdd"] = _matrix_sql("corr", "corr", 6)
+
+    o["ml_est_idf"] = """
+WITH tok AS (
+    SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+),
+dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+vocab AS (SELECT df FROM dfreq ORDER BY df DESC, token LIMIT 1000),
+idf AS (
+    SELECT round(ln((SELECT (count(*) + 1)::DOUBLE FROM documents)
+                    / (df + 1)), 6) AS v
+    FROM vocab
+)
+SELECT count(*)::BIGINT AS n_terms, round(sum(v), 4) AS idf_sum FROM idf
+"""
+
+    o["ml_est_svd_energy"] = """
+WITH cells AS (
+    SELECT UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+    FROM embeddings
+)
+SELECT (SELECT len(embedding) FROM embeddings LIMIT 1)::INTEGER
+           AS n_components,
+       round(sum(x * x), 2) AS energy
+FROM cells
+"""
+
     return {k: _materialize(v) for k, v in o.items()}
 
 

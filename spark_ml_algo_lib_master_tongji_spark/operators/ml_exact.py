@@ -92,6 +92,18 @@ def _points(cat: Catalog) -> DataFrame:
     )
 
 
+def _points_shared(cat: Catalog) -> DataFrame:
+    """Session-shared cached (vec_id, v) projection of the embeddings —
+    the common scan of every Lloyd build. One MEMORY_AND_DISK copy serves
+    ALL k values (the default-k registry queries and each corpus-scaled
+    semantic-dedup k formerly pinned an independent persist per build with
+    no release path — round-6 ADVICE); lifetime is managed by the
+    ``_derived`` session cache like every other shared derivation."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    return _derived(cat, "kmeans_points", lambda: _points(cat))
+
+
 def _dist2(v, c):
     """Rounded squared L2 via the dot identity — sequential summation order
     matches DuckDB's list_dot_product, so both engines round the same
@@ -174,6 +186,134 @@ def _kmeans_assign_np(points: DataFrame, cids, cmat):
     return out, bc
 
 
+#: Two-level (IVF-style) assign gate: at k ∝ n (semantic dedup) the flat
+#: kernel's n·k multiply-adds are quadratic in the corpus; past this many
+#: centers the assign routes each point through a √k-cell coarse quantizer
+#: and takes the exact argmin only over the LLOYD_IVF_NPROBES nearest
+#: cells' members — n·(√k + nprobe·k/√k)·d work, the 100 TB assign shape
+#: (PLANS.md "Lloyd assign at scale"). Approximate by design (a point
+#: whose true center lives in an unprobed cell is mis-assigned), so the
+#: gate sits far above every oracle/bench k: the driver-checked arm stays
+#: exact, and bench reports the agreement rate the probe budget buys
+#: (``lloyd_ivf_assign_agreement``).
+LLOYD_IVF_MIN_CENTERS = 4096
+LLOYD_IVF_NPROBES = 8
+
+
+def _coarse_centers(cmat, n_coarse: int, iters: int = 4):
+    """Driver-side mini-Lloyd over the CENTER matrix (k rows — tiny) →
+    (coarse_mat [n_coarse×d], cell_of_center [k]). Deterministic: init =
+    evenly spaced center rows (centers arrive cid-sorted), plain-float
+    argmin (candidate generation only — no rounding discipline needed;
+    the fine level re-checks candidates with the oracle arithmetic)."""
+    import numpy as np
+
+    k = cmat.shape[0]
+    n_coarse = max(1, min(n_coarse, k))
+    idx = np.linspace(0, k - 1, n_coarse).round().astype(np.int64)
+    coarse = cmat[idx].copy()
+    for _ in range(iters):
+        d2 = (
+            (cmat * cmat).sum(axis=1)[:, None]
+            + (coarse * coarse).sum(axis=1)[None, :]
+            - 2.0 * cmat @ coarse.T
+        )
+        cell = d2.argmin(axis=1)
+        for c in range(n_coarse):
+            m = cell == c
+            if m.any():  # empty cells keep their previous centroid
+                coarse[c] = cmat[m].mean(axis=0)
+    return coarse, cell
+
+
+def _kmeans_assign_ivf(points: DataFrame, cids, cmat, n_probes: int):
+    """Two-level assign arm → (result frame, broadcast). Level 1: plain
+    BLAS distances to the √k coarse centroids, keep the ``n_probes``
+    nearest cells. Level 2: exact argmin over ONLY those cells' member
+    centers, with the oracle arithmetic of the flat kernel (``pairs``
+    sequential fold, 6-decimal half-up rounding, smaller-cid tie-break via
+    cid-sorted members + strict-improvement running min). n_probes ≥
+    n_cells ⇒ every center is a candidate and the result is bit-identical
+    to ``_kmeans_assign_np`` (pytest pins this); smaller budgets trade
+    assignment agreement for a √k-factor work cut. Reference surface:
+    ``KMeansRunner.scala:134-154`` (assign step); IVF machinery mirrors
+    ``knn.ivf_search``."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        round_half_up_np,
+        seq_dot,
+        seq_self_dot,
+    )
+
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    mat = np.asarray(cmat, dtype=np.float64)
+    k = mat.shape[0]
+    n_coarse = max(1, int(round(float(np.sqrt(k)))))
+    coarse, cell = _coarse_centers(mat, n_coarse)
+    # CSR-style cell layout, members cid-sorted within each cell so the
+    # per-cell first-minimum argmin realizes the smaller-cid tie-break.
+    order = np.lexsort((cid_arr, cell))
+    starts = np.searchsorted(cell[order], np.arange(n_coarse + 1))
+    bc = points.sparkSession.sparkContext.broadcast(
+        (cid_arr[order], mat[order], starts, coarse)
+    )
+    n_probes = max(1, min(n_probes, n_coarse))
+
+    def gen(batches):
+        m_cid, m_mat, st, cmx = bc.value
+        ncell = len(st) - 1
+        m_cc = seq_self_dot(m_mat)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["v"].to_numpy())
+            n = v.shape[0]
+            d2c = (
+                (v * v).sum(axis=1)[:, None]
+                + (cmx * cmx).sum(axis=1)[None, :]
+                - 2.0 * v @ cmx.T
+            )
+            if n_probes < ncell:
+                probe = np.argpartition(d2c, n_probes - 1, axis=1)[:, :n_probes]
+            else:
+                probe = np.broadcast_to(np.arange(ncell), (n, ncell))
+            vv = seq_self_dot(v)
+            best_d2 = np.full(n, np.inf)
+            best_cid = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            for c in range(ncell):
+                lo, hi = st[c], st[c + 1]
+                if hi == lo:
+                    continue
+                rows = np.nonzero((probe == c).any(axis=1))[0]
+                if rows.size == 0:
+                    continue
+                d2 = round_half_up_np(
+                    (vv[rows][:, None] + m_cc[lo:hi][None, :])
+                    - 2 * seq_dot(v[rows], m_mat[lo:hi]),
+                    6,
+                )
+                arg = d2.argmin(axis=1)
+                rmin = d2[np.arange(rows.size), arg]
+                rcid = m_cid[lo:hi][arg]
+                upd = (rmin < best_d2[rows]) | (
+                    (rmin == best_d2[rows]) & (rcid < best_cid[rows])
+                )
+                best_d2[rows[upd]] = rmin[upd]
+                best_cid[rows[upd]] = rcid[upd]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cid": best_cid,
+                }
+            )
+
+    out = points.mapInPandas(gen, "vec_id long, v array<double>, cid long")
+    return out, bc
+
+
 def _kmeans_update(assign: DataFrame) -> DataFrame:
     """(cid, c): per-dimension mean of members, rounded to 9 decimals."""
     longf = assign.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -206,8 +346,15 @@ def kmeans_lloyd(cat: Catalog, k: int = KMEANS_K) -> DataFrame:
     return _derived(cat, name, lambda: _kmeans_lloyd_build(cat, k))
 
 
-def _kmeans_lloyd_build(cat: Catalog, k: int = KMEANS_K) -> DataFrame:
-    points = _points(cat).persist(StorageLevel.MEMORY_AND_DISK)
+def _kmeans_lloyd_build(
+    cat: Catalog, k: int = KMEANS_K, ivf_min_centers: int | None = None
+) -> DataFrame:
+    # Session-shared points cache: one copy serves every k (round-6
+    # ADVICE — the former per-build persist had no unpersist path and
+    # pinned one copy per distinct k).
+    if ivf_min_centers is None:
+        ivf_min_centers = LLOYD_IVF_MIN_CENTERS
+    points = _points_shared(cat)
     centers = (
         points.orderBy("vec_id")
         .limit(k)
@@ -221,28 +368,81 @@ def _kmeans_lloyd_build(cat: Catalog, k: int = KMEANS_K) -> DataFrame:
             centers = _kmeans_update(assign)
         return _kmeans_assign(points, centers).select("vec_id", "cid")
 
-    # Kernel arm: centers live on the driver between iterations (k×dim
+    # Kernel arms: centers live on the driver between iterations (k×dim
     # doubles — tiny next to the corpus), exactly the production Lloyd
     # topology; the update stays the SAME relational posexplode/avg as the
     # fallback so the 9-decimal per-dimension means (and therefore the
-    # oracle hash) are arm-invariant.
+    # oracle hash) are arm-invariant. Past ``ivf_min_centers`` the assign
+    # goes two-level (coarse quantizer + exact within-probed-cells argmin
+    # — approximate, k ∝ n scale path); below it, flat exact kernel.
     def to_mat(rows):
         rows = sorted(rows, key=lambda r: r["cid"])
         return [r["cid"] for r in rows], [list(r["c"]) for r in rows]
 
+    def assign_arm(pts, cids, cmat):
+        if k >= ivf_min_centers:
+            return _kmeans_assign_ivf(pts, cids, cmat, LLOYD_IVF_NPROBES)
+        return _kmeans_assign_np(pts, cids, cmat)
+
     cids, cmat = to_mat(centers.collect())
     spent = []
     for _ in range(KMEANS_ITERS):
-        assign, bc = _kmeans_assign_np(points, cids, cmat)
+        assign, bc = assign_arm(points, cids, cmat)
         cids, cmat = to_mat(_kmeans_update(assign).collect())
         spent.append(bc)
-    out, _final_bc = _kmeans_assign_np(points, cids, cmat)
+    # Final centers are memoized for the bench agreement scalar
+    # (``lloyd_ivf_agreement``) — k×dim doubles, session lifecycle.
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _OBJ_CACHE
+
+    _OBJ_CACHE[
+        (cat.spark.sparkContext.applicationId, cat.sf_dir, f"kmeans_centers_k{k}")
+    ] = (cids, cmat)
+    out, _final_bc = assign_arm(points, cids, cmat)
     # intermediate center broadcasts are spent (their updates collected);
     # the final one must stay alive — `out` references it lazily and
     # _derived's cache can be rebuilt after eviction.
     for b in spent:
         b.destroy(blocking=False)
     return out.select("vec_id", "cid")
+
+
+def lloyd_ivf_agreement(
+    cat: Catalog, k: int = KMEANS_K, n_probes: int | None = None
+) -> float:
+    """Fraction of points the two-level assign (``n_probes`` budget,
+    default LLOYD_IVF_NPROBES) labels identically to the exact flat
+    kernel, over the FINAL centers of the session-shared Lloyd run — the
+    recall-style quality scalar of the approximate scale arm (bench
+    ``lloyd_ivf_assign_agreement``), the Lloyd analogue of
+    ``ivf_recall_at_k``. At corpora where ⌈√k⌉ ≤ the budget the arm is
+    exact and this reports 1.0 by construction; bench also records a
+    half-budget stress row so the scalar stays informative at every
+    scale."""
+    if n_probes is None:
+        n_probes = LLOYD_IVF_NPROBES
+    kmeans_lloyd(cat, k)  # shared derivation — also memoizes final centers
+    key = (cat.spark.sparkContext.applicationId, cat.sf_dir, f"kmeans_centers_k{k}")
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _OBJ_CACHE
+
+    if key not in _OBJ_CACHE:  # relational-fallback arm: no driver centers
+        raise ValueError(f"no driver-side centers for k={k}")
+    cids, cmat = _OBJ_CACHE[key]
+    points = _points_shared(cat)
+    # Both arms run fresh over the SAME final centers, so the scalar is a
+    # pure arm comparison whichever arm the shared build itself took.
+    exact, b1 = _kmeans_assign_np(points, cids, cmat)
+    approx, b2 = _kmeans_assign_ivf(points, cids, cmat, n_probes)
+    try:
+        row = (
+            exact.select("vec_id", "cid")
+            .join(approx.select("vec_id", F.col("cid").alias("icid")), "vec_id")
+            .agg(F.avg((F.col("cid") == F.col("icid")).cast("double")).alias("a"))
+            .first()
+        )
+        return float(row["a"])
+    finally:
+        b1.destroy(blocking=False)
+        b2.destroy(blocking=False)
 
 
 def ml_kmeans_lloyd_assign(cat: Catalog) -> DataFrame:

