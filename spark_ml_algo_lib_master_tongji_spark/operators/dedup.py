@@ -59,22 +59,14 @@ def dedup_exact(cat: Catalog) -> DataFrame:
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh array<string>) distinct word n-gram sets.
 
-    Staged projections matter here: tokens land in a column first, then the
-    n-grams index into that array attribute. Building shingles straight off
-    ``split(text)`` inlines the split into every ``element_at`` lambda call
-    (3 per gram × grams × perms — re-tokenizing the doc hundreds of times
-    per row). Catalyst's CollapseProject keeps multi-referenced non-cheap
-    aliases materialized, so the split runs once per row."""
-    toks_df = docs.select("doc_id", TXT.tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
+    Gram construction goes through ``TXT.ngram_arrays`` (JVM NGram sliding
+    window) — byte-identical to the ``TXT.shingles`` HOF spec but ~20×
+    faster (the former interpreted element_at/concat_ws lambda tree was
+    evaluated per gram per row; round-7 measurement in PLANS.md)."""
+    grams = TXT.ngram_arrays(
+        docs.select("doc_id", "text"), n=n, out_col="grams"
     )
-    sh = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    return toks_df.select("doc_id", F.array_distinct(sh).alias("sh"))
+    return grams.select("doc_id", F.array_distinct("grams").alias("sh"))
 
 
 def _perm_cols() -> list:

@@ -6,7 +6,7 @@ parquet scan, embarrassingly parallel at any SF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
@@ -168,8 +168,8 @@ def text_top_ngrams(cat: Catalog) -> DataFrame:
     collapses the gram space per task) → a global top-K that moves only
     K rows per partition (``TakeOrderedAndProject``), never a full sort."""
     d = cat.documents
-    grams = d.select(
-        F.explode(TXT.shingles(F.col("text"), n=2)).alias("gram")
+    grams = TXT.ngram_arrays(d.select("doc_id", "text"), n=2).select(
+        F.explode("grams").alias("gram")
     )
     return (
         grams.groupBy("gram")
@@ -267,6 +267,130 @@ def pipeline_decontaminate(cat: Catalog) -> DataFrame:
     )
 
 
+#: sequence-packing context-window capacity (tokens per training sequence)
+PACK_CAP = 2048
+#: independent packing shards — each packs its own token stream. A fixed
+#: 32 matches the local fixture; at cluster scale the shard count is a
+#: config ∝ executor count (the algorithm is per-shard linear and shards
+#: never communicate).
+PACK_SHARDS = 32
+
+
+def pipeline_sequence_pack(cat: Catalog) -> DataFrame:
+    """Concat-and-chunk sequence packing — the training-data step that
+    turns a document corpus into fixed-capacity context windows (docs are
+    concatenated in a deterministic stream and the stream is cut every
+    ``PACK_CAP`` tokens; a doc may straddle a cut): per doc →
+    (doc_id, shard, seq_start, bin, spans_boundary).
+
+    Determinism/scale shape: the stream order is (md5-shard, doc_id) —
+    the same engine-stable md5-prefix bucketing as
+    ``pipeline_stratified_sample``, so the packing layout is a pure
+    function of doc ids (stable across runs, engines, partitionings).
+    ONE shuffle partitions by shard; the running token offset is a
+    per-shard window cumsum (in-partition sort by doc_id, single pass);
+    bins are integer division — no second pass, no global coordination,
+    shards never talk. All-integer arithmetic ⇒ exact SQL twin."""
+    d = cat.documents
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % PACK_SHARDS
+    )
+    toks = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq_start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    out = toks.select(
+        "doc_id",
+        "shard",
+        seq_start.alias("seq_start"),
+        "n_tokens",
+    )
+    return out.select(
+        "doc_id",
+        "shard",
+        "seq_start",
+        F.expr(f"seq_start DIV {PACK_CAP}").alias("bin"),
+        (
+            F.expr(f"(seq_start + n_tokens - 1) DIV {PACK_CAP}")
+            > F.expr(f"seq_start DIV {PACK_CAP}")
+        ).alias("spans_boundary"),
+    )
+
+
+#: chunking geometry: window length and stride in tokens (stride < length
+#: ⇒ overlapping windows, the embedding/long-doc-training default)
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def pipeline_doc_chunks(cat: Catalog) -> DataFrame:
+    """Sliding-window document chunking — split every document into
+    ``CHUNK_TOKENS``-token windows advancing by ``CHUNK_STRIDE`` (overlap
+    = 16 tokens), the standard preprocessing for embedding models and
+    long-document training: per chunk → (doc_id, chunk_idx, chunk_start,
+    n_chunk_tokens). The final chunk is the (possibly short) tail; docs
+    with ≤ CHUNK_TOKENS tokens yield exactly one chunk.
+
+    Shape at 100 TB: one codegen'd projection + explode — row-local, no
+    shuffle, output ∝ input tokens / stride. All-integer arithmetic
+    (ceil via offset integer division) ⇒ exact SQL twin."""
+    d = cat.documents
+    n = TXT.token_count(F.col("text")).cast("long")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            f"CAST((size(split(text, ' ')) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) "
+            f"DIV {CHUNK_STRIDE} AS BIGINT) + 1L"
+        )
+    )
+    base = d.select(
+        "doc_id", n.alias("n_tokens"), n_chunks.alias("n_chunks")
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1))
+    chunks = base.select("doc_id", "n_tokens", idx.alias("chunk_idx"))
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n_tokens") - start).alias(
+            "n_chunk_tokens"
+        ),
+    )
+
+
+def text_repetition_3gram(cat: Catalog) -> DataFrame:
+    """Per-document 3-gram repetition ratio — the Gopher-style
+    boilerplate/spam signal (duplicate word n-grams within a document;
+    high ⇒ templated or looping text, a standard pre-training drop rule;
+    complements the token-level ``repetition_ratio`` inside the quality
+    score): → (doc_id, n_grams, n_distinct_grams, rep3).
+
+    One projection over the scan (``TXT.ngram_arrays`` keeps duplicates,
+    so total vs distinct is computable row-locally) — no shuffle,
+    embarrassingly parallel. The session-shared ``doc_shingles``
+    derivation is distinct-sets only, hence not reusable here."""
+    g = TXT.ngram_arrays(cat.documents.select("doc_id", "text"), n=3)
+    n_grams = F.size(F.col("grams"))
+    n_distinct = F.size(F.array_distinct("grams"))
+    return g.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        round_half_up(
+            F.lit(1.0) - n_distinct / F.greatest(n_grams, F.lit(1)), 4
+        ).alias("rep3"),
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
@@ -275,7 +399,10 @@ QUERIES = (
     "text_fingerprint",
     "text_top_ngrams",
     "text_lang_rollup",
+    "text_repetition_3gram",
     "pipeline_stratified_sample",
     "pipeline_decontaminate",
     "pipeline_training_mix",
+    "pipeline_sequence_pack",
+    "pipeline_doc_chunks",
 )

@@ -354,6 +354,78 @@ TEXT_ORACLES["pipeline_stratified_sample"] = f"""
       AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
 """
 
+# Concat-and-chunk sequence packing: md5-shard stream order, per-shard
+# running token offset, PACK_CAP-token cuts — all-integer arithmetic so
+# the twin is exact (sum OVER returns HUGEINT → cast back to BIGINT).
+TEXT_ORACLES["pipeline_sequence_pack"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32
+                   AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    seq AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS seq_start
+        FROM toks
+    )
+    SELECT doc_id, shard, seq_start,
+           seq_start // 2048 AS bin,
+           (seq_start + n_tokens - 1) // 2048 > seq_start // 2048
+               AS spans_boundary
+    FROM seq
+"""
+
+# Sliding-window chunking: 64-token windows, stride 48, short tail kept.
+TEXT_ORACLES["pipeline_doc_chunks"] = """
+    WITH toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= 64 THEN 1
+                    ELSE (n - 64 + 48 - 1) // 48 + 1 END AS n_chunks
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+    FROM sized
+""".strip()
+TEXT_ORACLES["pipeline_doc_chunks"] = f"""
+    WITH c AS ({TEXT_ORACLES["pipeline_doc_chunks"]})
+    SELECT c.doc_id, c.chunk_idx,
+           c.chunk_idx * 48 AS chunk_start,
+           least(64, t.n - c.chunk_idx * 48) AS n_chunk_tokens
+    FROM c JOIN (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ) t USING (doc_id)
+"""
+
+# Per-doc 3-gram repetition (duplicate trigram fraction): the trigram
+# build mirrors text_top_ngrams' bigram list_transform at n = 3.
+TEXT_ORACLES["text_repetition_3gram"] = """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE []::VARCHAR[] END AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT)                AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams,
+           round(1.0 - len(list_distinct(grams))
+                       * 1.0 / greatest(len(grams), 1), 4) AS rep3
+    FROM g
+"""
+
 _MINHASH_SIG_SQL = (
     "["
     + ", ".join(f"list_min(list_transform(s, x -> md5('{p}:' || x)))" for p in range(8))

@@ -154,6 +154,15 @@ _ORDER: tuple[str, ...] = (
     "ml_est_svd_energy",  # NEW query + oracle r7
     "graph_triangle_count",  # standalone-arm lifecycle change re-verify
     # ---------------------------- window boundary (50) ---------------------
+    # -- tier 3 head: NEW oracle-bearing queries r7 (sequence packing,
+    #    sliding-window chunking, 3-gram repetition). The window is exactly
+    #    full (39 one-round-stale rotations + 11 changed-this-round), so
+    #    their first driver row comes with the round-8 rotation; this round
+    #    they are verified by the local full oracle sweep (driver_sim) and
+    #    pytest value checks.
+    "pipeline_sequence_pack",
+    "pipeline_doc_chunks",
+    "text_repetition_3gram",
     # -- tier 3: driver-green in round 6, unchanged since -------------------
     "q1_pricing_summary",
     "q3_top_unshipped_orders",

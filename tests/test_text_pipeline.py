@@ -1,0 +1,110 @@
+"""Semantic invariants of the round-7 training-prep operators (sequence
+packing, sliding-window chunking, 3-gram repetition) — properties the
+oracle echo can't distinguish from a shared bug in both SQL dialects:
+stream contiguity, tail coverage, and bound checks are asserted from
+first principles against the raw token counts.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from tests.conftest import SF_SMOKE
+
+
+def _catalog(spark):
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    return Catalog(spark, SF_SMOKE)
+
+
+def test_sequence_pack_stream_is_contiguous(spark):
+    """Within every shard the doc_id-ordered seq_starts are exactly the
+    running sum of token counts (no gaps, no overlap — the concatenated
+    stream is contiguous), and bin/spans_boundary are consistent with the
+    PACK_CAP cut arithmetic."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        PACK_CAP,
+        pipeline_sequence_pack,
+        text_token_stats,
+    )
+
+    cat = _catalog(spark)
+    toks = {
+        r["doc_id"]: r["n_tokens"] for r in text_token_stats(cat).collect()
+    }
+    rows = pipeline_sequence_pack(cat).collect()
+    assert len(rows) == len(toks)  # every doc packed exactly once
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert r["seq_start"] == cum, (shard, r["doc_id"])
+            n = toks[r["doc_id"]]
+            assert r["bin"] == cum // PACK_CAP
+            assert r["spans_boundary"] == (
+                (cum + n - 1) // PACK_CAP > cum // PACK_CAP
+            )
+            cum += n
+
+
+def test_doc_chunks_tile_every_document(spark):
+    """Per doc: chunk 0 starts at 0, consecutive chunks advance by exactly
+    CHUNK_STRIDE, every chunk length is in [1, CHUNK_TOKENS], and the last
+    chunk reaches the final token — the windows tile the whole document
+    with the configured overlap, leaving no token uncovered."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        pipeline_doc_chunks,
+        text_token_stats,
+    )
+
+    cat = _catalog(spark)
+    toks = {
+        r["doc_id"]: r["n_tokens"] for r in text_token_stats(cat).collect()
+    }
+    by_doc = defaultdict(list)
+    for r in pipeline_doc_chunks(cat).collect():
+        by_doc[r["doc_id"]].append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = toks[doc_id]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["chunk_start"] == c["chunk_idx"] * CHUNK_STRIDE
+            assert 1 <= c["n_chunk_tokens"] <= CHUNK_TOKENS
+        last = chunks[-1]
+        assert last["chunk_start"] + last["n_chunk_tokens"] == n  # tail covered
+        if n <= CHUNK_TOKENS:
+            assert len(chunks) == 1
+        else:  # one more chunk would start at or past the end
+            assert len(chunks) * CHUNK_STRIDE >= n - CHUNK_TOKENS + 1
+
+
+def test_repetition_3gram_bounds_and_short_docs(spark):
+    """rep3 ∈ [0, 1); short docs (< 3 tokens) have zero grams and rep3 = 0;
+    gram counts agree with n_tokens − 2; distinct ≤ total."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        text_repetition_3gram,
+        text_token_stats,
+    )
+
+    cat = _catalog(spark)
+    toks = {
+        r["doc_id"]: r["n_tokens"] for r in text_token_stats(cat).collect()
+    }
+    rows = text_repetition_3gram(cat).collect()
+    assert len(rows) == len(toks)
+    for r in rows:
+        n = toks[r["doc_id"]]
+        assert r["n_grams"] == max(n - 2, 0)
+        assert 0 <= r["n_distinct_grams"] <= r["n_grams"]
+        assert 0.0 <= r["rep3"] < 1.0
+        if n < 3:
+            assert r["n_grams"] == 0 and r["rep3"] == 0.0
