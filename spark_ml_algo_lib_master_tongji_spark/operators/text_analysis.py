@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
 
 from spark_ml_algo_lib_master_tongji_spark.functions import text as TXT
-from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, spread
 
 
 def text_token_stats(cat: Catalog) -> DataFrame:
@@ -70,8 +70,12 @@ def text_quality_score(cat: Catalog) -> DataFrame:
     """Heuristic quality score: length band + stopword presence − repetition.
 
     The score formula is arbitrary-but-fixed; what matters at scale is that
-    it's a single projection (no shuffle) and expressible for the oracle."""
-    d = cat.documents
+    it's a single projection and expressible for the oracle. The stopword/
+    distinct filters are real per-token work, so the single fixture split
+    is ``spread`` first (readers.spread: at real scale the scan already
+    yields many splits and the round-robin shuffle is waived by the
+    many-files layout — locally it buys 32-way parallelism)."""
+    d = spread(cat.documents)
     c = F.col("text")
     n_tok = TXT.token_count(c)
     stop = TXT.stopword_ratio(c)
@@ -90,7 +94,7 @@ def text_quality_score(cat: Catalog) -> DataFrame:
 def text_lang_id(cat: Catalog) -> DataFrame:
     """Marker-lexicon language ID: argmax of per-language marker token hits,
     deterministic tie-break by lexicon order, 'und' when no marker hits."""
-    d = cat.documents
+    d = spread(cat.documents)  # 5 marker filters per row — parallelize the split
     scores = TXT.lang_scores(F.col("text"))
     sel = [F.col("doc_id"), _pred_lang_expr(F.col("text")).alias("pred_lang")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in TXT.LANG_MARKERS]
@@ -138,7 +142,7 @@ def pipeline_training_mix(cat: Catalog) -> DataFrame:
         .select("doc_id")
     )
     c = F.col("text")
-    feats = cat.documents.select(
+    feats = spread(cat.documents).select(
         "doc_id",
         _pred_lang_expr(c).alias("pred_lang"),
         round_half_up(_quality_expr(c), 4).alias("quality"),
@@ -167,7 +171,7 @@ def text_top_ngrams(cat: Catalog) -> DataFrame:
     explode → one partial+final count aggregation (map-side combine
     collapses the gram space per task) → a global top-K that moves only
     K rows per partition (``TakeOrderedAndProject``), never a full sort."""
-    d = cat.documents
+    d = spread(cat.documents)  # gram construction is the per-row hot loop
     grams = TXT.ngram_arrays(d.select("doc_id", "text"), n=2).select(
         F.explode("grams").alias("gram")
     )
@@ -186,7 +190,8 @@ def text_lang_rollup(cat: Catalog) -> DataFrame:
     aggregation keyed on the (tiny) language space."""
     c = F.col("text")
     return (
-        cat.documents.select(
+        spread(cat.documents)
+        .select(
             _pred_lang_expr(c).alias("pred_lang"),
             round_half_up(_quality_expr(c), 4).alias("quality"),
             TXT.token_count(c).alias("n_tokens"),
@@ -217,7 +222,8 @@ def pipeline_stratified_sample(cat: Catalog) -> DataFrame:
         % 100
     )
     return (
-        cat.documents.select(
+        spread(cat.documents)
+        .select(
             "doc_id",
             _pred_lang_expr(c).alias("pred_lang"),
             bucket.alias("bucket"),
@@ -378,7 +384,7 @@ def text_repetition_3gram(cat: Catalog) -> DataFrame:
     so total vs distinct is computable row-locally) — no shuffle,
     embarrassingly parallel. The session-shared ``doc_shingles``
     derivation is distinct-sets only, hence not reusable here."""
-    g = TXT.ngram_arrays(cat.documents.select("doc_id", "text"), n=3)
+    g = TXT.ngram_arrays(spread(cat.documents).select("doc_id", "text"), n=3)
     n_grams = F.size(F.col("grams"))
     n_distinct = F.size(F.array_distinct("grams"))
     return g.select(
