@@ -87,8 +87,16 @@ def ml_linreg_ols(cat: Catalog) -> DataFrame:
 
 
 def _points(cat: Catalog) -> DataFrame:
-    return cat.embeddings.select(
-        "vec_id", as_double_array("embedding").alias("v")
+    # spread: the fixture embeddings arrive as 1-2 parquet splits, which
+    # would run every Arrow assign batch near-serially (the sf1 build
+    # measured 2 tasks on 32 cores); at real scale the scan already yields
+    # many splits and the round-robin shuffle is one pass over raw rows.
+    # Downstream semantics are partitioning-invariant (deterministic
+    # orderBy-limit init, row-local assign, hash-agg update).
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import spread
+
+    return spread(
+        cat.embeddings.select("vec_id", as_double_array("embedding").alias("v"))
     )
 
 
