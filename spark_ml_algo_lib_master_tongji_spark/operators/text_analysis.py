@@ -397,6 +397,72 @@ def text_repetition_3gram(cat: Catalog) -> DataFrame:
     )
 
 
+#: temperature-mixing token budget: keep ~this fraction of corpus tokens
+MIX_BUDGET_DIV = 2  # target = total_tokens DIV 2
+
+
+def pipeline_domain_mix(cat: Catalog) -> DataFrame:
+    """Temperature-balanced domain mixing — the per-source sampling-rate
+    computation of a multi-domain training mix (α = 0.5 temperature:
+    source weight ∝ √tokens, flattening the natural distribution so small
+    domains are upweighted — the standard multilingual/multi-domain mix
+    rule): per doc → (doc_id, source, rate_ppm, kept).
+
+    Determinism across engines: the weight arithmetic is integerized —
+    s_i = floor(√tokens_i · 10⁶) (IEEE sqrt is correctly rounded, so both
+    engines get the same BIGINT), S = Σ s_i (order-invariant integer
+    sum), and the per-source keep rate is the double expression
+    ((target · s_i) / S) / tokens_i · 10⁶, floored to ppm with the SAME
+    operation order as the SQL twin (IEEE doubles make identical
+    expression trees engine-portable). The keep decision is the
+    shard-stable md5 bucket against rate_ppm — reproducible and
+    incrementally extendable like ``pipeline_stratified_sample``.
+
+    Shape at 100 TB: one scan → per-source partial+final agg (key space =
+    #domains, tiny) → scalar totals → broadcast the rate table back onto
+    the doc stream. No data-sized shuffle, no driver loop."""
+    toks = spread(cat.documents).select(
+        "doc_id",
+        "source",
+        TXT.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens")
+    )
+    per_src = per_src.withColumn(
+        "s_i",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1e6).cast("long"),
+    )
+    totals = per_src.agg(
+        F.sum("s_i").cast("long").alias("s_sum"),
+        F.sum("src_tokens").cast("long").alias("tok_sum"),
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.floor(
+                F.expr(f"tok_sum DIV {MIX_BUDGET_DIV}").cast("double")
+                * F.col("s_i")
+                / F.col("s_sum")
+                / F.col("src_tokens")
+                * F.lit(1000000.0)
+            ).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return toks.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "rate_ppm",
+        (bucket < F.col("rate_ppm")).alias("kept"),
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
@@ -411,4 +477,5 @@ QUERIES = (
     "pipeline_training_mix",
     "pipeline_sequence_pack",
     "pipeline_doc_chunks",
+    "pipeline_domain_mix",
 )

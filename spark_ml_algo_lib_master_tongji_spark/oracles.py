@@ -407,6 +407,44 @@ TEXT_ORACLES["pipeline_doc_chunks"] = f"""
     ) t USING (doc_id)
 """
 
+# Temperature-balanced domain mixing: integerized sqrt-weights (IEEE
+# sqrt → identical BIGINT in both engines; S is an order-invariant
+# integer sum) and a double rate expression with the SAME operation
+# order as the Spark side, floored to ppm.
+TEXT_ORACLES["pipeline_domain_mix"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+        FROM toks GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, src_tokens,
+               CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS s_i
+        FROM per_src
+    ),
+    totals AS (
+        SELECT CAST(sum(s_i) AS BIGINT) AS s_sum,
+               CAST(sum(src_tokens) AS BIGINT) AS tok_sum
+        FROM weighted
+    ),
+    rates AS (
+        SELECT source,
+               least(1000000, CAST(floor(
+                   CAST(tok_sum // 2 AS DOUBLE) * s_i / s_sum / src_tokens
+                   * 1000000.0) AS BIGINT)) AS rate_ppm
+        FROM weighted, totals
+    )
+    SELECT t.doc_id, t.source, r.rate_ppm,
+           ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 < r.rate_ppm AS kept
+    FROM toks t JOIN rates r USING (source)
+"""
+
 # Per-doc 3-gram repetition (duplicate trigram fraction): the trigram
 # build mirrors text_top_ngrams' bigram list_transform at n = 3.
 TEXT_ORACLES["text_repetition_3gram"] = """

@@ -87,6 +87,49 @@ def test_doc_chunks_tile_every_document(spark):
             assert len(chunks) * CHUNK_STRIDE >= n - CHUNK_TOKENS + 1
 
 
+def test_domain_mix_temperature_upweights_small_sources(spark):
+    """α = 0.5 temperature semantics from first principles: keep rates are
+    anti-monotone in source size (a source with MORE tokens never gets a
+    HIGHER rate), every rate is in (0, 10⁶], and the realized token budget
+    stays at-or-under target (rates are floored, never rounded up) while
+    landing within 25% of it on the fixture (the md5 buckets are uniform
+    enough at 25+ docs/source)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_domain_mix,
+        text_token_stats,
+    )
+
+    cat = _catalog(spark)
+    toks = {
+        r["doc_id"]: r["n_tokens"] for r in text_token_stats(cat).collect()
+    }
+    rows = pipeline_domain_mix(cat).collect()
+    assert len(rows) == len(toks)
+
+    src_tokens: dict[str, int] = defaultdict(int)
+    src_rate: dict[str, int] = {}
+    kept_tokens = 0
+    for r in rows:
+        src_tokens[r["source"]] += toks[r["doc_id"]]
+        src_rate[r["source"]] = r["rate_ppm"]
+        if r["kept"]:
+            kept_tokens += toks[r["doc_id"]]
+    for s, rate in src_rate.items():
+        assert 0 < rate <= 1_000_000, (s, rate)
+    ordered = sorted(src_rate, key=lambda s: src_tokens[s])
+    for small, big in zip(ordered, ordered[1:]):
+        if src_tokens[small] < src_tokens[big]:
+            assert src_rate[small] >= src_rate[big], (small, big)
+
+    target = sum(src_tokens.values()) // 2
+    # expected kept tokens if buckets were perfectly uniform = Σ tok_i·rate_i
+    expected = sum(
+        src_tokens[s] * src_rate[s] / 1_000_000 for s in src_rate
+    )
+    assert expected <= target + len(src_rate)  # floored rates: never over
+    assert abs(kept_tokens - expected) <= 0.25 * expected
+
+
 def test_repetition_3gram_bounds_and_short_docs(spark):
     """rep3 ∈ [0, 1); short docs (< 3 tokens) have zero grams and rep3 = 0;
     gram counts agree with n_tokens − 2; distinct ≤ total."""
