@@ -157,3 +157,51 @@ def test_decontaminate_plan_no_cartesian(cat):
     plan = _full_plan(pipeline_decontaminate(cat))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_pack_plan_single_data_shuffle(cat):
+    """Packing must plan exactly one hash shuffle of the doc stream (the
+    shard partition feeding the per-shard window cumsum) plus the
+    round-robin spread — never a global Sort or a second data exchange:
+    shards are independent by design, so any extra exchange would be a
+    coordination step the 100 TB shape must not have."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_sequence_pack,
+    )
+
+    physical = _full_plan(pipeline_sequence_pack(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert physical.count("Exchange hashpartitioning(shard") == 1
+    assert physical.count("Exchange") <= 2  # shard hash + spread round-robin
+    # the window sort is per-partition (local); a global Sort would show as
+    # an Exchange rangepartitioning feeding it
+    assert "rangepartitioning" not in physical
+
+
+def test_domain_mix_plan_broadcasts_rates(cat):
+    """The per-source rate table (key space = #domains) must come back to
+    the doc stream as a broadcast join — a shuffle join on source would
+    move the whole corpus for a handful of rate rows."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_domain_mix,
+    )
+
+    physical = _full_plan(pipeline_domain_mix(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_doc_chunks_plan_no_shuffle(cat):
+    """Chunking is row-local projection + explode: zero exchanges."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_doc_chunks,
+    )
+
+    physical = _full_plan(pipeline_doc_chunks(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "Exchange" not in physical
