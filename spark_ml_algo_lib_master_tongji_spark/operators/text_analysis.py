@@ -297,7 +297,14 @@ def pipeline_sequence_pack(cat: Catalog) -> DataFrame:
     per-shard window cumsum (in-partition sort by doc_id, single pass);
     bins are integer division — no second pass, no global coordination,
     shards never talk. All-integer arithmetic ⇒ exact SQL twin."""
-    d = cat.documents
+    return sequence_pack(cat.documents)
+
+
+def sequence_pack(d: DataFrame) -> DataFrame:
+    """Core packing over any (doc_id, text) frame — the query wrapper
+    passes the documents table; tests feed synthetic corpora (docs LONGER
+    than PACK_CAP, which the fixture never has, exercise the
+    multi-boundary straddle arithmetic)."""
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -349,7 +356,13 @@ def pipeline_doc_chunks(cat: Catalog) -> DataFrame:
     Shape at 100 TB: one codegen'd projection + explode — row-local, no
     shuffle, output ∝ input tokens / stride. All-integer arithmetic
     (ceil via offset integer division) ⇒ exact SQL twin."""
-    d = cat.documents
+    return doc_chunks(cat.documents)
+
+
+def doc_chunks(d: DataFrame) -> DataFrame:
+    """Core chunking over any (doc_id, text) frame (see
+    ``pipeline_doc_chunks``); split out so tests can feed synthetic
+    corpora beyond the fixture's length distribution."""
     n = TXT.token_count(F.col("text")).cast("long")
     n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
         F.expr(

@@ -87,6 +87,74 @@ def test_doc_chunks_tile_every_document(spark):
             assert len(chunks) * CHUNK_STRIDE >= n - CHUNK_TOKENS + 1
 
 
+def test_sequence_pack_long_docs_straddle_many_bins(spark):
+    """The fixture never has a doc longer than PACK_CAP, so the
+    multi-boundary straddle arithmetic is exercised here with a synthetic
+    corpus (docs of 1, CAP−1, CAP, CAP+1, 3·CAP+5 tokens): the packed
+    layout must equal a pure-Python reference packer run over the same
+    (shard, doc_id) stream order."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        PACK_CAP,
+        PACK_SHARDS,
+        sequence_pack,
+    )
+    import hashlib
+
+    lengths = [1, PACK_CAP - 1, PACK_CAP, PACK_CAP + 1, 3 * PACK_CAP + 5, 7, 2]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_start"], r["bin"], r["spans_boundary"])
+        for r in sequence_pack(docs).collect()
+    }
+
+    def shard_of(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % (
+            PACK_SHARDS
+        )
+
+    cum: dict[int, int] = defaultdict(int)
+    want = {}
+    for doc_id, n in sorted(enumerate(lengths)):
+        s = shard_of(doc_id)
+        start = cum[s]
+        want[doc_id] = (
+            s,
+            start,
+            start // PACK_CAP,
+            (start + n - 1) // PACK_CAP > start // PACK_CAP,
+        )
+        cum[s] += n
+    assert got == want
+    # the 3·CAP+5-token doc must actually straddle (sanity that the case
+    # fired; it spans ≥ 3 boundaries wherever it lands in its shard)
+    assert got[4][3] is True
+
+
+def test_doc_chunks_long_doc_geometry(spark):
+    """A 500-token doc (far past CHUNK_TOKENS) must tile with the exact
+    expected chunk count and a short tail; a CHUNK_TOKENS+1 doc must get
+    exactly two chunks."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+    )
+
+    rows = [(0, " ".join(["w"] * 500)), (1, " ".join(["w"] * (CHUNK_TOKENS + 1)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    by_doc = defaultdict(list)
+    for r in doc_chunks(docs).collect():
+        by_doc[r["doc_id"]].append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    expect_n = (500 - CHUNK_TOKENS + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+    assert len(c0) == expect_n
+    assert c0[-1]["chunk_start"] + c0[-1]["n_chunk_tokens"] == 500
+    assert all(c["n_chunk_tokens"] == CHUNK_TOKENS for c in c0[:-1])
+    assert len(by_doc[1]) == 2
+    assert by_doc[1][1]["n_chunk_tokens"] == CHUNK_TOKENS + 1 - CHUNK_STRIDE
+
+
 def test_domain_mix_temperature_upweights_small_sources(spark):
     """α = 0.5 temperature semantics from first principles: keep rates are
     anti-monotone in source size (a source with MORE tokens never gets a
