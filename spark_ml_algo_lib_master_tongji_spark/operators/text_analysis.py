@@ -434,9 +434,17 @@ def pipeline_domain_mix(cat: Catalog) -> DataFrame:
     Shape at 100 TB: one scan → per-source partial+final agg (key space =
     #domains, tiny) → scalar totals → broadcast the rate table back onto
     the doc stream. No data-sized shuffle, no driver loop."""
+    # A NULL source would be dropped SILENTLY by the rate equi-join below
+    # (its docs simply vanish from the mix) — fail loudly instead, the
+    # same contract as pairs.grouped_blocked_apply's group key.
     toks = spread(cat.documents).select(
         "doc_id",
-        "source",
+        F.coalesce(
+            F.col("source"),
+            F.raise_error(F.lit("pipeline_domain_mix: NULL source")).cast(
+                "string"
+            ),
+        ).alias("source"),
         TXT.token_count(F.col("text")).cast("long").alias("n_tok"),
     )
     per_src = toks.groupBy("source").agg(

@@ -391,20 +391,16 @@ TEXT_ORACLES["pipeline_doc_chunks"] = """
                CASE WHEN n <= 64 THEN 1
                     ELSE (n - 64 + 48 - 1) // 48 + 1 END AS n_chunks
         FROM toks
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+        FROM sized
     )
-    SELECT doc_id,
-           CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
-    FROM sized
-""".strip()
-TEXT_ORACLES["pipeline_doc_chunks"] = f"""
-    WITH c AS ({TEXT_ORACLES["pipeline_doc_chunks"]})
-    SELECT c.doc_id, c.chunk_idx,
-           c.chunk_idx * 48 AS chunk_start,
-           least(64, t.n - c.chunk_idx * 48) AS n_chunk_tokens
-    FROM c JOIN (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        FROM documents
-    ) t USING (doc_id)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 48 AS chunk_start,
+           least(64, n - chunk_idx * 48) AS n_chunk_tokens
+    FROM c
 """
 
 # Temperature-balanced domain mixing: integerized sqrt-weights (IEEE

@@ -111,3 +111,34 @@ def test_knn_search_more_k_than_corpus(spark):
     out = knn_search(corpus, queries, k=10)
     assert out.count() == 3
     assert {r["nid"] for r in out.collect()} == {0, 1, 2}
+
+
+def test_sequence_pack_and_chunks_empty_corpus(spark):
+    """Packing and chunking over an empty documents frame return empty —
+    the window cumsum and the explode both tolerate zero rows."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        doc_chunks,
+        sequence_pack,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert sequence_pack(empty).count() == 0
+    assert doc_chunks(empty).count() == 0
+
+
+def test_domain_mix_null_source_raises(spark, tmp_path):
+    """A NULL source must fail loudly, not silently drop the doc from the
+    mix (the rate equi-join would otherwise discard it)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_domain_mix,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    rows = [(0, "a b c", None), (1, "d e", "src0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    cat = Catalog(spark, str(tmp_path))
+    with pytest.raises(SparkRuntimeException, match="NULL source"):
+        pipeline_domain_mix(cat).collect()
