@@ -410,6 +410,58 @@ def text_repetition_3gram(cat: Catalog) -> DataFrame:
     )
 
 
+#: per-document top-K terms for the tf-idf feature query
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(cat: Catalog) -> DataFrame:
+    """Per-document top-``TFIDF_TOP_K`` terms by tf·idf → (doc_id, rk,
+    term, tf, score) — the classic retrieval/feature-extraction pass
+    (keyword extraction, sparse doc vectors). idf uses the same
+    (N+1)/(df+1) smoothing as ``ml_est_idf``'s estimator surface; the
+    cut ranks on the ROUNDED score (6 decimals, half-up) with term-asc
+    tie-break, so the top-K set is deterministic and engine-portable
+    (sub-rounding 1-ulp ln() differences cannot reorder it).
+
+    Shape at 100 TB: token explode → (doc, term) partial+final count →
+    term-df aggregation (vocab-keyed) joined back on term → per-doc
+    window top-K (partitioned by doc_id — no global sort). The doc and
+    term aggregations are the only shuffles; the window moves each doc's
+    candidate terms once."""
+    toks = spread(cat.documents).select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = cat.documents.select(F.countDistinct("doc_id").alias("n")).alias(
+        "nd"
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            round_half_up(
+                F.col("tf")
+                * F.log((F.col("n") + F.lit(1)).cast("double") / (F.col("df") + 1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "rk", "term", "tf", "score")
+    )
+
+
 #: temperature-mixing token budget: keep ~this fraction of corpus tokens
 MIX_BUDGET_DIV = 2  # target = total_tokens DIV 2
 
@@ -493,6 +545,7 @@ QUERIES = (
     "text_top_ngrams",
     "text_lang_rollup",
     "text_repetition_3gram",
+    "text_tfidf_top_terms",
     "pipeline_stratified_sample",
     "pipeline_decontaminate",
     "pipeline_training_mix",

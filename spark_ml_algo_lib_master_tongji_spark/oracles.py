@@ -403,6 +403,39 @@ TEXT_ORACLES["pipeline_doc_chunks"] = """
     FROM c
 """
 
+# Per-doc top-K tf·idf terms: ranking on the ROUNDED score (term-asc
+# tie-break) keeps the cut deterministic across engines; round() is
+# rewritten to the shared half-up floor formula by fix_rounds.
+TEXT_ORACLES["text_tfidf_top_terms"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(CAST(nd.n + 1 AS DOUBLE) / (dfreq.df + 1)), 6)
+                   AS score
+        FROM tf JOIN dfreq USING (term), nd
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score
+    FROM ranked WHERE rk <= 3
+"""
+
 # Temperature-balanced domain mixing: integerized sqrt-weights (IEEE
 # sqrt → identical BIGINT in both engines; S is an order-invariant
 # integer sum) and a double rate expression with the SAME operation

@@ -164,6 +164,7 @@ _ORDER: tuple[str, ...] = (
     "pipeline_doc_chunks",
     "text_repetition_3gram",
     "pipeline_domain_mix",
+    "text_tfidf_top_terms",
     # -- tier 3: driver-green in round 6, unchanged since -------------------
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
