@@ -205,3 +205,46 @@ def test_doc_chunks_plan_no_shuffle(cat):
         "== Physical Plan =="
     )[-1]
     assert "Exchange" not in physical
+
+
+def test_filter_pushdown_and_column_pruning_reach_scan(spark, cat):
+    """The brief's scan contract: a filtered 2-ish-column query must show
+    its predicate in PushedFilters and a pruned ReadSchema at the parquet
+    scan — a scan reading all 16 lineitem columns for q6's 4-column
+    aggregate would multiply I/O at 100 TB."""
+    from spark_ml_algo_lib_master_tongji_spark.registry import build_registry
+
+    reg = build_registry()
+    plan = _full_plan(reg["q6_forecast_revenue"](spark, SF_SMOKE))
+    physical = plan.split("== Physical Plan ==")[-1]
+    scan = physical[physical.find("FileScan") :]
+    assert "PushedFilters: [" in scan
+    # at least one real predicate reached the scan (not just the empty list)
+    pushed = scan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no predicates pushed to the lineitem scan"
+    # column pruning: the read schema must stay a strict subset of the table
+    read_schema = scan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_shipdate" in read_schema or "l_quantity" in read_schema
+    assert "l_comment" not in read_schema  # the wide never-used column
+    assert read_schema.count(":") <= 6, read_schema  # q6 needs 4 columns
+
+
+def test_hive_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout + equality filter must plan partition
+    pruning (PartitionFilters at the scan), so a per-type query reads one
+    directory, not the table."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("ptype"),
+    )
+    path = str(tmp_path / "part_events")
+    src.write.mode("overwrite").partitionBy("ptype").parquet(path)
+    df = spark.read.parquet(path).where(F.col("ptype") == "2")
+    physical = _full_plan(df).split("== Physical Plan ==")[-1]
+    scan = physical[physical.find("FileScan") :]
+    assert "PartitionFilters: [" in scan
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ptype" in pf, pf
+    assert df.count() == 250
