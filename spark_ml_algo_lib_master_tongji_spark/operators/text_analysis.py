@@ -66,6 +66,33 @@ def _pred_lang_expr(c):
     return F.when(m <= 0, F.lit("und")).otherwise(first_match)
 
 
+def doc_features(cat: Catalog) -> DataFrame:
+    """Session-shared cached per-doc feature frame (doc_id, pred_lang,
+    score_<lang>×5, quality, n_tokens) — the lang-ID/quality/token
+    projection that four queries (lang_id, lang_rollup, stratified
+    sample, training mix) each recomputed from the raw text (5 marker
+    filters + stopword/distinct filters per call). One spread scan
+    computes it; the ``_derived`` session cache serves every consumer —
+    the same materialize-the-features-intermediate tradeoff as
+    ``doc_shingles`` (a corpus pipeline persists this table anyway).
+    Values are the identical shared expression Columns, so oracle hashes
+    are unchanged."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    def build():
+        c = F.col("text")
+        scores = TXT.lang_scores(c)
+        return spread(cat.documents).select(
+            "doc_id",
+            _pred_lang_expr(c).alias("pred_lang"),
+            *[scores[lang].alias(f"score_{lang}") for lang in TXT.LANG_MARKERS],
+            round_half_up(_quality_expr(c), 4).alias("quality"),
+            TXT.token_count(c).alias("n_tokens"),
+        )
+
+    return _derived(cat, "doc_features", build)
+
+
 def text_quality_score(cat: Catalog) -> DataFrame:
     """Heuristic quality score: length band + stopword presence − repetition.
 
@@ -94,11 +121,11 @@ def text_quality_score(cat: Catalog) -> DataFrame:
 def text_lang_id(cat: Catalog) -> DataFrame:
     """Marker-lexicon language ID: argmax of per-language marker token hits,
     deterministic tie-break by lexicon order, 'und' when no marker hits."""
-    d = spread(cat.documents)  # 5 marker filters per row — parallelize the split
-    scores = TXT.lang_scores(F.col("text"))
-    sel = [F.col("doc_id"), _pred_lang_expr(F.col("text")).alias("pred_lang")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in TXT.LANG_MARKERS]
-    return d.select(*sel)
+    return doc_features(cat).select(
+        "doc_id",
+        "pred_lang",
+        *[f"score_{lang}" for lang in TXT.LANG_MARKERS],
+    )
 
 
 def text_fingerprint(cat: Catalog) -> DataFrame:
@@ -141,12 +168,8 @@ def pipeline_training_mix(cat: Catalog) -> DataFrame:
         .where(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
-    c = F.col("text")
-    feats = spread(cat.documents).select(
-        "doc_id",
-        _pred_lang_expr(c).alias("pred_lang"),
-        round_half_up(_quality_expr(c), 4).alias("quality"),
-        TXT.token_count(c).alias("n_tokens"),
+    feats = doc_features(cat).select(
+        "doc_id", "pred_lang", "quality", "n_tokens"
     )
     return (
         keep.join(feats, "doc_id")
@@ -188,14 +211,9 @@ def text_lang_rollup(cat: Catalog) -> DataFrame:
     avg_quality) — the mix-dashboard aggregation over the shared
     row-local lang/quality/token expressions; one scan, one partial+final
     aggregation keyed on the (tiny) language space."""
-    c = F.col("text")
     return (
-        spread(cat.documents)
-        .select(
-            _pred_lang_expr(c).alias("pred_lang"),
-            round_half_up(_quality_expr(c), 4).alias("quality"),
-            TXT.token_count(c).alias("n_tokens"),
-        )
+        doc_features(cat)
+        .select("pred_lang", "quality", "n_tokens")
         .groupBy("pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -215,19 +233,18 @@ def pipeline_stratified_sample(cat: Catalog) -> DataFrame:
     cluster sizes, which is what makes training subsets reproducible and
     incrementally extendable (raising the pct strictly grows the set).
     One codegen projection + filter, no shuffle."""
-    c = F.col("text")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
     return (
-        spread(cat.documents)
+        doc_features(cat)
         .select(
             "doc_id",
-            _pred_lang_expr(c).alias("pred_lang"),
+            "pred_lang",
             bucket.alias("bucket"),
-            round_half_up(_quality_expr(c), 4).alias("quality"),
+            "quality",
         )
         .where(
             (F.col("quality") >= F.lit(MIX_MIN_QUALITY))
