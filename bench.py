@@ -167,7 +167,31 @@ def _cross_evals(spark, sf_dir: str) -> dict[str, float]:
         n_cells = max(1, int(round(math.sqrt(k))))
         return agreement(cat, k, n_probes=max(1, n_cells // 2))
 
+    def vocab_coverage():
+        # fraction of corpus tokens inside the top-V vocab (1 − unk rate):
+        # a vocab-cut or tokenizer regression moves this immediately
+        from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+            pipeline_vocab_prune,
+        )
+
+        row = pipeline_vocab_prune(cat).agg(
+            F.sum("n_unk").alias("u"), F.sum("n_tokens").alias("n")
+        ).first()
+        return 1.0 - row["u"] / row["n"]
+
+    def quality_filter_keep_rate():
+        # fraction of docs at or above their language's median quality —
+        # ~0.5 by construction; drift means the disc-median gate moved
+        from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+            doc_features,
+            pipeline_quality_filter,
+        )
+
+        return pipeline_quality_filter(cat).count() / doc_features(cat).count()
+
     record("ivf_recall_at_k", ivf_recall)
+    record("vocab_coverage", vocab_coverage)
+    record("quality_filter_keep_rate", quality_filter_keep_rate)
     record("knn_containment_rate", knn_containment)
     record("louvain_modularity_q", louvain_q)
     record("lloyd_ivf_assign_agreement", lloyd_ivf_agreement)

@@ -346,6 +346,18 @@ SELECT (SELECT len(embedding) FROM embeddings LIMIT 1)::INTEGER
 FROM cells
 """
 
+    o["ml_est_pca_energy"] = """
+WITH d AS (SELECT len(embedding) AS n FROM embeddings LIMIT 1),
+dims AS (SELECT UNNEST(range(1, (SELECT n FROM d) + 1)) AS i),
+vals AS (
+    SELECT i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, dims
+),
+pervar AS (SELECT var_samp(x) AS v FROM vals GROUP BY i)
+SELECT (SELECT n FROM d)::INTEGER AS n_components,
+       round(sum(v), 4) AS energy
+FROM pervar
+"""
+
     return {k: _materialize(v) for k, v in o.items()}
 
 

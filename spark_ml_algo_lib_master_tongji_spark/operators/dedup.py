@@ -563,8 +563,63 @@ def _minhash_groups_build(cat: Catalog) -> DataFrame:
     )
 
 
+def pipeline_chunk_dedup(cat: Catalog) -> DataFrame:
+    """Sub-document exact dedup — repeated-passage removal at chunk
+    granularity (the CCNet/C4 paragraph-dedup step, run at the engine's
+    sliding-window chunk geometry since the fixture corpus has no
+    paragraph breaks): chunk every doc of the duplicate-bearing corpus
+    (the same ×1.1 re-crawl union as ``dedup_exact``), fingerprint each
+    chunk's token span, and report the duplicated fingerprints with their
+    min-doc_id keeper → (chunk_fp, keeper_doc_id, n_copies), n_copies > 1.
+
+    Shape at 100 TB: chunking is a row-local projection + explode (output
+    ∝ tokens / stride; geometry shared with ``pipeline_doc_chunks``);
+    dedup is ONE fingerprint hash-shuffle with map-side partial
+    aggregation — identical scale shape to ``dedup_exact`` at ~1.3×
+    token-proportional row count."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    base = _docs_with_recrawl(cat).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    n = F.size("t").cast("long")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            f"CAST((size(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) "
+            f"DIV {CHUNK_STRIDE} AS BIGINT) + 1L"
+        )
+    )
+    chunks = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_idx"),
+    )
+    span = F.slice(
+        F.col("t"),
+        (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return (
+        chunks.select(
+            "doc_id", F.md5(F.concat_ws(" ", span)).alias("chunk_fp")
+        )
+        .groupBy("chunk_fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
 QUERIES = (
     "dedup_exact",
+    "pipeline_chunk_dedup",
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "dedup_simhash",

@@ -619,6 +619,33 @@ def ml_est_svd_energy(cat: Catalog) -> DataFrame:
     )
 
 
+def ml_est_pca_energy(cat: Catalog) -> DataFrame:
+    """Full-spectrum PCA energy (trace invariant /
+    ``PCARunner.scala:154-175`` surface): Σᵢ λᵢ over ALL eigenvalues of
+    the embedding sample covariance equals Σⱼ var_samp(column j) — an
+    invariant an exact SQL twin computes without an eigensolver, which
+    anchors the covariance-build + eigendecomposition pipeline to a
+    value-hash oracle row (the PCA analogue of ``ml_est_svd_energy``;
+    the per-component spectrum keeps its numpy-eigvalsh pytest). → one
+    row (n_components, energy); rounded at 4 decimals, far above the
+    ~1e-12 covariance summation-order noise (invariant verified to
+    1e-16 against DuckDB at fixture scale)."""
+    import numpy as np
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up_f,
+    )
+
+    rows = _mllib_emb_rdd(cat)  # session-shared, stays cached
+    cov = RowMatrix(rows).computeCovariance().toArray()
+    lam = np.linalg.eigvalsh(cov)
+    return cat.spark.createDataFrame(
+        [(int(lam.size), round_half_up_f(float(lam.sum()), 4))],
+        "n_components int, energy double",
+    )
+
+
 def ml_est_covariance(cat: Catalog) -> DataFrame:
     """RowMatrix.computeCovariance (``CovRunner.scala:93-116``) over the
     lineitem numeric columns → long-format (i, j, cov). Half-up rounding
@@ -875,6 +902,7 @@ QUERIES = (
     "ml_est_pca",
     "ml_est_svd",
     "ml_est_svd_energy",
+    "ml_est_pca_energy",
     "ml_est_covariance",
     "ml_est_als",
     "ml_est_als_implicit",

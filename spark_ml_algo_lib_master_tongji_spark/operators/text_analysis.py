@@ -553,6 +553,143 @@ def pipeline_domain_mix(cat: Catalog) -> DataFrame:
     )
 
 
+#: vocabulary cap for the OOV-mapping pass (fixture vocab is ~40 words, so
+#: a 20-word cap exercises real <unk> counts; a production run sets this to
+#: the tokenizer's vocab budget).
+VOCAB_TOP_V = 20
+
+
+def pipeline_vocab_prune(cat: Catalog) -> DataFrame:
+    """Vocabulary capping / OOV mapping — the tokenizer-prep pass that
+    keeps the top-``VOCAB_TOP_V`` corpus tokens and maps the rest to
+    ``<unk>`` (GPT-2/CCNet-style vocab truncation): per doc →
+    (doc_id, n_tokens, n_unk, unk_ratio).
+
+    Deterministic: the vocab cut is total-ordered by (count desc, token
+    asc). Shape at 100 TB: explode → one partial+final count aggregation
+    (map-side combine collapses the token space per task) → a global
+    top-V that moves only V rows per partition (``TakeOrderedAndProject``)
+    → the V-row vocab folds to ONE array row and broadcasts onto the doc
+    scan, where the unk count is a row-local codegen filter. No driver
+    collect, no data-sized shuffle, no second pass over tokens."""
+    toks = spread(cat.documents).select(
+        F.explode(TXT.tokens(F.col("text"))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_V)
+        .agg(F.array_sort(F.collect_list("token")).alias("vocab"))
+    )
+    t = TXT.tokens(F.col("text"))
+    n = F.size(t)
+    n_unk = F.size(
+        F.filter(t, lambda x: ~F.array_contains(F.col("vocab"), x))
+    )
+    return (
+        spread(cat.documents)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            n_unk.alias("n_unk"),
+            round_half_up(n_unk / F.greatest(n, F.lit(1)), 4).alias(
+                "unk_ratio"
+            ),
+        )
+    )
+
+
+def pipeline_quality_filter(cat: Catalog) -> DataFrame:
+    """Per-language median quality gate — keep each document at or above
+    its language's median quality (the relative-threshold variant of the
+    fixed-cut ``pipeline_training_mix`` filter; per-language thresholds
+    are how multilingual pipelines avoid one language's score scale
+    starving another): kept docs → (doc_id, pred_lang, quality, lang_median).
+
+    Exact median WITHOUT a per-language sort of the doc stream: quality is
+    rounded to 4 decimals, so the per-language value space is tiny —
+    aggregate (lang, quality) counts (map-side combine), then a cumulative
+    window over the DISTINCT-VALUE frame (≤ langs × 10⁴ rows, never docs)
+    picks the smallest value whose running count reaches ceil(n/2) —
+    percentile_disc(0.5), integer logic, engine-portable. A
+    ``Window.partitionBy(lang)`` over the documents themselves would fold
+    each language's whole corpus into one task at 100 TB; the histogram
+    shape keeps the data-sized stages embarrassingly parallel and
+    broadcasts a #langs-row threshold table back onto the feature frame
+    (session-shared ``doc_features`` — no re-scan of raw text)."""
+    feats = doc_features(cat).select("doc_id", "pred_lang", "quality")
+    hist = feats.groupBy("pred_lang", "quality").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("pred_lang")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "pred_lang",
+        "quality",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy("pred_lang")).alias("tot"),
+    )
+    thresholds = (
+        cum.where(F.col("cum") >= F.expr("(tot + 1) DIV 2"))
+        .groupBy("pred_lang")
+        .agg(F.min("quality").alias("lang_median"))
+    )
+    return feats.join(F.broadcast(thresholds), "pred_lang").where(
+        F.col("quality") >= F.col("lang_median")
+    ).select("doc_id", "pred_lang", "quality", "lang_median")
+
+
+#: PII patterns — valid and identically-matching in BOTH Java regex
+#: (Spark) and RE2 (DuckDB): character classes, bounded repetition and \b
+#: only; no lookaround or backreferences (RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b"
+
+
+def pii_scrub(d: DataFrame) -> DataFrame:
+    """Core PII scrub over any (doc_id, text) frame: per-category match
+    counts on the ORIGINAL text plus the fingerprint and length of the
+    redacted text (email → ``<EMAIL>``, then IPv4 → ``<IP>``, then phone
+    → ``<PHONE>``, applied in that fixed order). Split out so tests feed
+    synthetic PII-bearing corpora — the fixture's word-stream text is
+    PII-free by construction, which the all-zero oracle row set still
+    verifies (regex dialect parity is the risk, not the arithmetic)."""
+    c = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).cast("int").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.length(redacted).cast("int").alias("clean_len"),
+        F.md5(redacted).alias("clean_fp"),
+    )
+
+
+def pipeline_pii_scrub(cat: Catalog) -> DataFrame:
+    """PII scrubbing — the redaction pass every pre-training pipeline runs
+    before release (emails, IPv4 addresses, phone numbers → typed
+    placeholder tokens): per doc → (doc_id, n_emails, n_ipv4, n_phones,
+    clean_len, clean_fp).
+
+    Shape at 100 TB: one codegen projection over the scan — row-local
+    regexes, no shuffle, no Python. Patterns are restricted to the
+    Java-regex ∩ RE2 dialect so the DuckDB twin matches byte-for-byte."""
+    return pii_scrub(spread(cat.documents))
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
@@ -569,4 +706,7 @@ QUERIES = (
     "pipeline_sequence_pack",
     "pipeline_doc_chunks",
     "pipeline_domain_mix",
+    "pipeline_vocab_prune",
+    "pipeline_quality_filter",
+    "pipeline_pii_scrub",
 )

@@ -493,6 +493,90 @@ TEXT_ORACLES["text_repetition_3gram"] = """
     FROM g
 """
 
+# Vocabulary capping: top-20 tokens by (count desc, token asc) — a total
+# order, so the cut is deterministic; the unk count is a row-local filter
+# against the vocab list, mirroring the Spark broadcast-array projection.
+TEXT_ORACLES["pipeline_vocab_prune"] = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    vocab AS (
+        SELECT list(token ORDER BY token) AS v
+        FROM (SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT 20)
+    )
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                    x -> NOT list_contains(v, x))) AS INT) AS n_unk,
+           round(len(list_filter(string_split(text, ' '),
+                     x -> NOT list_contains(v, x)))
+                 * 1.0 / greatest(len(string_split(text, ' ')), 1), 4)
+               AS unk_ratio
+    FROM documents, vocab
+"""
+
+# Per-language median quality gate: percentile_disc(0.5) via the
+# integer-logic cumulative histogram over the ROUNDED quality values —
+# the same smallest-value-with-cum>=ceil(n/2) formulation as the Spark
+# side (engine-native median()/quantile interpolation differs, so neither
+# engine's builtin is used).
+TEXT_ORACLES["pipeline_quality_filter"] = f"""
+    WITH feats AS (
+        SELECT l.doc_id, l.pred_lang, q.quality
+        FROM ({TEXT_ORACLES["text_lang_id"]}) l
+        JOIN ({TEXT_ORACLES["text_quality_score"]}) q USING (doc_id)
+    ),
+    hist AS (
+        SELECT pred_lang, quality, count(*) AS n
+        FROM feats GROUP BY pred_lang, quality
+    ),
+    cum AS (
+        SELECT pred_lang, quality,
+               sum(n) OVER (PARTITION BY pred_lang ORDER BY quality
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY pred_lang) AS tot
+        FROM hist
+    ),
+    thr AS (
+        SELECT pred_lang, min(quality) AS lang_median
+        FROM cum WHERE cum >= (tot + 1) // 2
+        GROUP BY pred_lang
+    )
+    SELECT f.doc_id, f.pred_lang, f.quality, t.lang_median
+    FROM feats f JOIN thr t USING (pred_lang)
+    WHERE f.quality >= t.lang_median
+"""
+
+# PII scrub: patterns restricted to the Java-regex ∩ RE2 dialect
+# (character classes, bounded repetition, \b — no lookaround or
+# backreferences) so both engines match identical spans. Must stay in
+# sync with text_analysis.PII_EMAIL/PII_IPV4/PII_PHONE.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+
+TEXT_ORACLES["pipeline_pii_scrub"] = f"""
+    WITH r AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT)
+               AS n_phones,
+           CAST(length(clean) AS INT) AS clean_len,
+           md5(clean) AS clean_fp
+    FROM r
+"""
+
 _MINHASH_SIG_SQL = (
     "["
     + ", ".join(f"list_min(list_transform(s, x -> md5('{p}:' || x)))" for p in range(8))
@@ -512,6 +596,35 @@ DEDUP_ORACLES: dict[str, str] = {
                count(*)    AS n_copies
         FROM docs
         GROUP BY 1
+    """,
+    "pipeline_chunk_dedup": """
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        sized AS (
+            SELECT doc_id, t,
+                   CASE WHEN len(t) <= 64 THEN 1
+                        ELSE (len(t) - 64 + 48 - 1) // 48 + 1 END AS n_chunks
+            FROM toks
+        ),
+        c AS (
+            SELECT doc_id, t,
+                   CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+            FROM sized
+        ),
+        fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '
+                   )) AS chunk_fp
+            FROM c
+        )
+        SELECT chunk_fp, min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM fp GROUP BY chunk_fp HAVING count(*) > 1
     """,
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},

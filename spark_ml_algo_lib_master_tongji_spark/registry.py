@@ -155,16 +155,22 @@ _ORDER: tuple[str, ...] = (
     "graph_triangle_count",  # standalone-arm lifecycle change re-verify
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 3 head: NEW oracle-bearing queries r7 (sequence packing,
-    #    sliding-window chunking, 3-gram repetition). The window is exactly
-    #    full (39 one-round-stale rotations + 11 changed-this-round), so
-    #    their first driver row comes with the round-8 rotation; this round
-    #    they are verified by the local full oracle sweep (driver_sim) and
-    #    pytest value checks.
+    #    sliding-window chunking, 3-gram repetition, domain mixing, tf-idf
+    #    top terms, vocab pruning, per-language quality gate, PII scrub).
+    #    The window is exactly full (39 one-round-stale rotations + 11
+    #    changed-this-round), so their first driver row comes with the
+    #    round-8 rotation; this round they are verified by the local full
+    #    oracle sweep (driver_sim) and pytest value checks.
     "pipeline_sequence_pack",
     "pipeline_doc_chunks",
     "text_repetition_3gram",
     "pipeline_domain_mix",
     "text_tfidf_top_terms",
+    "pipeline_vocab_prune",
+    "pipeline_quality_filter",
+    "pipeline_pii_scrub",
+    "ml_est_pca_energy",  # NEW query + oracle r7 (trace invariant)
+    "pipeline_chunk_dedup",
     # -- tier 3: driver-green in round 6, unchanged since -------------------
     "q1_pricing_summary",
     "q3_top_unshipped_orders",

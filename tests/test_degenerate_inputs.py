@@ -129,8 +129,6 @@ def test_sequence_pack_and_chunks_empty_corpus(spark):
 def test_domain_mix_null_source_raises(spark, tmp_path):
     """A NULL source must fail loudly, not silently drop the doc from the
     mix (the rate equi-join would otherwise discard it)."""
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
     from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
         pipeline_domain_mix,
     )
@@ -140,5 +138,9 @@ def test_domain_mix_null_source_raises(spark, tmp_path):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     cat = Catalog(spark, str(tmp_path))
-    with pytest.raises(SparkRuntimeException, match="NULL source"):
+    # The contract is the MESSAGE, not the wrapper type: when the first
+    # evaluation of the raise_error happens inside the broadcast-exchange
+    # thread (AQE plan-order dependent), Spark surfaces it wrapped in
+    # SparkException instead of SparkRuntimeException.
+    with pytest.raises(Exception, match="NULL source"):
         pipeline_domain_mix(cat).collect()

@@ -248,3 +248,73 @@ def test_hive_partitioned_sink_prunes_partitions(spark, tmp_path):
     pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "ptype" in pf, pf
     assert df.count() == 250
+
+
+def test_vocab_prune_plan_bounded_topk_broadcast_vocab(cat):
+    """The vocab cut must move only V rows per partition
+    (TakeOrderedAndProject, never a global Sort), and the folded one-row
+    vocab array must come back onto the doc scan as a broadcast — a
+    shuffle join here would move the corpus for a 20-word vocabulary."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_vocab_prune,
+    )
+
+    physical = _full_plan(pipeline_vocab_prune(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "TakeOrderedAndProject" in physical
+    assert "BroadcastNestedLoopJoin" in physical  # 1-row vocab × doc scan
+    assert "SortMergeJoin" not in physical
+    assert "CartesianProduct" not in physical
+    assert "rangepartitioning" not in physical
+
+
+def test_quality_filter_plan_histogram_median_broadcast_thresholds(cat):
+    """The median must be computed on the (lang, quality) histogram and the
+    #langs-row threshold table broadcast back — a per-language window over
+    the doc stream would fold each language's whole corpus into one task,
+    and a shuffle join would move the corpus for a handful of rows."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_quality_filter,
+    )
+
+    physical = _full_plan(pipeline_quality_filter(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+    assert "CartesianProduct" not in physical
+    # the only exchanges are the tiny histogram/window keys, never a global
+    # range sort of the docs
+    assert "rangepartitioning" not in physical
+
+
+def test_pii_scrub_plan_row_local(cat):
+    """Redaction is one codegen projection over the scan: no hash or range
+    exchange (the round-robin spread is the only data movement)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_pii_scrub,
+    )
+
+    physical = _full_plan(pipeline_pii_scrub(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "hashpartitioning" not in physical
+    assert "rangepartitioning" not in physical
+    assert physical.count("Exchange") <= 1  # the spread round-robin only
+
+
+def test_chunk_dedup_plan_single_fingerprint_shuffle(cat):
+    """Chunking is row-local explode; dedup must be exactly ONE hash
+    shuffle on the fingerprint with a map-side partial aggregation —
+    the dedup_exact scale shape at chunk granularity."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        pipeline_chunk_dedup,
+    )
+
+    physical = _full_plan(pipeline_chunk_dedup(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert physical.count("Exchange hashpartitioning(chunk_fp") == 1
+    assert "rangepartitioning" not in physical
+    assert "partial_count" in physical or "partial_min" in physical

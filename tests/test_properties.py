@@ -83,3 +83,71 @@ def test_norm_rows_is_order_invariant(vals):
     a = _norm_rows(["x"], rows)
     b = _norm_rows(["x"], list(reversed(rows)))
     assert a == b
+
+
+# ---- PII pattern dialect parity (Python re ↔ DuckDB RE2) -------------------
+#
+# The pipeline_pii_scrub patterns are restricted to the Java-regex ∩ RE2
+# dialect; the fixed synthetic-corpus test in test_text_pipeline pins
+# Spark (Java) against both. This property widens the input space: random
+# token streams with planted PII and PII-near-misses must count and
+# redact identically under Python re and DuckDB RE2.
+
+_pii_words = st.sampled_from(
+    ["alpha", "beta", "x", "scan12", "a@b", "1.2.3", "12-34-5678",
+     "user@@y.io", "3.14", "v1.2.3.4beta", "..", "@", "-"]
+)
+_pii_emails = st.builds(
+    lambda a, b, c: f"{a}@{b}.{c}",
+    st.sampled_from(["bob", "a.b", "x_1", "p+tag", "u%v"]),
+    st.sampled_from(["mail", "ex.co", "h-q"]),
+    st.sampled_from(["io", "com", "de"]),
+)
+_pii_ips = st.builds(
+    lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+    *([st.integers(min_value=0, max_value=999)] * 4),
+)
+_pii_phones = st.builds(
+    lambda a, b, c, s1, s2: f"{a:03d}{s1}{b:03d}{s2}{c:04d}",
+    st.integers(min_value=0, max_value=999),
+    st.integers(min_value=0, max_value=999),
+    st.integers(min_value=0, max_value=9999),
+    st.sampled_from(["-", " "]),
+    st.sampled_from(["-", " "]),
+)
+_pii_tokens = st.one_of(_pii_words, _pii_emails, _pii_ips, _pii_phones)
+
+
+@settings(max_examples=150, deadline=None)
+@given(toks=st.lists(_pii_tokens, min_size=0, max_size=12))
+def test_pii_patterns_re_and_re2_agree(con, toks):
+    import re
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    text = " ".join(toks)
+    want_counts = tuple(
+        len(re.findall(p, text)) for p in (PII_EMAIL, PII_IPV4, PII_PHONE)
+    )
+    want_clean = re.sub(
+        PII_PHONE,
+        "<PHONE>",
+        re.sub(PII_IPV4, "<IP>", re.sub(PII_EMAIL, "<EMAIL>", text)),
+    )
+    got = con.execute(
+        """
+        SELECT len(regexp_extract_all(?, ?)),
+               len(regexp_extract_all(?, ?)),
+               len(regexp_extract_all(?, ?)),
+               regexp_replace(regexp_replace(regexp_replace(?,
+                   ?, '<EMAIL>', 'g'), ?, '<IP>', 'g'), ?, '<PHONE>', 'g')
+        """,
+        [text, PII_EMAIL, text, PII_IPV4, text, PII_PHONE,
+         text, PII_EMAIL, PII_IPV4, PII_PHONE],
+    ).fetchone()
+    assert (got[0], got[1], got[2]) == want_counts, text
+    assert got[3] == want_clean, text

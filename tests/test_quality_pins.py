@@ -40,6 +40,9 @@ EXPECTED_SF01 = {
     # round-7 scalars: the two-level Lloyd assign agreement rates
     "lloyd_ivf_assign_agreement": 1.0,
     "lloyd_ivf_assign_agreement_halfprobe": 0.91,
+    # round-7 corpus-pipeline scalars (DuckDB-recomputed exact values)
+    "vocab_coverage": 0.6704,
+    "quality_filter_keep_rate": 0.5018,
 }
 
 #: scalars that are stochastic-ish across library versions (LDA's online VB

@@ -219,3 +219,187 @@ def test_repetition_3gram_bounds_and_short_docs(spark):
         assert 0.0 <= r["rep3"] < 1.0
         if n < 3:
             assert r["n_grams"] == 0 and r["rep3"] == 0.0
+
+
+def test_vocab_prune_matches_first_principles(spark):
+    """The top-V cut and per-doc unk counts recomputed in plain Python from
+    the raw text must agree exactly, and the cap must actually bite on the
+    fixture (some docs carry real <unk> tokens)."""
+    from collections import Counter
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        VOCAB_TOP_V,
+        pipeline_vocab_prune,
+    )
+
+    cat = _catalog(spark)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in cat.documents.select("doc_id", "text").collect()
+    }
+    counts = Counter(t for text in docs.values() for t in text.split(" "))
+    vocab = {
+        t
+        for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_TOP_V
+        ]
+    }
+    rows = {r["doc_id"]: r for r in pipeline_vocab_prune(cat).collect()}
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        r = rows[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_unk"] == sum(1 for t in toks if t not in vocab)
+    assert any(r["n_unk"] > 0 for r in rows.values())
+
+
+def test_quality_filter_is_per_language_disc_median(spark):
+    """The gate keeps exactly the docs at or above their language's
+    percentile_disc(0.5) quality; the threshold is an ATTAINED value (disc,
+    never interpolated) and at least half of every language survives."""
+    from collections import defaultdict
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        doc_features,
+        pipeline_quality_filter,
+    )
+
+    cat = _catalog(spark)
+    feats = [
+        (r["doc_id"], r["pred_lang"], r["quality"])
+        for r in doc_features(cat).collect()
+    ]
+    by_lang = defaultdict(list)
+    for _, lang, q in feats:
+        by_lang[lang].append(q)
+    med = {
+        lang: sorted(qs)[(len(qs) + 1) // 2 - 1] for lang, qs in by_lang.items()
+    }
+    expected = {
+        (d, lang, q, med[lang]) for d, lang, q in feats if q >= med[lang]
+    }
+    got = {
+        (r["doc_id"], r["pred_lang"], r["quality"], r["lang_median"])
+        for r in pipeline_quality_filter(cat).collect()
+    }
+    assert got == expected
+    for lang, qs in by_lang.items():
+        assert med[lang] in qs  # attained, not interpolated
+        assert 2 * sum(1 for q in qs if q >= med[lang]) >= len(qs)
+
+
+#: synthetic PII corpus — the parquet fixture is PII-free by construction,
+#: so redaction behavior is pinned here instead.
+_PII_CORPUS = [
+    (0, "contact alice@example.com or bob.smith+tag@mail.co today"),
+    (1, "server at 10.0.0.1 and 192.168.1.255 replied"),
+    (2, "call 555-123-4567 or 555 987 6543 now"),
+    (3, "mail x@y.io from 8.8.8.8 call 111-222-3333"),
+    (4, "no pii here at all"),
+    (5, ""),
+]
+
+
+def test_pii_scrub_synthetic_counts_and_redaction(spark):
+    """Counts and the sequentially-redacted text on a PII-bearing corpus,
+    cross-checked against Python re (a THIRD regex dialect) — all three
+    engines must agree on these patterns by construction."""
+    import hashlib
+    import re
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        pii_scrub,
+    )
+
+    d = spark.createDataFrame(_PII_CORPUS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    expected_counts = {
+        0: (2, 0, 0),
+        1: (0, 2, 0),
+        2: (0, 0, 2),
+        3: (1, 1, 1),
+        4: (0, 0, 0),
+        5: (0, 0, 0),
+    }
+    for doc_id, text in _PII_CORPUS:
+        r = rows[doc_id]
+        assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == expected_counts[
+            doc_id
+        ], doc_id
+        clean = re.sub(
+            PII_PHONE,
+            "<PHONE>",
+            re.sub(PII_IPV4, "<IP>", re.sub(PII_EMAIL, "<EMAIL>", text)),
+        )
+        assert r["clean_len"] == len(clean), doc_id
+        assert r["clean_fp"] == hashlib.md5(clean.encode()).hexdigest(), doc_id
+
+
+def test_pii_oracle_dialect_parity_on_pii_bearing_text(spark):
+    """Java regex (Spark) vs RE2 (DuckDB) on text that actually contains
+    PII — the fixture corpus is PII-free, so the driver's oracle row alone
+    cannot catch a dialect split in the patterns."""
+    import duckdb
+    import pandas as pd
+
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pii_scrub,
+    )
+    from tests.compare import assert_match
+
+    pdf = pd.DataFrame(_PII_CORPUS, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sdf = pii_scrub(spark.createDataFrame(_PII_CORPUS, "doc_id long, text string"))
+    assert_match(sdf, con, all_oracles()["pipeline_pii_scrub"], "pii_synthetic")
+
+
+def test_chunk_dedup_covers_recrawled_chunks(spark):
+    """Every chunk fingerprint of a re-crawled doc (doc_id % 10 == 0 gets a
+    +1e6 copy) must appear in the duplicate report with the ORIGINAL as
+    keeper; n_copies ≥ 2 everywhere; fingerprints recomputed from raw text
+    in plain Python agree."""
+    import hashlib
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        pipeline_chunk_dedup,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    cat = _catalog(spark)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in cat.documents.select("doc_id", "text").collect()
+    }
+
+    def chunk_fps(text):
+        t = text.split(" ")
+        n = len(t)
+        n_chunks = (
+            1
+            if n <= CHUNK_TOKENS
+            else (n - CHUNK_TOKENS + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        )
+        for i in range(n_chunks):
+            span = " ".join(t[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS])
+            yield hashlib.md5(span.encode()).hexdigest()
+
+    rows = {r["chunk_fp"]: r for r in pipeline_chunk_dedup(cat).collect()}
+    assert rows, "re-crawl union must produce duplicated chunks"
+    for r in rows.values():
+        assert r["n_copies"] >= 2
+        assert r["keeper_doc_id"] < 1_000_000  # original, never the re-crawl
+    for doc_id, text in docs.items():
+        if doc_id % 10 != 0:
+            continue
+        for fp in chunk_fps(text):
+            assert fp in rows, (doc_id, fp)
+            assert rows[fp]["keeper_doc_id"] <= doc_id
