@@ -569,30 +569,45 @@ def pipeline_vocab_prune(cat: Catalog) -> DataFrame:
     asc). Shape at 100 TB: explode → one partial+final count aggregation
     (map-side combine collapses the token space per task) → a global
     top-V that moves only V rows per partition (``TakeOrderedAndProject``)
-    → the V-row vocab folds to ONE array row and broadcasts onto the doc
-    scan, where the unk count is a row-local codegen filter. No driver
-    collect, no data-sized shuffle, no second pass over tokens."""
-    toks = spread(cat.documents).select(
-        F.explode(TXT.tokens(F.col("text"))).alias("token")
+    → a broadcast ANTI-join drops in-vocab tokens (the ~2/3 majority)
+    before a map-side-combined per-doc count, joined back onto the
+    row-local token totals. Measured A/B at sf1, fresh session per arm
+    (PLANS round-7 addendum 9): the zero-shuffle alternative — fold the
+    vocab to one array row, broadcast it, count unks with a row-local
+    ``F.filter(t, …)`` — is 1.7× slower warm / 2× cold because
+    higher-order array lambdas run interpreted, outside whole-stage
+    codegen (the same finding that drove minhash/shingle shapes); a
+    single-shuffle variant that flags every token and aggregates the
+    full stream also loses (it shuffles 3× the rows the anti-join
+    leaves). The exchanges here move (doc_id, count) pairs only."""
+    docs = spread(cat.documents).select(
+        "doc_id", TXT.tokens(F.col("text")).alias("t")
     )
+    toks = docs.select("doc_id", F.explode("t").alias("token"))
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(VOCAB_TOP_V)
-        .agg(F.array_sort(F.collect_list("token")).alias("vocab"))
+        .select("token")
     )
-    t = TXT.tokens(F.col("text"))
-    n = F.size(t)
-    n_unk = F.size(
-        F.filter(t, lambda x: ~F.array_contains(F.col("vocab"), x))
+    unk = (
+        toks.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("_u"))
     )
+    # project the row-local total BEFORE the join: joining `docs` itself
+    # would drag the token array through the exchange — a corpus-sized
+    # shuffle once `unk` outgrows the broadcast ceiling and the join
+    # falls to SMJ. `base` rows are two ints.
+    base = docs.select("doc_id", F.size("t").alias("n_tokens"))
+    n = F.col("n_tokens")
+    n_unk = F.coalesce(F.col("_u"), F.lit(0))
     return (
-        spread(cat.documents)
-        .crossJoin(F.broadcast(vocab))
+        base.join(unk, "doc_id", "left")
         .select(
             "doc_id",
-            n.alias("n_tokens"),
+            "n_tokens",
             n_unk.alias("n_unk"),
             round_half_up(n_unk / F.greatest(n, F.lit(1)), 4).alias(
                 "unk_ratio"

@@ -144,3 +144,71 @@ def test_domain_mix_null_source_raises(spark, tmp_path):
     # SparkException instead of SparkRuntimeException.
     with pytest.raises(Exception, match="NULL source"):
         pipeline_domain_mix(cat).collect()
+
+
+def _doc_catalog(spark, tmp_path, rows, sub="d"):
+    # distinct subdir per case: session-shared derivations (doc_features)
+    # are cached per sf_dir, so reusing one path would serve stale frames
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    d = tmp_path / sub
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return Catalog(spark, str(d))
+
+
+def test_vocab_prune_empty_and_single_doc(spark, tmp_path):
+    """Empty corpus → empty result (the top-V limit and the anti-join
+    tolerate zero rows); a single doc whose tokens all fit the cap has
+    zero unks and ratio 0."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_vocab_prune,
+    )
+
+    assert pipeline_vocab_prune(_doc_catalog(spark, tmp_path, [], "e")).count() == 0
+    cat = _doc_catalog(spark, tmp_path, [(3, "a b c a")], "one")
+    rows = pipeline_vocab_prune(cat).collect()
+    assert [(r["doc_id"], r["n_tokens"], r["n_unk"], r["unk_ratio"]) for r in rows] == [
+        (3, 4, 0, 0.0)
+    ]
+
+
+def test_quality_filter_empty_and_single_doc(spark, tmp_path):
+    """Empty corpus → empty; a singleton language's median is the doc's
+    own quality, so the doc always survives its own gate."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_quality_filter,
+    )
+
+    assert (
+        pipeline_quality_filter(_doc_catalog(spark, tmp_path, [], "e")).count()
+        == 0
+    )
+    cat = _doc_catalog(spark, tmp_path, [(1, "the and of words here")], "one")
+    rows = pipeline_quality_filter(cat).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1
+    assert rows[0]["lang_median"] == rows[0]["quality"]
+
+
+def test_pii_scrub_empty_corpus(spark):
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pii_scrub,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pii_scrub(empty).count() == 0
+
+
+def test_chunk_dedup_empty_and_self_duplicate(spark, tmp_path):
+    """Empty corpus → empty; a single doc_id % 10 == 0 doc gets a re-crawl
+    copy, so its one chunk reports exactly (n_copies=2, keeper=original)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        pipeline_chunk_dedup,
+    )
+
+    assert pipeline_chunk_dedup(_doc_catalog(spark, tmp_path, [], "e")).count() == 0
+    cat = _doc_catalog(spark, tmp_path, [(10, "x y z")], "one")
+    rows = pipeline_chunk_dedup(cat).collect()
+    assert len(rows) == 1
+    assert (rows[0]["keeper_doc_id"], rows[0]["n_copies"]) == (10, 2)

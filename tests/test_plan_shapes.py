@@ -252,9 +252,11 @@ def test_hive_partitioned_sink_prunes_partitions(spark, tmp_path):
 
 def test_vocab_prune_plan_bounded_topk_broadcast_vocab(cat):
     """The vocab cut must move only V rows per partition
-    (TakeOrderedAndProject, never a global Sort), and the folded one-row
-    vocab array must come back onto the doc scan as a broadcast — a
-    shuffle join here would move the corpus for a 20-word vocabulary."""
+    (TakeOrderedAndProject, never a global Sort), and the V-row vocab
+    must reach the token stream as a broadcast ANTI-join — a shuffle
+    join here would move the corpus for a 20-word vocabulary. (The
+    row-local HOF alternative is a recorded 1.7× negative A/B, PLANS
+    round-7 addendum 9.)"""
     from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
         pipeline_vocab_prune,
     )
@@ -263,8 +265,7 @@ def test_vocab_prune_plan_bounded_topk_broadcast_vocab(cat):
         "== Physical Plan =="
     )[-1]
     assert "TakeOrderedAndProject" in physical
-    assert "BroadcastNestedLoopJoin" in physical  # 1-row vocab × doc scan
-    assert "SortMergeJoin" not in physical
+    assert "BroadcastHashJoin" in physical  # V-row vocab vs token stream
     assert "CartesianProduct" not in physical
     assert "rangepartitioning" not in physical
 
