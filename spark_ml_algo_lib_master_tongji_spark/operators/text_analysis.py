@@ -705,6 +705,57 @@ def pipeline_pii_scrub(cat: Catalog) -> DataFrame:
     return pii_scrub(spread(cat.documents))
 
 
+#: winnowing geometry: K-token grams, window of W consecutive gram hashes.
+#: Matching guarantee: any shared run of K+W−1 tokens between two docs
+#: yields at least one shared fingerprint.
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def text_winnow_fingerprints(cat: Catalog) -> DataFrame:
+    """Winnowing document fingerprints — the rolling-hash fingerprinting
+    scheme (MOSS-style local document sketching; the brief's 'document
+    fingerprinting (rolling hash)' item, complementing the whole-doc md5
+    of ``text_fingerprint``): hash every ``WINNOW_K``-token gram, keep
+    the minimum hash of every ``WINNOW_W``-gram sliding window (partial
+    prefix windows included), per doc → (doc_id, n_fps, fps) with fps a
+    sorted distinct BIGINT array. Docs with fewer than K tokens have no
+    grams and are absent. Two docs sharing any K+W−1-token run share a
+    fingerprint — the sub-document matching property exact dedup's
+    whole-doc hash cannot give.
+
+    Shape at 100 TB: ZERO shuffle — gram build, hashing, and the
+    per-position window-min are all row-local (mirroring the SQL twin's
+    list ops), so the operator is embarrassingly parallel at any corpus
+    size. The interpreted-HOF tax is O(W)=4 slice-mins per gram and
+    measured 2× FASTER than the explode + doc_id-window + collect_set
+    alternative at sf1 (fair fresh-session A/B, PLANS round-7 addendum
+    10): the window arm ships every gram row through a doc_id exchange
+    plus a per-doc sort, which costs more than W interpreted ops per
+    gram — the inverse trade of ``pipeline_vocab_prune``, where the HOF
+    predicate lost to a majority-dropping anti-join."""
+    g = TXT.ngram_arrays(
+        spread(cat.documents).select("doc_id", "text"), n=WINNOW_K
+    ).where(F.size("grams") > 0)
+    hs = F.transform(
+        F.col("grams"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+    )
+    d = g.select("doc_id", hs.alias("hs"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("hs")),
+        lambda i: F.array_min(
+            F.slice(
+                F.col("hs"),
+                F.greatest(F.lit(1), i - (WINNOW_W - 1)),
+                F.least(i, F.lit(WINNOW_W)),
+            )
+        ),
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return d.select("doc_id", F.size(fps).alias("n_fps"), fps.alias("fps"))
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
@@ -724,4 +775,5 @@ QUERIES = (
     "pipeline_vocab_prune",
     "pipeline_quality_filter",
     "pipeline_pii_scrub",
+    "text_winnow_fingerprints",
 )

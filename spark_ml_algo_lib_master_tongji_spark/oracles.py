@@ -493,6 +493,36 @@ TEXT_ORACLES["text_repetition_3gram"] = """
     FROM g
 """
 
+# Winnowing fingerprints: 3-token gram hashes, rolling min over every
+# window of 4 (prefix windows included) — all list ops, no explode, so
+# position bookkeeping is implicit in the list index.
+TEXT_ORACLES["text_winnow_fingerprints"] = """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE []::VARCHAR[] END AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(grams,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        FROM g WHERE len(grams) > 0
+    ),
+    wins AS (
+        SELECT doc_id,
+               list_transform(range(1, len(hs) + 1),
+                   i -> list_min(hs[greatest(1, i - 3):i])) AS mins
+        FROM hashes
+    )
+    SELECT doc_id,
+           CAST(len(list_sort(list_distinct(mins))) AS INT) AS n_fps,
+           list_sort(list_distinct(mins)) AS fps
+    FROM wins
+"""
+
 # Vocabulary capping: top-20 tokens by (count desc, token asc) — a total
 # order, so the cut is deterministic; the unk count is a row-local filter
 # against the vocab list, mirroring the Spark broadcast-array projection.

@@ -319,3 +319,20 @@ def test_chunk_dedup_plan_single_fingerprint_shuffle(cat):
     assert physical.count("Exchange hashpartitioning(chunk_fp") == 1
     assert "rangepartitioning" not in physical
     assert "partial_count" in physical or "partial_min" in physical
+
+
+def test_winnow_fingerprints_plan_row_local(cat):
+    """Winnowing is entirely row-local list ops (the explode + doc_id
+    window alternative is a recorded 2× negative A/B, PLANS round-7
+    addendum 10): no hash or range exchange at all — the round-robin
+    spread is the only data movement."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        text_winnow_fingerprints,
+    )
+
+    physical = _full_plan(text_winnow_fingerprints(cat)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "hashpartitioning" not in physical
+    assert "rangepartitioning" not in physical
+    assert physical.count("Exchange") <= 1  # the spread round-robin only

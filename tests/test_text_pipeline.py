@@ -403,3 +403,54 @@ def test_chunk_dedup_covers_recrawled_chunks(spark):
         for fp in chunk_fps(text):
             assert fp in rows, (doc_id, fp)
             assert rows[fp]["keeper_doc_id"] <= doc_id
+
+
+def test_winnow_fingerprints_matching_guarantee(spark, tmp_path):
+    """The winnowing property: two documents sharing a K+W−1-token run
+    share at least one fingerprint; sub-K-token docs are absent; every
+    doc's fps recompute exactly from first principles."""
+    import hashlib
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnow_fingerprints,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    rows = [
+        (0, "aa bb cc dd ee " + shared + " ff gg"),
+        (1, "zz yy xx " + shared),
+        (2, "one two"),  # < K tokens: no grams, absent from output
+        (3, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: list(r["fps"])
+        for r in text_winnow_fingerprints(
+            Catalog(spark, str(tmp_path))
+        ).collect()
+    }
+    assert set(out) == {0, 1, 3}
+
+    def winnow(text):
+        t = text.split(" ")
+        grams = [
+            " ".join(t[i : i + WINNOW_K])
+            for i in range(len(t) - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        return sorted(
+            {min(hs[max(0, i - WINNOW_W + 1) : i + 1]) for i in range(len(hs))}
+        )
+
+    for doc_id, text in rows:
+        if doc_id == 2:
+            continue
+        assert out[doc_id] == winnow(text), doc_id
+    assert set(out[0]) & set(out[1]), "shared K+W-1 run must share a fp"
+    assert not set(out[3]) & set(out[0])
