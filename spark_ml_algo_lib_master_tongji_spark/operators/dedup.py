@@ -617,9 +617,66 @@ def pipeline_chunk_dedup(cat: Catalog) -> DataFrame:
     )
 
 
+#: winnow-pair inverted index: drop fingerprints whose posting list
+#: exceeds this (stop-fingerprint removal — the hot-key guard that keeps
+#: the per-fp self-join quadratic only in a bounded list length), and
+#: require this many shared fingerprints per emitted pair.
+WINNOW_DF_MAX = 8
+WINNOW_MIN_SHARED = 2
+
+
+def dedup_winnow_pairs(cat: Catalog) -> DataFrame:
+    """Near-dup candidate pairs from the winnowing sketch — the
+    plagiarism-detection use of ``text_winnow_fingerprints``: docs
+    sharing ≥ ``WINNOW_MIN_SHARED`` window-min fingerprints, over the
+    duplicate-bearing re-crawl corpus → (doc_a, doc_b, n_shared_fps),
+    doc_a < doc_b.
+
+    Shape at 100 TB: an inverted-index self-join on the fingerprint key
+    — never doc×doc. The df-cap (2 ≤ posting length ≤ ``WINNOW_DF_MAX``)
+    is what bounds it: a corpus-common fingerprint would otherwise emit
+    a quadratic posting-list self-join (the hot-token problem); capped,
+    each fp contributes at most C(df_max, 2) pairs, so candidate volume
+    is fp-count-linear. Same blocking discipline as the LSH band-bucket
+    and prefix-filter paths; fixture sizing (sf0.01): max df 9, the cap
+    keeps all 50 true re-crawl pairs."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        winnow_fp_stream,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import spread
+
+    # session-shared: the pairs query consumes the sketch three times
+    # (df count, both posting-list sides); one cached row stream serves
+    # all of them — and the single-Generate shape in winnow_fp_stream is
+    # what keeps the interpreted HOF tree evaluated once per row.
+    fps = _derived(
+        cat,
+        "winnow_fps_recrawl",
+        lambda: winnow_fp_stream(spread(_docs_with_recrawl(cat))),
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= WINNOW_DF_MAX))
+        .select("fp")
+    )
+    pl = fps.join(keep, "fp")
+    a = pl.toDF("fp", "doc_a")
+    b = pl.toDF("fp", "doc_b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
 QUERIES = (
     "dedup_exact",
     "pipeline_chunk_dedup",
+    "dedup_winnow_pairs",
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "dedup_simhash",

@@ -569,45 +569,37 @@ def pipeline_vocab_prune(cat: Catalog) -> DataFrame:
     asc). Shape at 100 TB: explode → one partial+final count aggregation
     (map-side combine collapses the token space per task) → a global
     top-V that moves only V rows per partition (``TakeOrderedAndProject``)
-    → a broadcast ANTI-join drops in-vocab tokens (the ~2/3 majority)
-    before a map-side-combined per-doc count, joined back onto the
-    row-local token totals. Measured A/B at sf1, fresh session per arm
-    (PLANS round-7 addendum 9): the zero-shuffle alternative — fold the
-    vocab to one array row, broadcast it, count unks with a row-local
-    ``F.filter(t, …)`` — is 1.7× slower warm / 2× cold because
-    higher-order array lambdas run interpreted, outside whole-stage
-    codegen (the same finding that drove minhash/shingle shapes); a
-    single-shuffle variant that flags every token and aggregates the
-    full stream also loses (it shuffles 3× the rows the anti-join
-    leaves). The exchanges here move (doc_id, count) pairs only."""
-    docs = spread(cat.documents).select(
-        "doc_id", TXT.tokens(F.col("text")).alias("t")
+    → the V-row vocab folds to ONE array row and broadcasts onto the doc
+    scan, where the unk count is a row-local filter against a 20-element
+    array. Zero data-sized shuffle. A/B'd both ways under the
+    persist-then-count protocol (PLANS round-7 addendum 9): a broadcast
+    anti-join + per-doc count + join-back is 1.6× SLOWER materialized —
+    an earlier bare-count A/B said the opposite because Catalyst pruned
+    the un-persisted HOF column and eliminated the row-preserving
+    join-back, under-measuring both arms. The interpreted-HOF tax is
+    real but small here (one 20-element array_contains per token); the
+    anti-join's two doc-keyed exchanges cost more."""
+    toks = spread(cat.documents).select(
+        F.explode(TXT.tokens(F.col("text"))).alias("token")
     )
-    toks = docs.select("doc_id", F.explode("t").alias("token"))
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(VOCAB_TOP_V)
-        .select("token")
+        .agg(F.array_sort(F.collect_list("token")).alias("vocab"))
     )
-    unk = (
-        toks.join(F.broadcast(vocab), "token", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("_u"))
+    t = TXT.tokens(F.col("text"))
+    n = F.size(t)
+    n_unk = F.size(
+        F.filter(t, lambda x: ~F.array_contains(F.col("vocab"), x))
     )
-    # project the row-local total BEFORE the join: joining `docs` itself
-    # would drag the token array through the exchange — a corpus-sized
-    # shuffle once `unk` outgrows the broadcast ceiling and the join
-    # falls to SMJ. `base` rows are two ints.
-    base = docs.select("doc_id", F.size("t").alias("n_tokens"))
-    n = F.col("n_tokens")
-    n_unk = F.coalesce(F.col("_u"), F.lit(0))
     return (
-        base.join(unk, "doc_id", "left")
+        spread(cat.documents)
+        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            "n_tokens",
+            n.alias("n_tokens"),
             n_unk.alias("n_unk"),
             round_half_up(n_unk / F.greatest(n, F.lit(1)), 4).alias(
                 "unk_ratio"
@@ -734,14 +726,22 @@ def text_winnow_fingerprints(cat: Catalog) -> DataFrame:
     plus a per-doc sort, which costs more than W interpreted ops per
     gram — the inverse trade of ``pipeline_vocab_prune``, where the HOF
     predicate lost to a majority-dropping anti-join."""
+    return winnow_fingerprints(spread(cat.documents))
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Core winnowing sketch over any (doc_id, text) frame (see
+    ``text_winnow_fingerprints``); split out so ``dedup_winnow_pairs``
+    can sketch the duplicate-bearing re-crawl corpus and tests can feed
+    synthetic runs."""
     g = TXT.ngram_arrays(
-        spread(cat.documents).select("doc_id", "text"), n=WINNOW_K
+        d.select("doc_id", "text"), n=WINNOW_K
     ).where(F.size("grams") > 0)
     hs = F.transform(
         F.col("grams"),
         lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
     )
-    d = g.select("doc_id", hs.alias("hs"))
+    hashed = g.select("doc_id", hs.alias("hs"))
     mins = F.transform(
         F.sequence(F.lit(1), F.size("hs")),
         lambda i: F.array_min(
@@ -753,7 +753,41 @@ def text_winnow_fingerprints(cat: Catalog) -> DataFrame:
         ),
     )
     fps = F.array_sort(F.array_distinct(mins))
-    return d.select("doc_id", F.size(fps).alias("n_fps"), fps.alias("fps"))
+    return hashed.select(
+        "doc_id", F.size(fps).alias("n_fps"), fps.alias("fps")
+    )
+
+
+def winnow_fp_stream(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) row stream of the winnowing sketch — the join-ready
+    shape ``dedup_winnow_pairs`` consumes. NOT a thin wrapper over
+    ``winnow_fingerprints().select(explode(fps))``: referencing the fps
+    array column from a downstream Generate makes CollapseProject inline
+    the whole interpreted HOF tree once PER REFERENCE (measured ~15
+    copies in the physical plan, 0.8s → 23s at sf0.1). Here the
+    dedup/sort/min tree appears exactly once, inside the Generate, over
+    an ``hs`` column bound by its own projection."""
+    g = TXT.ngram_arrays(
+        d.select("doc_id", "text"), n=WINNOW_K
+    ).where(F.size("grams") > 0)
+    hs = F.transform(
+        F.col("grams"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+    )
+    hashed = g.select("doc_id", hs.alias("hs"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("hs")),
+        lambda i: F.array_min(
+            F.slice(
+                F.col("hs"),
+                F.greatest(F.lit(1), i - (WINNOW_W - 1)),
+                F.least(i, F.lit(WINNOW_W)),
+            )
+        ),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)

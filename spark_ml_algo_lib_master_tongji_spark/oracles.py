@@ -656,6 +656,44 @@ DEDUP_ORACLES: dict[str, str] = {
                count(*) AS n_copies
         FROM fp GROUP BY chunk_fp HAVING count(*) > 1
     """,
+    "dedup_winnow_pairs": """
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE []::VARCHAR[] END AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   list_transform(grams,
+                       x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+            FROM g WHERE len(grams) > 0
+        ),
+        wins AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(hs) + 1),
+                       i -> list_min(hs[greatest(1, i - 3):i])) AS mins
+            FROM hashes
+        ),
+        fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wins),
+        keep AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND 8
+        ),
+        pl AS (SELECT f.fp, f.doc_id FROM fps f JOIN keep USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared_fps
+        FROM pl a JOIN pl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
         sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),

@@ -172,6 +172,7 @@ _ORDER: tuple[str, ...] = (
     "ml_est_pca_energy",  # NEW query + oracle r7 (trace invariant)
     "pipeline_chunk_dedup",
     "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
     # -- tier 3: driver-green in round 6, unchanged since -------------------
     "q1_pricing_summary",
     "q3_top_unshipped_orders",

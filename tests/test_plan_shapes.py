@@ -252,11 +252,11 @@ def test_hive_partitioned_sink_prunes_partitions(spark, tmp_path):
 
 def test_vocab_prune_plan_bounded_topk_broadcast_vocab(cat):
     """The vocab cut must move only V rows per partition
-    (TakeOrderedAndProject, never a global Sort), and the V-row vocab
-    must reach the token stream as a broadcast ANTI-join — a shuffle
-    join here would move the corpus for a 20-word vocabulary. (The
-    row-local HOF alternative is a recorded 1.7× negative A/B, PLANS
-    round-7 addendum 9.)"""
+    (TakeOrderedAndProject, never a global Sort), and the folded one-row
+    vocab array must come back onto the doc scan as a broadcast — a
+    shuffle join here would move the corpus for a 20-word vocabulary.
+    (The anti-join + join-back alternative is a recorded 1.6× negative
+    A/B under the materialized protocol, PLANS round-7 addendum 9.)"""
     from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
         pipeline_vocab_prune,
     )
@@ -265,7 +265,8 @@ def test_vocab_prune_plan_bounded_topk_broadcast_vocab(cat):
         "== Physical Plan =="
     )[-1]
     assert "TakeOrderedAndProject" in physical
-    assert "BroadcastHashJoin" in physical  # V-row vocab vs token stream
+    assert "BroadcastNestedLoopJoin" in physical  # 1-row vocab × doc scan
+    assert "SortMergeJoin" not in physical
     assert "CartesianProduct" not in physical
     assert "rangepartitioning" not in physical
 
@@ -336,3 +337,16 @@ def test_winnow_fingerprints_plan_row_local(cat):
     assert "hashpartitioning" not in physical
     assert "rangepartitioning" not in physical
     assert physical.count("Exchange") <= 1  # the spread round-robin only
+
+
+def test_winnow_pairs_plan_no_cartesian(cat):
+    """The winnow-pair generator is an inverted-index equi-join on the
+    fingerprint key — a cartesian/BNLJ node means the df-capped blocking
+    broke and it degraded to doc×doc."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        dedup_winnow_pairs,
+    )
+
+    plan = _full_plan(dedup_winnow_pairs(cat))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -454,3 +454,31 @@ def test_winnow_fingerprints_matching_guarantee(spark, tmp_path):
         assert out[doc_id] == winnow(text), doc_id
     assert set(out[0]) & set(out[1]), "shared K+W-1 run must share a fp"
     assert not set(out[3]) & set(out[0])
+
+
+def test_winnow_pairs_find_every_recrawl_duplicate(spark):
+    """Every re-crawled doc (doc_id % 10 == 0, ≥ K tokens) must pair with
+    its +1e6 copy — an exact copy shares its whole sketch, and the df-cap
+    must not sever it; all emitted pairs meet the shared-fp floor."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        dedup_winnow_pairs,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+    )
+
+    cat = _catalog(spark)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in cat.documents.select("doc_id", "text").collect()
+    }
+    expected = {
+        (d, d + 1_000_000)
+        for d, text in docs.items()
+        if d % 10 == 0 and len(text.split(" ")) >= WINNOW_K
+    }
+    rows = dedup_winnow_pairs(cat).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert expected <= got
+    assert all(r["n_shared_fps"] >= WINNOW_MIN_SHARED for r in rows)
