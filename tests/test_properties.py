@@ -151,3 +151,59 @@ def test_pii_patterns_re_and_re2_agree(con, toks):
     ).fetchone()
     assert (got[0], got[1], got[2]) == want_counts, text
     assert got[3] == want_clean, text
+
+
+# ---- winnowing sketch: DuckDB list-op oracle vs pure Python ----------------
+#
+# The winnow oracle is a chain of list_transform/slice/list_min ops whose
+# off-by-ones (1-based inclusive slices, prefix windows) are easy to get
+# silently wrong in BOTH engines at once; this property pins the DuckDB
+# formulation against an independent Python implementation on random
+# token streams, including the sub-K-token empty case.
+
+_winnow_tokens = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "eee", "x1"]), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(toks=_winnow_tokens)
+def test_winnow_oracle_listops_match_python(con, toks):
+    import hashlib
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    text = " ".join(toks)
+    t = text.split(" ")  # mirrors both engines' single-space split
+    grams = [
+        " ".join(t[i : i + WINNOW_K]) for i in range(len(t) - WINNOW_K + 1)
+    ]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    want = sorted(
+        {min(hs[max(0, i - WINNOW_W + 1) : i + 1]) for i in range(len(hs))}
+    )
+    got = con.execute(
+        """
+        WITH g AS (
+            SELECT CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE []::VARCHAR[] END AS grams
+            FROM (SELECT string_split(?, ' ') AS t)
+        ),
+        h AS (
+            SELECT list_transform(grams,
+                       x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+            FROM g
+        )
+        SELECT list_sort(list_distinct(
+                   list_transform(range(1, len(hs) + 1),
+                       i -> list_min(hs[greatest(1, i - 3):i]))))
+        FROM h
+        """,
+        [text],
+    ).fetchone()[0]
+    assert list(got) == want, text
