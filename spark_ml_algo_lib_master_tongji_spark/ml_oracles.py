@@ -132,11 +132,35 @@ FROM li, p
 GROUP BY p.slope, p.intercept
 """
 
+    # Estimator cross-anchor (ml_estimators.ml_est_linreg_rmse): numerics
+    # are the closed form's; the estimator's agreement rides in the
+    # boolean — the twin asserts it TRUE.
+    o["ml_est_linreg_rmse"] = (
+        "SELECT slope, intercept, rmse, TRUE AS est_within_tol FROM ("
+        + o["ml_linreg_ols"]
+        + ")"
+    )
+
     o["ml_kmeans_lloyd_assign"] = (
         _kmeans_ctes() + "\nSELECT vec_id, cid FROM afinal"
     )
     o["ml_kmeans_lloyd_sizes"] = (
         _kmeans_ctes() + "\nSELECT cid, count(*) AS n FROM afinal GROUP BY cid"
+    )
+    # WSSSE of the final assignment against the final centers — per-point
+    # d² through the same 6-decimal rounded dot identity, summed, rounded
+    # at 2 (summation-order noise ~1e-12 ≪ the rounding grain). The
+    # estimator anchor boolean is asserted TRUE (ml_est_kmeans_wssse).
+    o["ml_est_kmeans_wssse"] = (
+        _kmeans_ctes()
+        + f"""
+SELECT {KMEANS_K} AS k,
+       round(sum({_d2('p.v', 'c.c')}), 2) AS wssse,
+       TRUE AS est_in_band
+FROM afinal a
+JOIN pts p USING (vec_id)
+JOIN c{KMEANS_ITERS} c ON a.cid = c.cid
+"""
     )
 
     # SemDeDup composition: the Lloyd assignment scopes the cosine keeper

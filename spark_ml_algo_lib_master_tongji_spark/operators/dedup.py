@@ -105,12 +105,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_keys(
     sigs: DataFrame, band_size: int = BAND_SIZE, num_perm: int = NUM_PERM
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_key): docs
-    sharing any full band become candidates. Shuffle key is the band hash —
-    collision-bounded, not O(n²)."""
+    """(doc_id, band_idx, band_key) — one row per LSH band of each
+    signature. Row-local projection + posexplode (no shuffle); the
+    join-ready shape both the self-join candidate generation and the
+    delta-vs-index join consume."""
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -121,9 +122,18 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_key")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, band_size: int = BAND_SIZE, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key): docs
+    sharing any full band become candidates. Shuffle key is the band hash —
+    collision-bounded, not O(n²)."""
+    banded = banded_keys(sigs, band_size, num_perm)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -673,8 +683,223 @@ def dedup_winnow_pairs(cat: Catalog) -> DataFrame:
     )
 
 
+# ---- delta dedup against a persisted keeper index --------------------------
+#
+# The production re-crawl path: a 100 TB pipeline dedups an INCREMENT
+# against a persisted fingerprint/sketch store without rescanning the
+# base corpus (the batch analogue of the reference's warm-start +
+# dirty-part recompute pattern, IncPageRankRunner.scala:102-114). The
+# index is a parquet sink of the base corpus's three sketches (exact
+# fingerprints with their keeper, minhash signatures, winnow posting
+# lists); the delta query reads the increment, sketches only IT, and
+# joins its sketches against the store.
+
+#: delta doc_id offsets — the three increment slices of the fixture:
+#: exact re-crawls (unchanged text), near-dups (first two tokens
+#: dropped), genuinely new content (token order reversed — 3-gram
+#: shingles share nothing with the original).
+DELTA_EXACT_OFFSET = 1_000_000
+DELTA_NEAR_OFFSET = 2_000_000
+DELTA_NEW_OFFSET = 3_000_000
+
+
+def _delta_docs(cat: Catalog) -> DataFrame:
+    """The increment: 10% exact re-crawls, 10% near-dup re-crawls (two
+    leading tokens lost — a boilerplate-strip or encoding hiccup), 10%
+    new docs (reversed token order — same vocabulary, disjoint 3-grams).
+    All three derive deterministically from the base table so the DuckDB
+    twin rebuilds the identical increment."""
+    d = cat.documents.select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    exact = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + DELTA_EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + DELTA_NEAR_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 3, F.greatest(F.size(t), F.lit(1)))).alias(
+            "text"
+        ),
+    )
+    new = d.where(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + DELTA_NEW_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(t)).alias("text"),
+    )
+    return exact.unionByName(near).unionByName(new)
+
+
+class DedupIndex:
+    """Read-back handles of the persisted base-corpus sketch store."""
+
+    def __init__(self, fps: DataFrame, sigs: DataFrame, winnow: DataFrame, path: str):
+        self.fps = fps  # (fp, keeper_doc_id) — one row per distinct fp
+        self.sigs = sigs  # (doc_id, sig array<string>)
+        self.winnow = winnow  # (doc_id, fp long) posting stream
+        self.path = path
+
+
+def build_dedup_index(docs: DataFrame, path: str, shingles: DataFrame | None = None) -> DedupIndex:
+    """Sketch ``docs`` (doc_id, text) and persist the store at ``path`` —
+    three parquet tables: exact fingerprints with their elected keeper,
+    minhash signatures, winnow fingerprint postings. Each is one pass:
+    fps is a single hash-shuffle on the fingerprint, sigs one partial-agg
+    shuffle on doc_id, winnow postings zero-shuffle. At 100 TB you'd
+    ``bucketBy(fp)`` / ``bucketBy(band_key)`` the sinks so the delta join
+    needs no store-side shuffle; the fixture store is left unbucketed."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        winnow_fp_stream,
+    )
+
+    spark = docs.sparkSession
+    if shingles is None:
+        shingles = shingle_sets(docs)
+    fps = (
+        docs.select(TXT.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    sigs = minhash_signatures(docs, shingles=shingles)
+    winnow = winnow_fp_stream(docs)
+    for name, df in (("fps", fps), ("sigs", sigs), ("winnow", winnow)):
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+    return DedupIndex(
+        fps=spark.read.parquet(f"{path}/fps"),
+        sigs=spark.read.parquet(f"{path}/sigs"),
+        winnow=spark.read.parquet(f"{path}/winnow"),
+        path=path,
+    )
+
+
+def _dedup_index(cat: Catalog) -> DedupIndex:
+    """Session-shared persisted index over the BASE documents — built
+    (written + read back) once per (session, sf_dir); both delta queries
+    consume the read-back frames, so the parquet round-trip itself is
+    under differential test. Location: $SPARK_GRAFT_INDEX_DIR or a
+    tempdir path keyed by the fixture directory."""
+    import hashlib
+    import os
+    import tempfile
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
+
+    def build() -> DedupIndex:
+        root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+            tempfile.gettempdir(), "spark_graft_dedup_index"
+        )
+        key = hashlib.md5(cat.sf_dir.encode()).hexdigest()[:12]
+        base = spread(cat.documents.select("doc_id", "text"))
+        return build_dedup_index(
+            base, os.path.join(root, key), shingles=doc_shingles(cat)
+        )
+
+    return _derived_obj(cat, "dedup_index", build)
+
+
+def delta_decisions(
+    delta: DataFrame,
+    index_fps: DataFrame,
+    index_sigs: DataFrame,
+    base_docs: DataFrame,
+) -> DataFrame:
+    """Keeper decisions for an increment against a base sketch store →
+    (doc_id, decision ∈ {dup_exact, dup_near, new}, keeper_doc_id).
+
+    - dup_exact: the increment doc's canonical fingerprint exists in the
+      store → keeper is the store's elected keeper for that fp.
+    - dup_near: any LSH band of the increment doc's minhash signature
+      collides with a stored signature AND the exact 3-gram Jaccard
+      against that base doc clears the threshold → keeper = smallest
+      verified base doc. Exact-match wins when both fire.
+    - new: neither → keeper = itself.
+
+    Scale shape — cost ∝ increment, never ∝ corpus: the increment alone
+    is fingerprinted/sketched; the fp join and the band join shuffle the
+    (small) delta side against the pre-partitioned store (bucketed sinks
+    make the store side shuffle-free); base shingle sets for the exact
+    Jaccard verify are recomputed ONLY for candidate base docs (a
+    semi-join back to the corpus, candidate-bounded) instead of being
+    stored — signatures are the compact sketch, shingles are not.
+    Decisions are store-relative by design: increment-internal duplicate
+    pairs are left to the next index refresh (standard delta-dedup
+    contract)."""
+    dfp = delta.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+    exact = dfp.join(index_fps, "fp").select(
+        "doc_id", F.col("keeper_doc_id").alias("keeper")
+    )
+    dsh = shingle_sets(delta)
+    dsig = minhash_signatures(delta, shingles=dsh)
+    db = banded_keys(dsig).toDF("ddoc", "band_idx", "band_key")
+    bb = banded_keys(index_sigs).toDF("bdoc", "band_idx", "band_key")
+    cand = db.join(bb, ["band_idx", "band_key"]).select("ddoc", "bdoc").distinct()
+    bsh = shingle_sets(
+        base_docs.select("doc_id", "text").join(
+            cand.select(F.col("bdoc").alias("doc_id")).distinct(), "doc_id"
+        )
+    )
+    ver = (
+        cand.join(dsh.toDF("ddoc", "sh_d"), "ddoc")
+        .join(bsh.toDF("bdoc", "sh_b"), "bdoc")
+        .where(
+            F.size(F.array_intersect("sh_d", "sh_b"))
+            / F.size(F.array_union("sh_d", "sh_b"))
+            >= JACCARD_THRESHOLD
+        )
+        .groupBy("ddoc")
+        .agg(F.min("bdoc").alias("keeper"))
+    )
+    near = ver.join(
+        exact.select(F.col("doc_id").alias("ddoc")), "ddoc", "left_anti"
+    )
+    e = exact.select(
+        "doc_id",
+        F.lit("dup_exact").alias("decision"),
+        F.col("keeper").alias("keeper_doc_id"),
+    )
+    nr = near.select(
+        F.col("ddoc").alias("doc_id"),
+        F.lit("dup_near").alias("decision"),
+        F.col("keeper").alias("keeper_doc_id"),
+    )
+    decided = e.unionByName(nr)
+    fresh = (
+        delta.select("doc_id")
+        .join(decided.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("new").alias("decision"),
+            F.col("doc_id").alias("keeper_doc_id"),
+        )
+    )
+    return decided.unionByName(fresh)
+
+
+def dedup_delta(cat: Catalog) -> DataFrame:
+    """Delta dedup: keeper decisions for the re-crawl increment against
+    the persisted base index (see ``delta_decisions``). pytest pins this
+    equal to a from-scratch recompute with fresh (non-persisted) base
+    sketches, so the parquet store round-trip is provably lossless."""
+    idx = _dedup_index(cat)
+    return delta_decisions(
+        _delta_docs(cat), idx.fps, idx.sigs, cat.documents.select("doc_id", "text")
+    )
+
+
+def dedup_index_stats(cat: Catalog) -> DataFrame:
+    """Size card of the persisted index → one row (n_docs, n_exact_fps,
+    n_sig_docs, n_winnow_postings), each counted from the READ-BACK
+    parquet tables — the driver row therefore verifies the sink/store
+    round-trip against DuckDB's recount from the raw corpus."""
+    idx = _dedup_index(cat)
+    a = cat.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    b = idx.fps.agg(F.count(F.lit(1)).alias("n_exact_fps"))
+    c = idx.sigs.agg(F.count(F.lit(1)).alias("n_sig_docs"))
+    d = idx.winnow.agg(F.count(F.lit(1)).alias("n_winnow_postings"))
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
 QUERIES = (
     "dedup_exact",
+    "dedup_delta",
+    "dedup_index_stats",
     "pipeline_chunk_dedup",
     "dedup_winnow_pairs",
     "dedup_minhash_lsh",

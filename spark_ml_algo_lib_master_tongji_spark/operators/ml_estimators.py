@@ -200,6 +200,117 @@ def ml_est_kmeans_rdd(cat: Catalog) -> DataFrame:
     )
 
 
+#: ml_est_kmeans_wssse band: seeded 10-iter k-means|| (estimator) vs the
+#: 3-iter deterministic-init exact Lloyd — two near-converged k=8
+#: clusterings of the same points, so their WSSSE ratio sits in a narrow
+#: band (measured 0.994–0.998 across sf0.001/0.01/0.1 and the synthetic
+#: sf1). The band is generous on both sides so fixture growth never flips
+#: the anchor; a broken estimator (wrong k, degenerate fit, unit mixup)
+#: lands far outside it.
+KMEANS_WSSSE_BAND = (0.5, 1.2)
+
+
+def ml_est_kmeans_wssse(cat: Catalog) -> DataFrame:
+    """Driver-verifiable WSSSE for the k-means family
+    (``KMeansRunner.scala:157`` — the reference's headline metric): the
+    deterministic exact-Lloyd run's WSSSE Σᵢ d²(vᵢ, c(aᵢ)) is recomputed
+    relationally from the final centers + assignment with the oracle
+    arithmetic (sequential-fold dots, 6-decimal half-up per point), so
+    the unrolled SQL twin reproduces the identical double — promoting the
+    family's quality scalar from a pytest pin to a value-hash driver row
+    (round-7 verdict item 4). The seeded ml.KMeans estimator fit is
+    anchored in the same row: ``est_in_band`` asserts its trainingCost
+    sits inside KMEANS_WSSSE_BAND × the Lloyd WSSSE (the SQL twin emits
+    TRUE — a drifted estimator flips the bit and the hash).
+
+    One broadcast join + one aggregate over the session-shared Lloyd
+    assignment — no new shuffle of the points."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up,
+        round_half_up_f,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _OBJ_CACHE
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+        KMEANS_K,
+        _dist2,
+        _points_shared,
+        kmeans_lloyd,
+    )
+
+    assign = kmeans_lloyd(cat)  # session-shared; memoizes final centers
+    key = (
+        cat.spark.sparkContext.applicationId,
+        cat.sf_dir,
+        f"kmeans_centers_k{KMEANS_K}",
+    )
+    if key not in _OBJ_CACHE:  # relational fallback built the assignment:
+        # impossible below CENTERS_BC_MAX_ROWS (k=8 ≪ 100k), which every
+        # fixture satisfies; fail loudly rather than re-deriving centers
+        # with different arithmetic.
+        raise ValueError("no driver-side final centers for the WSSSE surface")
+    cids, cmat = _OBJ_CACHE[key]
+    centers = cat.spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cids, cmat)],
+        "cid long, c array<double>",
+    )
+    row = (
+        assign.join(_points_shared(cat), "vec_id")
+        .join(F.broadcast(centers), "cid")
+        .agg(
+            round_half_up(F.sum(_dist2(F.col("v"), F.col("c"))), 2).alias("w")
+        )
+        .first()
+    )
+    lloyd_wssse = float(row["w"])
+    est = KMeans(k=KMEANS_K, maxIter=10, seed=SEED, featuresCol="features").fit(
+        _features(cat)
+    )
+    ratio = float(est.summary.trainingCost) / lloyd_wssse
+    in_band = KMEANS_WSSSE_BAND[0] <= ratio <= KMEANS_WSSSE_BAND[1]
+    return cat.spark.createDataFrame(
+        [(KMEANS_K, round_half_up_f(lloyd_wssse, 2), bool(in_band))],
+        "k int, wssse double, est_in_band boolean",
+    )
+
+
+def ml_est_linreg_rmse(cat: Catalog) -> DataFrame:
+    """Driver-verifiable cross-anchor of the LinearRegression estimator to
+    the closed-form OLS (``LinRRunner.scala:161-191``; the |Δ| ≤ 0.5%
+    scalar tolerance of ``Utils.scala:176``): both solve the identical
+    1-feature least-squares problem (l_extendedprice ~ l_quantity) with
+    exact solvers, so their RMSEs agree to ~1e-9 relative. The emitted
+    numerics are the closed form's (exactly SQL-computable); the
+    estimator rides in ``est_within_tol`` — the SQL twin emits TRUE, so
+    estimator drift flips the bit and the value hash (round-7 verdict
+    item 4: convert the pytest-only cross-check into a driver row)."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+        ml_linreg_ols,
+    )
+
+    ols = ml_linreg_ols(cat).first()  # (slope, intercept, rmse) — 1 row
+    df = VectorAssembler(inputCols=["l_quantity"], outputCol="features").transform(
+        spread(cat.lineitem.select("l_quantity", "l_extendedprice"))
+    )
+    m = LinearRegression(
+        solver="normal", regParam=0.0, labelCol="l_extendedprice"
+    ).fit(df)
+    est_rmse = float(m.summary.rootMeanSquaredError)
+    within = abs(est_rmse - float(ols["rmse"])) / float(ols["rmse"]) <= 0.005
+    return cat.spark.createDataFrame(
+        [
+            (
+                float(ols["slope"]),
+                float(ols["intercept"]),
+                float(ols["rmse"]),
+                bool(within),
+            )
+        ],
+        "slope double, intercept double, rmse double, est_within_tol boolean",
+    )
+
+
 def ml_est_pearson_rdd(cat: Catalog) -> DataFrame:
     """mllib ``Statistics.corr`` RDD arm (``PearsonRunner.scala:108-113``
     dispatches the same statistic through both APIs) → long-format
@@ -881,6 +992,8 @@ def ml_est_prefixspan(cat: Catalog) -> DataFrame:
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "ml_est_kmeans",
+    "ml_est_kmeans_wssse",
+    "ml_est_linreg_rmse",
     "ml_est_kmeans_rdd",
     "ml_est_pearson_rdd",
     "ml_est_dt_rdd",

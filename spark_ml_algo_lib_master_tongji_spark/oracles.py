@@ -773,6 +773,141 @@ DEDUP_ORACLES["pipeline_training_mix"] = f"""
     WHERE l.pred_lang = 'en' AND q.quality >= 0.3
 """
 
+# Delta dedup twins. The minhash signature here mirrors the Spark
+# ``dedup._perm_cols`` scheme EXACTLY (four 8-hex chunks of md5(s) + four
+# of md5('1:'||s)) so the candidate sets — not just the verified pairs —
+# are engine-identical.
+_MINHASH_SIG_CHUNKED_SQL = (
+    "["
+    + ", ".join(
+        [
+            f"list_min(list_transform(s, x -> substr(md5(x), {c * 8 + 1}, 8)))"
+            for c in range(4)
+        ]
+        + [
+            f"list_min(list_transform(s, x -> substr(md5('1:' || x), {c * 8 + 1}, 8)))"
+            for c in range(4)
+        ]
+    )
+    + "]"
+)
+
+_NORM_FP_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))"
+)
+
+#: the deterministic increment (dedup._delta_docs): exact re-crawls,
+#: first-two-tokens-dropped near-dups, token-reversed new docs.
+_DELTA_DOCS_SQL = """
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           coalesce(array_to_string(string_split(text, ' ')[3:], ' '), '')
+               AS text  -- <3-token doc: [] stringifies to NULL; Spark's
+                        -- concat_ws gives '' — pin the engines together
+    FROM documents WHERE doc_id % 10 = 5
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+           array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+    FROM documents WHERE doc_id % 10 = 7
+"""
+
+
+def _delta_shingle_ctes(src: str, p: str) -> str:
+    """Distinct-3-gram shingle CTE chain over ``src`` with prefix ``p``."""
+    return f"""{p}t AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+    {p}sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE []::VARCHAR[] END
+               ) AS s
+        FROM {p}t
+    ),
+    {p}sh2 AS (SELECT doc_id, s FROM {p}sh WHERE len(s) > 0)"""
+
+
+DEDUP_ORACLES["dedup_delta"] = f"""
+    WITH delta AS ({_DELTA_DOCS_SQL}),
+    basefp AS (
+        SELECT {_NORM_FP_SQL} AS fp, min(doc_id) AS keeper
+        FROM documents GROUP BY 1
+    ),
+    dfp AS (SELECT doc_id, {_NORM_FP_SQL} AS fp FROM delta),
+    exact AS (SELECT d.doc_id, b.keeper FROM dfp d JOIN basefp b USING (fp)),
+    {_delta_shingle_ctes("documents", "b")},
+    {_delta_shingle_ctes("delta", "d")},
+    bsig AS (SELECT doc_id, {_MINHASH_SIG_CHUNKED_SQL} AS sig FROM bsh2),
+    dsig AS (SELECT doc_id, {_MINHASH_SIG_CHUNKED_SQL} AS sig FROM dsh2),
+    bband AS (
+        SELECT doc_id, b.band_idx,
+               sig[b.band_idx*2 + 1] || '|' || sig[b.band_idx*2 + 2] AS band_key
+        FROM bsig, (VALUES (0),(1),(2),(3)) b(band_idx)
+    ),
+    dband AS (
+        SELECT doc_id, b.band_idx,
+               sig[b.band_idx*2 + 1] || '|' || sig[b.band_idx*2 + 2] AS band_key
+        FROM dsig, (VALUES (0),(1),(2),(3)) b(band_idx)
+    ),
+    cand AS (
+        SELECT DISTINCT d.doc_id AS ddoc, b.doc_id AS bdoc
+        FROM dband d JOIN bband b
+          ON d.band_idx = b.band_idx AND d.band_key = b.band_key
+    ),
+    near AS (
+        SELECT ddoc, min(bdoc) AS keeper
+        FROM cand
+        JOIN dsh2 x ON cand.ddoc = x.doc_id
+        JOIN bsh2 y ON cand.bdoc = y.doc_id
+        WHERE len(list_intersect(x.s, y.s)) * 1.0
+              / len(list_distinct(list_concat(x.s, y.s))) >= 0.2
+          AND ddoc NOT IN (SELECT doc_id FROM exact)
+        GROUP BY ddoc
+    )
+    SELECT doc_id, 'dup_exact' AS decision, keeper AS keeper_doc_id FROM exact
+    UNION ALL
+    SELECT ddoc AS doc_id, 'dup_near' AS decision, keeper AS keeper_doc_id
+    FROM near
+    UNION ALL
+    SELECT doc_id, 'new' AS decision, doc_id AS keeper_doc_id FROM delta
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+      AND doc_id NOT IN (SELECT ddoc FROM near)
+"""
+
+DEDUP_ORACLES["dedup_index_stats"] = f"""
+    WITH {_delta_shingle_ctes("documents", "b")},
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE []::VARCHAR[] END AS grams
+        FROM bt
+    ),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(grams,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        FROM g WHERE len(grams) > 0
+    ),
+    wins AS (
+        SELECT doc_id,
+               list_transform(range(1, len(hs) + 1),
+                   i -> list_min(hs[greatest(1, i - 3):i])) AS mins
+        FROM hashes
+    ),
+    wfps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wins)
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(DISTINCT {_NORM_FP_SQL}) FROM documents)
+               AS n_exact_fps,
+           (SELECT count(*) FROM bsh2) AS n_sig_docs,
+           (SELECT count(*) FROM wfps) AS n_winnow_postings
+"""
+
 DEDUP_ORACLES["dedup_simhash_pairs"] = f"""
     WITH sims AS ({DEDUP_ORACLES["dedup_simhash"]}),
     pref AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sims)

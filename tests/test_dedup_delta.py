@@ -1,0 +1,140 @@
+"""Delta dedup against the persisted keeper index (operators/dedup.py).
+
+The load-bearing claims, each pinned here:
+1. the persisted-index path returns EXACTLY the decisions a from-scratch
+   recompute (fresh sketches, no parquet round-trip) returns;
+2. the parquet store round-trip is lossless for all three sketch tables;
+3. the decisions match the DuckDB twin (the driver's check, kept in CI);
+4. the fixture increment exercises all three decision branches, and the
+   exact branch maps every re-crawl to its original document;
+5. the short-document edge (<3 tokens → '' near-dup text) that the
+   oracle pins with coalesce stays '' on the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_algo_lib_master_tongji_spark.functions import text as TXT
+from spark_ml_algo_lib_master_tongji_spark.operators import dedup
+from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+from tests.compare import assert_match
+from tests.conftest import SF_ORACLE
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_equals_fresh_recompute(spark):
+    """Persisted-index decisions == decisions from fresh (never-written)
+    base sketches — the store round-trip cannot change a single verdict."""
+    cat = Catalog(spark, SF_ORACLE)
+    base = cat.documents.select("doc_id", "text")
+    fresh_fps = (
+        base.select(TXT.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    fresh_sigs = dedup.minhash_signatures(base)
+    fresh = dedup.delta_decisions(
+        dedup._delta_docs(cat), fresh_fps, fresh_sigs, base
+    )
+    via_index = dedup.dedup_delta(cat)
+    assert _sorted_rows(via_index) == _sorted_rows(fresh)
+
+
+def test_index_roundtrip_lossless(spark):
+    """Every row of the three read-back sketch tables equals the freshly
+    computed frame it was written from."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        winnow_fp_stream,
+    )
+
+    cat = Catalog(spark, SF_ORACLE)
+    idx = dedup._dedup_index(cat)
+    base = cat.documents.select("doc_id", "text")
+    fresh_fps = (
+        base.select(TXT.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    assert _sorted_rows(idx.fps.select("fp", "keeper_doc_id")) == _sorted_rows(
+        fresh_fps
+    )
+    fresh_sigs = dedup.minhash_signatures(base)
+    assert _sorted_rows(idx.sigs.select("doc_id", "sig")) == _sorted_rows(
+        fresh_sigs
+    )
+    assert _sorted_rows(idx.winnow.select("doc_id", "fp")) == _sorted_rows(
+        winnow_fp_stream(base)
+    )
+
+
+def test_delta_matches_duckdb_oracle(spark, duck):
+    cat = Catalog(spark, SF_ORACLE)
+    o = all_oracles()
+    assert_match(dedup.dedup_delta(cat), duck, o["dedup_delta"], "dedup_delta")
+    assert_match(
+        dedup.dedup_index_stats(cat),
+        duck,
+        o["dedup_index_stats"],
+        "dedup_index_stats",
+    )
+
+
+def test_delta_decision_branches(spark):
+    """All three branches fire on the fixture, and exact re-crawls map to
+    their originals (fixture texts are unique, so the elected keeper IS
+    the source doc)."""
+    cat = Catalog(spark, SF_ORACLE)
+    rows = dedup.dedup_delta(cat).collect()
+    by_decision: dict[str, list] = {}
+    for r in rows:
+        by_decision.setdefault(r["decision"], []).append(r)
+    assert set(by_decision) == {"dup_exact", "dup_near", "new"}
+    for r in by_decision["dup_exact"]:
+        assert r["keeper_doc_id"] == r["doc_id"] - dedup.DELTA_EXACT_OFFSET
+    for r in by_decision["dup_near"]:
+        # a near-dup's keeper is a real base doc, never itself
+        assert r["keeper_doc_id"] < dedup.DELTA_EXACT_OFFSET
+    for r in by_decision["new"]:
+        assert r["keeper_doc_id"] == r["doc_id"]
+    # increment decided exactly once each
+    assert len(rows) == len({r["doc_id"] for r in rows})
+
+
+def test_delta_near_text_short_doc_is_empty_string(spark):
+    """<3-token docs produce '' (not NULL) as the near-dup mutated text —
+    the contract the oracle's coalesce mirrors."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "a b c d")], "doc_id long, text string"
+    )
+    t = F.split(F.col("text"), " ")
+    out = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(t, 3, F.greatest(F.size(t), F.lit(1)))
+            ).alias("r"),
+        ).collect()
+    }
+    assert out == {1: "", 2: "", 3: "c d"}
+
+
+def test_estimator_anchor_oracles(spark, duck):
+    """ml_est_kmeans_wssse / ml_est_linreg_rmse — the round-8 estimator
+    promotions: value-hash match incl. the TRUE anchor bit."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_estimators as me
+
+    cat = Catalog(spark, SF_ORACLE)
+    o = all_oracles()
+    w = me.ml_est_kmeans_wssse(cat)
+    assert_match(w, duck, o["ml_est_kmeans_wssse"], "ml_est_kmeans_wssse")
+    assert w.first()["est_in_band"] is True
+    r = me.ml_est_linreg_rmse(cat)
+    assert_match(r, duck, o["ml_est_linreg_rmse"], "ml_est_linreg_rmse")
+    assert r.first()["est_within_tol"] is True
