@@ -79,11 +79,19 @@ def _n_blocks(n: int, block_rows: int, max_blocks: int | None = None) -> int:
     return b if max_blocks is None else min(b, max_blocks)
 
 
-def _pair_group_runner(kernel: PairKernel, out_schema: str, id_col: str, vec_col: str):
+def _pair_group_runner(
+    kernel: PairKernel,
+    out_schema: str,
+    id_col: str,
+    vec_col: str,
+    key_offset: int = 0,
+):
     """Shared (block- and grid-) group runner: a group's rows carry their
-    own side key in ``g`` and the group key is the canonical (ga, gb)
-    pair; a group where one side is empty yields an empty result frame.
-    Works for integer block ids and string cell keys alike."""
+    own side key in ``g`` and the group key tuple holds the canonical
+    (ga, gb) pair at ``key_offset`` (leading grouping columns before it —
+    e.g. the raw group value in ``grouped_blocked_apply`` — are scoping
+    keys only); a group where one side is empty yields an empty result
+    frame. Works for integer block ids and string cell keys alike."""
     # Parse the DDL properly: a naive split(",") breaks on parameterized /
     # nested types (decimal(10,2), array<struct<...>>) and would hand the
     # empty frame wrong column names (round-3 ADVICE).
@@ -91,7 +99,7 @@ def _pair_group_runner(kernel: PairKernel, out_schema: str, id_col: str, vec_col
     empty = pd.DataFrame({c: [] for c in out_cols})
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ga, gb = key[0], key[1]
+        ga, gb = key[key_offset], key[key_offset + 1]
         pa = pdf[pdf["g"] == ga]
         if len(pa) == 0:
             return empty
@@ -161,8 +169,13 @@ def grouped_blocked_apply(
     B_g·(B_g+1)/2 bounded tasks instead of handed to a single
     ``groupBy(group).applyInPandas`` task doing |g|² work in |g|·dim
     memory. Group sizes come from one partial-aggregated count joined
-    back on the group key (grows with #groups, not points); block keys
-    are ``group:block`` strings so two groups can never share a task."""
+    back on the group key (grows with #groups, not points). The task key
+    is the RAW group value plus two numeric block indices — three
+    grouping columns, never a delimited string — so two groups can never
+    share a task for any group value (':'-bearing strings included; the
+    former ``group:block`` composite was provably unambiguous only
+    because the numeric suffix is colon-free — structural separation
+    needs no such argument)."""
     # A NULL group value would be dropped SILENTLY by the inner size-join
     # below (its pairs simply vanish) — fail loudly instead (round-6
     # ADVICE): evaluate the guard where the group key is first consumed.
@@ -184,24 +197,20 @@ def grouped_blocked_apply(
     gidx = F.pmod(F.xxhash64(F.col(id_col)), b)
     hidx = F.explode(F.sequence(F.lit(0), b - F.lit(1)))
 
-    def key(idx):
-        # Unambiguous even when the group value contains ':' — the block
-        # index is always the (colon-free) suffix after the LAST ':', so
-        # equal composite keys force equal (group, index) pairs; NULL
-        # groups were rejected loudly above.
-        return F.concat_ws(":", F.col(group_col).cast("string"), idx.cast("string"))
-
     replicated = sized.select(
         id_col, vec_col, group_col, gidx.alias("_g"), hidx.alias("_h")
     ).select(
-        key(F.least("_g", "_h")).alias("ga"),
-        key(F.greatest("_g", "_h")).alias("gb"),
+        group_col,
+        F.least("_g", "_h").alias("ga"),
+        F.greatest("_g", "_h").alias("gb"),
         id_col,
         vec_col,
-        key(F.col("_g")).alias("g"),
+        F.col("_g").alias("g"),
     )
-    run = _pair_group_runner(kernel, out_schema, id_col, vec_col)
-    return replicated.groupBy("ga", "gb").applyInPandas(run, out_schema)
+    run = _pair_group_runner(kernel, out_schema, id_col, vec_col, key_offset=1)
+    return replicated.groupBy(group_col, "ga", "gb").applyInPandas(
+        run, out_schema
+    )
 
 
 # ---- grid-cell candidate generation -----------------------------------------

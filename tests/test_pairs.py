@@ -337,6 +337,50 @@ def test_grouped_blocked_apply_matches_per_group_bruteforce(spark):
     pts.unpersist(blocking=False)
 
 
+def test_grouped_blocked_apply_colon_bearing_string_groups(spark):
+    """Adversarial string group values ('a', 'a:0', 'a:0:1' — each a
+    prefix of the next through ':') must never share a task: the task key
+    is (raw group, block, block), so every within-group pair appears
+    exactly once and no cross-group pair exists even where composite
+    string keys could have been ambiguous (round-7 verdict nit)."""
+    import math
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.pairs import (
+        grouped_blocked_apply,
+    )
+
+    eps2 = 1.0e6  # accept every within-group pair — totality is the point
+    groups = ["a", "a:0", "a:0:1", ":", "::"]
+    rows, nid = [], 0
+    for gi, g in enumerate(groups):
+        for i in range(7):
+            rows.append((nid, g, [float(gi), float(i)]))
+            nid += 1
+    pts = spark.createDataFrame(
+        rows, "vec_id long, grp string, v array<double>"
+    ).cache()
+    kern = _eps_kernel_factory(eps2)
+    got = sorted(
+        map(
+            tuple,
+            grouped_blocked_apply(
+                pts, "grp", kern, "i long, j long", block_rows=3
+            ).collect(),  # 7 rows / 3 per block → 3 blocks per group
+        )
+    )
+    by_group: dict[str, list[int]] = {}
+    for vid, g, _ in rows:
+        by_group.setdefault(g, []).append(vid)
+    want = sorted(
+        (a, b)
+        for members in by_group.values()
+        for ai, a in enumerate(members)
+        for b in members[ai + 1 :]
+    )
+    assert got == want
+    pts.unpersist(blocking=False)
+
+
 def test_semantic_dedup_giant_arm_matches_grouped_map(cat):
     """Forcing the giant-cluster gate down to 1 re-dispatches EVERY
     cluster through the blocked triangular kernel — the keeper mapping
