@@ -49,13 +49,29 @@ def main() -> None:
     ap.add_argument("--src", default=DEFAULT_SRC)
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of keyed tables to build (dimension "
+        "tables are always copied) — e.g. 'documents,embeddings' for a "
+        "second-decade fixture of just the text/density families without "
+        "paying for an 18M-row lineitem",
+    )
     args = ap.parse_args()
     src = args.src
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
+    keyed = KEYED
+    if args.tables:
+        want = set(args.tables.split(","))
+        unknown = want - set(KEYED)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
+        keyed = {t: c for t, c in KEYED.items() if t in want}
+
     offsets: dict[str, int] = {}
-    for table, cols in KEYED.items():
+    for table, cols in keyed.items():
         for col, family in cols.items():
             m = con.execute(
                 f"SELECT max({col}) FROM read_parquet('{src}/{table}.parquet')"
@@ -69,7 +85,7 @@ def main() -> None:
         )
         print(f"{table}: copied")
 
-    for table, cols in KEYED.items():
+    for table, cols in keyed.items():
         shifted = ", ".join(
             f"{col} + r.k * {offsets[family]} AS {col}" for col, family in cols.items()
         )
