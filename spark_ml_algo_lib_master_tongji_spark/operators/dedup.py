@@ -694,21 +694,27 @@ def dedup_winnow_pairs(cat: Catalog) -> DataFrame:
 # lists); the delta query reads the increment, sketches only IT, and
 # joins its sketches against the store.
 
-#: delta doc_id offsets — the three increment slices of the fixture:
+#: delta doc_id offsets — the four increment slices of the fixture:
 #: exact re-crawls (unchanged text), near-dups (first two tokens
 #: dropped), genuinely new content (token order reversed — 3-gram
-#: shingles share nothing with the original).
+#: shingles share nothing with the original), and partial-overlap docs
+#: (first PARTIAL_PREFIX_TOKENS kept, remainder reversed — shares one
+#: long token run with the base doc but sits far below the whole-doc
+#: Jaccard threshold, the winnow-postings detection case).
 DELTA_EXACT_OFFSET = 1_000_000
 DELTA_NEAR_OFFSET = 2_000_000
 DELTA_NEW_OFFSET = 3_000_000
+DELTA_PARTIAL_OFFSET = 4_000_000
+PARTIAL_PREFIX_TOKENS = 20
 
 
 def _delta_docs(cat: Catalog) -> DataFrame:
     """The increment: 10% exact re-crawls, 10% near-dup re-crawls (two
     leading tokens lost — a boilerplate-strip or encoding hiccup), 10%
-    new docs (reversed token order — same vocabulary, disjoint 3-grams).
-    All three derive deterministically from the base table so the DuckDB
-    twin rebuilds the identical increment."""
+    new docs (reversed token order — same vocabulary, disjoint 3-grams),
+    10% partial-overlap docs (a copied intro paragraph spliced onto
+    otherwise-disjoint text). All four derive deterministically from the
+    base table so the DuckDB twin rebuilds the identical increment."""
     d = cat.documents.select("doc_id", "text")
     t = F.split(F.col("text"), " ")
     exact = d.where(F.col("doc_id") % 10 == 0).select(
@@ -724,7 +730,22 @@ def _delta_docs(cat: Catalog) -> DataFrame:
         (F.col("doc_id") + DELTA_NEW_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.reverse(t)).alias("text"),
     )
-    return exact.unionByName(near).unionByName(new)
+    p = PARTIAL_PREFIX_TOKENS
+    partial = d.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + DELTA_PARTIAL_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.slice(t, 1, p),
+                F.reverse(
+                    F.slice(
+                        t, p + 1, F.greatest(F.size(t) - p, F.lit(1))
+                    )
+                ),
+            ),
+        ).alias("text"),
+    )
+    return exact.unionByName(near).unionByName(new).unionByName(partial)
 
 
 class DedupIndex:
@@ -798,29 +819,41 @@ def delta_decisions(
     delta: DataFrame,
     index_fps: DataFrame,
     index_sigs: DataFrame,
+    index_winnow: DataFrame,
     base_docs: DataFrame,
 ) -> DataFrame:
     """Keeper decisions for an increment against a base sketch store →
-    (doc_id, decision ∈ {dup_exact, dup_near, new}, keeper_doc_id).
+    (doc_id, decision ∈ {dup_exact, dup_near, dup_partial, new},
+    keeper_doc_id). Precedence: exact > near > partial > new.
 
     - dup_exact: the increment doc's canonical fingerprint exists in the
       store → keeper is the store's elected keeper for that fp.
     - dup_near: any LSH band of the increment doc's minhash signature
       collides with a stored signature AND the exact 3-gram Jaccard
       against that base doc clears the threshold → keeper = smallest
-      verified base doc. Exact-match wins when both fire.
-    - new: neither → keeper = itself.
+      verified base doc.
+    - dup_partial: the doc shares ≥ WINNOW_MIN_SHARED winnowing
+      fingerprints with a single base doc (a K+W−1-token run copied from
+      it) without clearing whole-doc Jaccard — the spliced-boilerplate /
+      quoted-passage case only the sub-document sketch sees; keeper
+      points at the smallest overlapping base doc as evidence (route to
+      chunk-level dedup, don't drop).
+    - new: none of the above → keeper = itself.
 
     Scale shape — cost ∝ increment, never ∝ corpus: the increment alone
-    is fingerprinted/sketched; the fp join and the band join shuffle the
-    (small) delta side against the pre-partitioned store (bucketed sinks
-    make the store side shuffle-free); base shingle sets for the exact
-    Jaccard verify are recomputed ONLY for candidate base docs (a
-    semi-join back to the corpus, candidate-bounded) instead of being
-    stored — signatures are the compact sketch, shingles are not.
-    Decisions are store-relative by design: increment-internal duplicate
-    pairs are left to the next index refresh (standard delta-dedup
-    contract)."""
+    is fingerprinted/sketched; the fp join, band join, and winnow-fp join
+    shuffle the (small) delta side against the pre-partitioned store
+    (bucketed sinks make the store side shuffle-free); base shingle sets
+    for the exact Jaccard verify are recomputed ONLY for candidate base
+    docs (a semi-join back to the corpus, candidate-bounded) instead of
+    being stored — signatures are the compact sketch, shingles are not.
+    The winnow join applies the same hot-fingerprint guard as
+    ``dedup_winnow_pairs`` (posting df ≤ WINNOW_DF_MAX), so a
+    corpus-common fingerprint can never fan the join out quadratically
+    (computed on the fly here; a production store materializes the
+    capped posting list at index-build time). Decisions are
+    store-relative by design: increment-internal duplicate pairs are
+    left to the next index refresh (standard delta-dedup contract)."""
     dfp = delta.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
     exact = dfp.join(index_fps, "fp").select(
         "doc_id", F.col("keeper_doc_id").alias("keeper")
@@ -849,6 +882,33 @@ def delta_decisions(
     near = ver.join(
         exact.select(F.col("doc_id").alias("ddoc")), "ddoc", "left_anti"
     )
+    # winnow sub-document overlap: delta sketch (row-local) ⋈ capped
+    # store postings, ≥ WINNOW_MIN_SHARED distinct shared fps per
+    # (delta, base) pair — fires where whole-doc measures can't.
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        winnow_fp_stream,
+    )
+
+    capped = index_winnow.join(
+        index_winnow.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= WINNOW_DF_MAX)
+        .select("fp"),
+        "fp",
+    )
+    wshared = (
+        winnow_fp_stream(delta)
+        .select(F.col("doc_id").alias("ddoc"), "fp")
+        .join(capped.select("fp", F.col("doc_id").alias("bdoc")), "fp")
+        .groupBy("ddoc", "bdoc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .groupBy("ddoc")
+        .agg(F.min("bdoc").alias("keeper"))
+    )
+    partial = wshared.join(
+        exact.select(F.col("doc_id").alias("ddoc")), "ddoc", "left_anti"
+    ).join(near.select("ddoc"), "ddoc", "left_anti")
     e = exact.select(
         "doc_id",
         F.lit("dup_exact").alias("decision"),
@@ -859,7 +919,12 @@ def delta_decisions(
         F.lit("dup_near").alias("decision"),
         F.col("keeper").alias("keeper_doc_id"),
     )
-    decided = e.unionByName(nr)
+    pt = partial.select(
+        F.col("ddoc").alias("doc_id"),
+        F.lit("dup_partial").alias("decision"),
+        F.col("keeper").alias("keeper_doc_id"),
+    )
+    decided = e.unionByName(nr).unionByName(pt)
     fresh = (
         delta.select("doc_id")
         .join(decided.select("doc_id"), "doc_id", "left_anti")
@@ -879,7 +944,11 @@ def dedup_delta(cat: Catalog) -> DataFrame:
     sketches, so the parquet store round-trip is provably lossless."""
     idx = _dedup_index(cat)
     return delta_decisions(
-        _delta_docs(cat), idx.fps, idx.sigs, cat.documents.select("doc_id", "text")
+        _delta_docs(cat),
+        idx.fps,
+        idx.sigs,
+        idx.winnow,
+        cat.documents.select("doc_id", "text"),
     )
 
 

@@ -798,7 +798,8 @@ _NORM_FP_SQL = (
 )
 
 #: the deterministic increment (dedup._delta_docs): exact re-crawls,
-#: first-two-tokens-dropped near-dups, token-reversed new docs.
+#: first-two-tokens-dropped near-dups, token-reversed new docs, and
+#: spliced partial-overlap docs (first 20 tokens kept, rest reversed).
 _DELTA_DOCS_SQL = """
     SELECT doc_id + 1000000 AS doc_id, text
     FROM documents WHERE doc_id % 10 = 0
@@ -812,7 +813,41 @@ _DELTA_DOCS_SQL = """
     SELECT doc_id + 3000000 AS doc_id,
            array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
     FROM documents WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT doc_id + 4000000 AS doc_id,
+           coalesce(array_to_string(
+               list_concat(t[1:20], list_reverse(t[21:])), ' '), '') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id % 10 = 3)
 """
+
+#: winnowing sketch CTE chain (K=3-token grams, window W=4, 15-hex md5
+#: hashes) over ``{src}`` with prefix ``{p}`` → {p}wfps(doc_id, fp) —
+#: mirror of text_analysis.winnow_fp_stream.
+def _winnow_fp_ctes(src: str, p: str) -> str:
+    return f"""{p}g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE []::VARCHAR[] END AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
+    ),
+    {p}wh AS (
+        SELECT doc_id,
+               list_transform(grams,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        FROM {p}g WHERE len(grams) > 0
+    ),
+    {p}wm AS (
+        SELECT doc_id,
+               list_transform(range(1, len(hs) + 1),
+                   i -> list_min(hs[greatest(1, i - 3):i])) AS mins
+        FROM {p}wh
+    ),
+    {p}wfps AS (
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM {p}wm
+    )"""
 
 
 def _delta_shingle_ctes(src: str, p: str) -> str:
@@ -867,45 +902,46 @@ DEDUP_ORACLES["dedup_delta"] = f"""
               / len(list_distinct(list_concat(x.s, y.s))) >= 0.2
           AND ddoc NOT IN (SELECT doc_id FROM exact)
         GROUP BY ddoc
+    ),
+    {_winnow_fp_ctes("documents", "b")},
+    {_winnow_fp_ctes("delta", "d")},
+    capped AS (
+        SELECT fp, doc_id AS bdoc FROM bwfps
+        WHERE fp IN (SELECT fp FROM bwfps GROUP BY fp HAVING count(*) <= 8)
+    ),
+    partial AS (
+        SELECT ddoc, min(bdoc) AS keeper FROM (
+            SELECT d.doc_id AS ddoc, c.bdoc
+            FROM dwfps d JOIN capped c USING (fp)
+            GROUP BY d.doc_id, c.bdoc
+            HAVING count(*) >= 2
+        )
+        WHERE ddoc NOT IN (SELECT doc_id FROM exact)
+          AND ddoc NOT IN (SELECT ddoc FROM near)
+        GROUP BY ddoc
     )
     SELECT doc_id, 'dup_exact' AS decision, keeper AS keeper_doc_id FROM exact
     UNION ALL
     SELECT ddoc AS doc_id, 'dup_near' AS decision, keeper AS keeper_doc_id
     FROM near
     UNION ALL
+    SELECT ddoc AS doc_id, 'dup_partial' AS decision, keeper AS keeper_doc_id
+    FROM partial
+    UNION ALL
     SELECT doc_id, 'new' AS decision, doc_id AS keeper_doc_id FROM delta
     WHERE doc_id NOT IN (SELECT doc_id FROM exact)
       AND doc_id NOT IN (SELECT ddoc FROM near)
+      AND doc_id NOT IN (SELECT ddoc FROM partial)
 """
 
 DEDUP_ORACLES["dedup_index_stats"] = f"""
     WITH {_delta_shingle_ctes("documents", "b")},
-    g AS (
-        SELECT doc_id,
-               CASE WHEN len(t) >= 3 THEN
-                   list_transform(range(1, len(t) - 1),
-                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               ELSE []::VARCHAR[] END AS grams
-        FROM bt
-    ),
-    hashes AS (
-        SELECT doc_id,
-               list_transform(grams,
-                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
-        FROM g WHERE len(grams) > 0
-    ),
-    wins AS (
-        SELECT doc_id,
-               list_transform(range(1, len(hs) + 1),
-                   i -> list_min(hs[greatest(1, i - 3):i])) AS mins
-        FROM hashes
-    ),
-    wfps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wins)
+    {_winnow_fp_ctes("documents", "b")}
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            (SELECT count(DISTINCT {_NORM_FP_SQL}) FROM documents)
                AS n_exact_fps,
            (SELECT count(*) FROM bsh2) AS n_sig_docs,
-           (SELECT count(*) FROM wfps) AS n_winnow_postings
+           (SELECT count(*) FROM bwfps) AS n_winnow_postings
 """
 
 DEDUP_ORACLES["dedup_simhash_pairs"] = f"""

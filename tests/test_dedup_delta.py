@@ -31,6 +31,10 @@ def _sorted_rows(df):
 def test_delta_equals_fresh_recompute(spark):
     """Persisted-index decisions == decisions from fresh (never-written)
     base sketches — the store round-trip cannot change a single verdict."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        winnow_fp_stream,
+    )
+
     cat = Catalog(spark, SF_ORACLE)
     base = cat.documents.select("doc_id", "text")
     fresh_fps = (
@@ -40,7 +44,11 @@ def test_delta_equals_fresh_recompute(spark):
     )
     fresh_sigs = dedup.minhash_signatures(base)
     fresh = dedup.delta_decisions(
-        dedup._delta_docs(cat), fresh_fps, fresh_sigs, base
+        dedup._delta_docs(cat),
+        fresh_fps,
+        fresh_sigs,
+        winnow_fp_stream(base),
+        base,
     )
     via_index = dedup.dedup_delta(cat)
     assert _sorted_rows(via_index) == _sorted_rows(fresh)
@@ -94,12 +102,33 @@ def test_delta_decision_branches(spark):
     by_decision: dict[str, list] = {}
     for r in rows:
         by_decision.setdefault(r["decision"], []).append(r)
-    assert set(by_decision) == {"dup_exact", "dup_near", "new"}
+    assert set(by_decision) == {"dup_exact", "dup_near", "dup_partial", "new"}
+    # every %10==0 re-crawl (unchanged text) must be exact with its source
+    # as keeper; OTHER slices may legitimately degenerate to exact too
+    # (e.g. a ≤21-token doc's partial splice reverses a ≤1-token tail —
+    # the text is unchanged), so assert per-source, not per-slice.
+    for r in rows:
+        if (
+            r["doc_id"] >= dedup.DELTA_EXACT_OFFSET
+            and r["doc_id"] < dedup.DELTA_NEAR_OFFSET
+        ):
+            assert r["decision"] == "dup_exact"
     for r in by_decision["dup_exact"]:
-        assert r["keeper_doc_id"] == r["doc_id"] - dedup.DELTA_EXACT_OFFSET
+        # fixture texts are unique → the elected keeper IS the source doc
+        assert r["keeper_doc_id"] == r["doc_id"] % 1_000_000
     for r in by_decision["dup_near"]:
         # a near-dup's keeper is a real base doc, never itself
         assert r["keeper_doc_id"] < dedup.DELTA_EXACT_OFFSET
+    for r in by_decision["dup_partial"]:
+        # partial overlap points at base evidence; only the near/partial
+        # mutation slices can share a token run with the base
+        assert r["keeper_doc_id"] < dedup.DELTA_EXACT_OFFSET
+        assert r["doc_id"] >= dedup.DELTA_NEAR_OFFSET
+    # the spliced slice must actually exercise the winnow branch
+    assert any(
+        r["doc_id"] >= dedup.DELTA_PARTIAL_OFFSET
+        for r in by_decision["dup_partial"]
+    )
     for r in by_decision["new"]:
         assert r["keeper_doc_id"] == r["doc_id"]
     # increment decided exactly once each
