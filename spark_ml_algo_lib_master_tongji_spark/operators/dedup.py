@@ -790,6 +790,46 @@ def build_dedup_index(docs: DataFrame, path: str, shingles: DataFrame | None = N
     )
 
 
+def merge_dedup_index(
+    idx: DedupIndex, new_docs: DataFrame, path: str
+) -> DedupIndex:
+    """Index refresh — the step that closes the delta-dedup loop: sketch
+    the increment docs ACCEPTED as keepers (decision 'new') and write
+    store version N+1 = old store ∪ their sketches at ``path`` (immutable
+    versions, the production pattern — readers of version N are never
+    disturbed). Exact fps re-elect min-keeper per fingerprint over old
+    keepers ∪ new docs; signatures and winnow postings append.
+
+    Cost ∝ increment for the sketching; the fps re-election and the
+    rewrite touch the store once per refresh (amortized across every
+    delta batch decided against it; at 100 TB the sinks are bucketed so
+    the rewrite is a per-bucket merge, not a global shuffle)."""
+    spark = new_docs.sparkSession
+    sh = shingle_sets(new_docs)
+    fps = (
+        idx.fps.select("fp", F.col("keeper_doc_id").alias("doc_id"))
+        .unionByName(
+            new_docs.select(TXT.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        winnow_fp_stream,
+    )
+
+    sigs = idx.sigs.unionByName(minhash_signatures(new_docs, shingles=sh))
+    winnow = idx.winnow.unionByName(winnow_fp_stream(new_docs))
+    for name, df in (("fps", fps), ("sigs", sigs), ("winnow", winnow)):
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+    return DedupIndex(
+        fps=spark.read.parquet(f"{path}/fps"),
+        sigs=spark.read.parquet(f"{path}/sigs"),
+        winnow=spark.read.parquet(f"{path}/winnow"),
+        path=path,
+    )
+
+
 def _dedup_index(cat: Catalog) -> DedupIndex:
     """Session-shared persisted index over the BASE documents — built
     (written + read back) once per (session, sf_dir); both delta queries

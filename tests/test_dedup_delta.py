@@ -135,6 +135,53 @@ def test_delta_decision_branches(spark):
     assert len(rows) == len({r["doc_id"] for r in rows})
 
 
+def test_index_merge_absorbs_new_docs(spark, tmp_path):
+    """The refresh loop: merging the 'new'-decided increment docs into a
+    version-2 store makes a re-run of the SAME increment decide each of
+    them dup_exact against itself. Other docs' decisions can only
+    STRENGTHEN (new < partial < near < exact): the store only grew, and
+    any upgrade's evidence is necessarily a newly-stored doc (id ≥ the
+    delta offset); an unchanged decision keeps its keeper because new
+    store ids are larger than every base id, so min-elections are
+    undisturbed."""
+    cat = Catalog(spark, SF_ORACLE)
+    idx = dedup._dedup_index(cat)
+    delta = dedup._delta_docs(cat)
+    base = cat.documents.select("doc_id", "text")
+    before = {r["doc_id"]: r for r in dedup.dedup_delta(cat).collect()}
+    new_ids = [d for d, r in before.items() if r["decision"] == "new"]
+    assert new_ids
+    new_docs = delta.where(F.col("doc_id").isin(new_ids))
+    idx2 = dedup.merge_dedup_index(idx, new_docs, str(tmp_path / "v2"))
+    after = {
+        r["doc_id"]: r
+        for r in dedup.delta_decisions(
+            delta,
+            idx2.fps,
+            idx2.sigs,
+            idx2.winnow,
+            base.unionByName(new_docs),
+        ).collect()
+    }
+    assert set(after) == set(before)
+    rank = {"new": 0, "dup_partial": 1, "dup_near": 2, "dup_exact": 3}
+    upgraded = 0
+    for d, r in after.items():
+        if d in set(new_ids):
+            assert r["decision"] == "dup_exact" and r["keeper_doc_id"] == d
+            continue
+        assert rank[r["decision"]] >= rank[before[d]["decision"]]
+        if r["decision"] == before[d]["decision"]:
+            assert r["keeper_doc_id"] == before[d]["keeper_doc_id"]
+        else:
+            upgraded += 1
+            # an upgrade's evidence can only be a newly-stored doc
+            assert r["keeper_doc_id"] >= dedup.DELTA_EXACT_OFFSET
+    # sanity: the fixture actually exercises both the unchanged and the
+    # upgraded paths (reversed/spliced docs share reversed-run content)
+    assert upgraded > 0
+
+
 def test_delta_near_text_short_doc_is_empty_string(spark):
     """<3-token docs produce '' (not NULL) as the near-dup mutated text —
     the contract the oracle's coalesce mirrors."""
