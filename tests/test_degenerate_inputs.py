@@ -212,3 +212,48 @@ def test_chunk_dedup_empty_and_self_duplicate(spark, tmp_path):
     rows = pipeline_chunk_dedup(cat).collect()
     assert len(rows) == 1
     assert (rows[0]["keeper_doc_id"], rows[0]["n_copies"]) == (10, 2)
+
+
+def test_delta_decisions_empty_increment(spark, tmp_path):
+    """An empty re-crawl batch yields zero decisions — every stage
+    (fingerprint join, signature banding, winnow overlap, anti-joins)
+    must tolerate an empty delta frame."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_dedup_index(base, str(tmp_path / "idx"))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dedup.delta_decisions(empty, idx.fps, idx.sigs, idx.winnow, base)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "decision", "keeper_doc_id"]
+
+
+def test_delta_decisions_all_new_and_short_docs(spark, tmp_path):
+    """An increment sharing nothing with the base (incl. sub-3-token docs
+    that have no shingles OR winnow grams) decides everything 'new' with
+    self-keepers — the no-signature path must not drop rows."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_dedup_index(base, str(tmp_path / "idx"))
+    delta = spark.createDataFrame(
+        [(10, "completely unrelated fresh content nothing shared here at all"),
+         (11, "xy"),  # < 3 tokens: no shingles, no winnow grams
+         (12, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.delta_decisions(
+            delta, idx.fps, idx.sigs, idx.winnow, base
+        ).collect()
+    }
+    assert set(rows) == {10, 11, 12}
+    for d, r in rows.items():
+        assert r["decision"] == "new" and r["keeper_doc_id"] == d

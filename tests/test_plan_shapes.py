@@ -350,3 +350,17 @@ def test_winnow_pairs_plan_no_cartesian(cat):
     plan = _full_plan(dedup_winnow_pairs(cat))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_delta_plan_no_cartesian_pruned_store_reads(cat):
+    """Delta dedup's physical plan: every join keyed (no cartesian / BNLJ
+    anywhere in the fp, band, winnow, and anti-join stages), and the store
+    reads are column-pruned — the winnow df-cap subquery must scan ONLY
+    the fp column of the posting table, never drag doc_ids through the
+    cap aggregation."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import dedup
+
+    plan = _full_plan(dedup.dedup_delta(cat))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "struct<fp:bigint>" in plan  # winnow cap: fp-only store scan
