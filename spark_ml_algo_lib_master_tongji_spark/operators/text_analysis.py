@@ -790,6 +790,73 @@ def winnow_fp_stream(d: DataFrame) -> DataFrame:
     )
 
 
+#: CCNet-style LM quality gate: keep docs whose mean bigram log-prob under
+#: the corpus LM clears this (fixture range −3.61..−3.26, median −3.39 —
+#: the literal splits the corpus non-trivially; a production run scores
+#: against a held-out reference-corpus LM and tunes per language).
+LM_KEEP_LOGPROB = -3.4
+
+
+def pipeline_lm_perplexity(cat: Catalog) -> DataFrame:
+    """N-gram LM perplexity filtering (the CCNet/Gopher quality-gate
+    step): score every doc by its mean add-1-smoothed bigram log-prob
+    under the corpus's own bigram LM → (doc_id, n_bigrams, avg_logprob,
+    keep). P(w₂|w₁) = (c₂(w₁w₂)+1)/(c₁(w₁)+V) with c₁ = bigram-start
+    counts (Σ_w c₂) and V = |vocab|; docs with <2 tokens are unscorable
+    → (0, NULL, false), never dropped. Self-scoring stands in for the
+    reference-corpus LM (the fixture has no held-out corpus); the plan is
+    identical when the stats table comes from elsewhere.
+
+    Shape at 100 TB: two aggregations build the LM — c₂ is ONE
+    gram-keyed shuffle with map-side partial counts (the table a
+    production run persists), c₁ aggregates the already-tiny counts
+    table, V is one distinct-agg scalar carried in-frame via a 1-row
+    broadcast (no driver round-trip). Scoring is a gram-keyed shuffle
+    join of doc-bigrams against the stats table (bucket both by gram in
+    production and it's co-located) + one per-doc aggregate. Per-gram
+    ln() is rounded at 6 before the mean (the ml_est_idf ln-portability
+    discipline), the mean at 4 — summation-order noise sits ~1e-13
+    below the grain."""
+    docs = spread(cat.documents.select("doc_id", "text"))
+    g = TXT.ngram_arrays(docs, n=2).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.substring_index("gram", " ", 1)
+    c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
+    stats = c2.join(c1, w1 == F.col("w1")).select("gram", "c2", "c1")
+    vocab = (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = round_half_up(
+        F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+    )
+    per = (
+        g.join(stats, "gram")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_half_up(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )
+    return (
+        cat.documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "avg_logprob",
+            F.coalesce(
+                F.col("avg_logprob") >= F.lit(LM_KEEP_LOGPROB), F.lit(False)
+            ).alias("keep"),
+        )
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "text_token_stats",
@@ -809,5 +876,6 @@ QUERIES = (
     "pipeline_vocab_prune",
     "pipeline_quality_filter",
     "pipeline_pii_scrub",
+    "pipeline_lm_perplexity",
     "text_winnow_fingerprints",
 )

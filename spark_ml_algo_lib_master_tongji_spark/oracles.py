@@ -298,6 +298,46 @@ TEXT_ORACLES: dict[str, str] = {
 
 # Corpus-wide top-K bigrams (vocabulary-building pass): total order on
 # (count desc, gram asc) makes the cut deterministic.
+# Bigram-LM perplexity gate (pipeline_lm_perplexity): add-1-smoothed
+# corpus LM, per-gram ln rounded at 6 before the per-doc mean (rounded 4);
+# the keep literal mirrors text_analysis.LM_KEEP_LOGPROB.
+TEXT_ORACLES["pipeline_lm_perplexity"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks
+    ),
+    c2 AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram),
+    c1 AS (
+        SELECT split_part(gram, ' ', 1) AS w1, sum(c2) AS c1
+        FROM c2 GROUP BY 1
+    ),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    stats AS (
+        SELECT gram, c2.c2, c1.c1
+        FROM c2 JOIN c1 ON split_part(c2.gram, ' ', 1) = c1.w1
+    ),
+    lp AS (
+        SELECT doc_id,
+               round(ln((c2 + 1.0) / (c1 + (SELECT v FROM vocab))), 6) AS l
+        FROM g JOIN stats USING (gram)
+    ),
+    per AS (
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(l), 4) AS avg_logprob
+        FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_bigrams, 0) AS n_bigrams,
+           per.avg_logprob AS avg_logprob,
+           coalesce(per.avg_logprob >= -3.4, FALSE) AS keep
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
 TEXT_ORACLES["text_top_ngrams"] = """
     WITH g AS (
         SELECT unnest(

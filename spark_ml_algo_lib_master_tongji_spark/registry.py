@@ -120,6 +120,7 @@ _ORDER: tuple[str, ...] = (
     "dedup_index_stats",
     "ml_est_kmeans_wssse",
     "ml_est_linreg_rmse",
+    "pipeline_lm_perplexity",
     # -- tier 2: driver row is round 6, two rounds stale — refresh -----------
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
@@ -158,11 +159,13 @@ _ORDER: tuple[str, ...] = (
     "graph_betweenness",
     "graph_louvain",
     "graph_modularity",
-    "pipeline_training_mix",
     "dedup_exact",
     # ---------------------------- window boundary (50) ---------------------
     # -- tier 3 head: round-6 rows deferred to round 9 (2-round staleness is
-    #    within the contract bound; each keeps its pytest differential) -----
+    #    within the contract bound; each keeps its pytest differential;
+    #    pipeline_training_mix's three stages — groups, lang, quality — are
+    #    all independently hash-verified inside the window) -----------------
+    "pipeline_training_mix",
     "q_union_distinct_nations",
     "q_topk_per_group",
     "q_sort_limit_top_orders",

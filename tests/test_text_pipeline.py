@@ -482,3 +482,78 @@ def test_winnow_pairs_find_every_recrawl_duplicate(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert expected <= got
     assert all(r["n_shared_fps"] >= WINNOW_MIN_SHARED for r in rows)
+
+
+def test_lm_perplexity_matches_oracle_and_first_principles(spark, duck):
+    """pipeline_lm_perplexity — DuckDB hash-match plus a pure-Python
+    recomputation of one doc's score from raw counts (the oracle-twin
+    pattern can share a bug; first principles can't)."""
+    import math
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_lm_perplexity,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    from tests.compare import assert_match
+    from tests.conftest import SF_ORACLE
+
+    cat = Catalog(spark, SF_ORACLE)  # the duck fixture views sf0.01
+    df = pipeline_lm_perplexity(cat)
+    assert_match(df, duck, all_oracles()["pipeline_lm_perplexity"], "lm_ppl")
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in cat.documents.select("doc_id", "text").collect()
+    }
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for t in texts.values():
+        toks = t.split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    target = min(d for d, t in texts.items() if len(t.split(" ")) >= 2)
+    toks = texts[target].split(" ")
+    lps = [
+        math.floor(
+            math.log((c2[(a, b)] + 1.0) / (c1[a] + len(vocab))) * 1e6 + 0.5
+        )
+        / 1e6
+        for a, b in zip(toks, toks[1:])
+    ]
+    want = math.floor(sum(lps) / len(lps) * 1e4 + 0.5) / 1e4
+    got = {r["doc_id"]: r for r in df.collect()}[target]
+    assert got["avg_logprob"] == want
+    assert got["n_bigrams"] == len(toks) - 1
+
+
+def test_lm_perplexity_unscorable_docs_kept_as_rows(spark):
+    """<2-token docs have no bigrams: (0, NULL, false) rows, never dropped."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_lm_perplexity,
+    )
+
+    class _Cat:
+        def __init__(self, s, docs):
+            self.spark = s
+            self.documents = docs
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "a a a a")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pipeline_lm_perplexity(_Cat(spark, docs)).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["avg_logprob"] is None
+        assert rows[d]["keep"] is False
+    assert rows[3]["n_bigrams"] == 3
+    assert rows[3]["avg_logprob"] is not None
