@@ -881,6 +881,15 @@ FROM comp"""
         )
         + ")"
     )
+    # Word2Vec surface row (graph_node2vec_embeddings): with minCount=1 the
+    # fitted vocab is exactly the distinct walk nodes, so the (n_nodes, dim)
+    # summary is SQL-derivable from the deterministic walk corpus; the
+    # embedding VALUES keep their pytest (stochastic gradient fit).
+    o["graph_node2vec_embeddings"] = (
+        "SELECT count(DISTINCT node) AS n_nodes, 16 AS dim FROM ("
+        + o["graph_node2vec_walks"]
+        + ")"
+    )
 
     # -- node2vec biased walks: inverse-CDF pick over integer 2nd-order
     # weights (mirror of graph_extra.node2vec_biased_walks; step 1 uniform)
