@@ -790,6 +790,43 @@ def winnow_fp_stream(d: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer pattern — the GPT-2 pre-tokenization shape
+#: (contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, whitespace) restricted to the Java∩RE2 dialect the
+#: PII patterns established: NO lookahead (RE2 has none — the original
+#: pattern's `\s+(?!\S)` tail-space rule is dropped; trailing spaces
+#: merge into the following `\s+` match instead, identically in both
+#: engines), ASCII classes (fixture corpus is ASCII; \p{L} unicode-class
+#: edge semantics differ subtly between Java and RE2).
+BPE_TOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n]+|[ \\t\\n]+"
+)
+
+
+def text_bpe_token_stats(cat: Catalog) -> DataFrame:
+    """Tokenizer-aware token counting (the brief's 'whitespace + BPE-ish
+    regex' pair): per doc → (doc_id, n_ws_tokens, n_bpe_tokens,
+    bpe_per_ws). ``n_bpe_tokens`` counts matches of the GPT-2-style
+    pre-tokenizer pattern — the number a BPE tokenizer's pre-split stage
+    would hand to the merge table, the practical upper bound used for
+    context-window budgeting when the real tokenizer isn't on the
+    cluster; ``bpe_per_ws`` is the fertility-style ratio quality
+    pipelines threshold on. One codegen projection over the scan — zero
+    shuffle, zero Python."""
+    d = spread(cat.documents)
+    c = F.col("text")
+    n_ws = TXT.token_count(c)
+    n_bpe = F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        round_half_up(
+            n_bpe / F.greatest(n_ws, F.lit(1)).cast("double"), 4
+        ).alias("bpe_per_ws"),
+    )
+
+
 #: CCNet-style LM quality gate: keep docs whose mean bigram log-prob under
 #: the corpus LM clears this (fixture range −3.61..−3.26, median −3.39 —
 #: the literal splits the corpus non-trivially; a production run scores
@@ -877,5 +914,6 @@ QUERIES = (
     "pipeline_quality_filter",
     "pipeline_pii_scrub",
     "pipeline_lm_perplexity",
+    "text_bpe_token_stats",
     "text_winnow_fingerprints",
 )

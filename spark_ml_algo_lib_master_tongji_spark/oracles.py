@@ -298,6 +298,29 @@ TEXT_ORACLES: dict[str, str] = {
 
 # Corpus-wide top-K bigrams (vocabulary-building pass): total order on
 # (count desc, gram asc) makes the cut deterministic.
+# BPE-ish token counting (text_bpe_token_stats): the SAME pattern literal
+# the Spark side matches (imported, not re-typed — Java∩RE2 dialect), with
+# the SQL quote escaped.
+def _bpe_stats_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS INT)
+               AS n_bpe_tokens,
+           round(len(regexp_extract_all(text, '{pat}')) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 4)
+               AS bpe_per_ws
+    FROM documents
+"""
+
+
+TEXT_ORACLES["text_bpe_token_stats"] = _bpe_stats_sql()
+
 # Bigram-LM perplexity gate (pipeline_lm_perplexity): add-1-smoothed
 # corpus LM, per-gram ln rounded at 6 before the per-doc mean (rounded 4);
 # the keep literal mirrors text_analysis.LM_KEEP_LOGPROB.

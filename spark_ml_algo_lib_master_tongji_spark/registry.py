@@ -165,6 +165,8 @@ _ORDER: tuple[str, ...] = (
     #    within the contract bound; each keeps its pytest differential;
     #    pipeline_training_mix's three stages — groups, lang, quality — are
     #    all independently hash-verified inside the window) -----------------
+    "text_bpe_token_stats",  # NEW oracle r8 (late): first driver row r9;
+    #    this round verified by driver_sim sweep + pytest differential
     "pipeline_training_mix",
     "q_union_distinct_nations",
     "q_topk_per_group",

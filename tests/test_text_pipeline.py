@@ -557,3 +557,50 @@ def test_lm_perplexity_unscorable_docs_kept_as_rows(spark):
         assert rows[d]["keep"] is False
     assert rows[3]["n_bigrams"] == 3
     assert rows[3]["avg_logprob"] is not None
+
+
+def test_bpe_token_stats_oracle_and_python_re(spark, duck):
+    """text_bpe_token_stats — DuckDB hash-match at sf0.01, plus a
+    punctuation/contraction/digit-heavy synthetic string pinned against
+    Python's re on the same pattern (three regex engines agreeing is the
+    dialect-portability check the PII patterns established)."""
+    import re
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        BPE_TOKEN_PATTERN,
+        text_bpe_token_stats,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    from tests.compare import assert_match
+    from tests.conftest import SF_ORACLE
+
+    cat = Catalog(spark, SF_ORACLE)
+    assert_match(
+        text_bpe_token_stats(cat), duck, all_oracles()["text_bpe_token_stats"], "bpe"
+    )
+
+    class _Cat:
+        def __init__(self, s, docs):
+            self.spark = s
+            self.documents = docs
+
+    cases = [
+        "it's 2024, worth $3.50 — really?",
+        "don't    stop...ever!!! x9y8z7",
+        "",
+        "   ",
+        "tab\there\nnewline",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(cases)), "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r for r in text_bpe_token_stats(_Cat(spark, docs)).collect()
+    }
+    for i, text in enumerate(cases):
+        assert rows[i]["n_bpe_tokens"] == len(re.findall(BPE_TOKEN_PATTERN, text)), (
+            i,
+            text,
+        )
