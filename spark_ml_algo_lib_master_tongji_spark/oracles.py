@@ -323,7 +323,9 @@ TEXT_ORACLES["text_bpe_token_stats"] = _bpe_stats_sql()
 
 # Bigram-LM perplexity gate (pipeline_lm_perplexity): add-1-smoothed
 # corpus LM, per-gram ln rounded at 6 before the per-doc mean (rounded 4);
-# the keep literal mirrors text_analysis.LM_KEEP_LOGPROB.
+# the keep threshold is text_analysis.LM_KEEP_LOGPROB ITSELF (interpolated
+# below, not re-typed — round-8 ADVICE: a constant change must move both
+# twins together).
 TEXT_ORACLES["pipeline_lm_perplexity"] = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     g AS (
@@ -357,9 +359,22 @@ TEXT_ORACLES["pipeline_lm_perplexity"] = """
     SELECT d.doc_id,
            coalesce(per.n_bigrams, 0) AS n_bigrams,
            per.avg_logprob AS avg_logprob,
-           coalesce(per.avg_logprob >= -3.4, FALSE) AS keep
+           coalesce(per.avg_logprob >= {lm_keep}, FALSE) AS keep
     FROM documents d LEFT JOIN per USING (doc_id)
 """
+
+
+def _interp_lm_keep() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        LM_KEEP_LOGPROB,
+    )
+
+    return TEXT_ORACLES["pipeline_lm_perplexity"].format(
+        lm_keep=repr(LM_KEEP_LOGPROB)
+    )
+
+
+TEXT_ORACLES["pipeline_lm_perplexity"] = _interp_lm_keep()
 
 TEXT_ORACLES["text_top_ngrams"] = """
     WITH g AS (
@@ -581,8 +596,11 @@ TEXT_ORACLES["text_winnow_fingerprints"] = """
         FROM hashes
     )
     SELECT doc_id,
-           CAST(len(list_sort(list_distinct(mins))) AS INT) AS n_fps,
-           list_sort(list_distinct(mins)) AS fps
+           CAST(len(list_distinct(mins)) AS INT) AS n_fps,
+           coalesce(array_to_string(list_sort(list_distinct(mins)), ' '), '')
+               AS fps  -- scalar surface (driver-sortable); mins is never
+                       -- empty here, the coalesce pins the DuckDB
+                       -- NULL-on-empty quirk to Spark's '' regardless
     FROM wins
 """
 
@@ -862,27 +880,52 @@ _NORM_FP_SQL = (
 
 #: the deterministic increment (dedup._delta_docs): exact re-crawls,
 #: first-two-tokens-dropped near-dups, token-reversed new docs, and
-#: spliced partial-overlap docs (first 20 tokens kept, rest reversed).
-_DELTA_DOCS_SQL = """
-    SELECT doc_id + 1000000 AS doc_id, text
+#: spliced partial-overlap docs (first PARTIAL_PREFIX_TOKENS kept, rest
+#: reversed). Offsets and the splice bound are the Spark-side constants
+#: THEMSELVES (round-8 ADVICE: interpolate, never re-type — a constant
+#: change must move both twins together).
+def _delta_docs_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        DELTA_EXACT_OFFSET,
+        DELTA_NEAR_OFFSET,
+        DELTA_NEW_OFFSET,
+        DELTA_PARTIAL_OFFSET,
+        PARTIAL_PREFIX_TOKENS,
+    )
+
+    p = PARTIAL_PREFIX_TOKENS
+    return f"""
+    SELECT doc_id + {DELTA_EXACT_OFFSET} AS doc_id, text
     FROM documents WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 2000000 AS doc_id,
+    SELECT doc_id + {DELTA_NEAR_OFFSET} AS doc_id,
            coalesce(array_to_string(string_split(text, ' ')[3:], ' '), '')
                AS text  -- <3-token doc: [] stringifies to NULL; Spark's
                         -- concat_ws gives '' — pin the engines together
     FROM documents WHERE doc_id % 10 = 5
     UNION ALL
-    SELECT doc_id + 3000000 AS doc_id,
+    SELECT doc_id + {DELTA_NEW_OFFSET} AS doc_id,
            array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
     FROM documents WHERE doc_id % 10 = 7
     UNION ALL
-    SELECT doc_id + 4000000 AS doc_id,
+    SELECT doc_id + {DELTA_PARTIAL_OFFSET} AS doc_id,
            coalesce(array_to_string(
-               list_concat(t[1:20], list_reverse(t[21:])), ' '), '') AS text
+               list_concat(t[1:{p}], list_reverse(t[{p + 1}:])), ' '), '')
+               AS text
     FROM (SELECT doc_id, string_split(text, ' ') AS t
           FROM documents WHERE doc_id % 10 = 3)
 """
+
+
+_DELTA_DOCS_SQL = _delta_docs_sql()
+
+# Shared thresholds of the delta-decision twin — the Spark constants
+# themselves (round-8 ADVICE: interpolate, never re-type).
+from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (  # noqa: E402
+    JACCARD_THRESHOLD as _DELTA_JACCARD,
+    WINNOW_DF_MAX as _WINNOW_DF_MAX,
+    WINNOW_MIN_SHARED as _WINNOW_MIN_SHARED,
+)
 
 #: winnowing sketch CTE chain (K=3-token grams, window W=4, 15-hex md5
 #: hashes) over ``{src}`` with prefix ``{p}`` → {p}wfps(doc_id, fp) —
@@ -962,7 +1005,7 @@ DEDUP_ORACLES["dedup_delta"] = f"""
         JOIN dsh2 x ON cand.ddoc = x.doc_id
         JOIN bsh2 y ON cand.bdoc = y.doc_id
         WHERE len(list_intersect(x.s, y.s)) * 1.0
-              / len(list_distinct(list_concat(x.s, y.s))) >= 0.2
+              / len(list_distinct(list_concat(x.s, y.s))) >= {_DELTA_JACCARD}
           AND ddoc NOT IN (SELECT doc_id FROM exact)
         GROUP BY ddoc
     ),
@@ -970,14 +1013,15 @@ DEDUP_ORACLES["dedup_delta"] = f"""
     {_winnow_fp_ctes("delta", "d")},
     capped AS (
         SELECT fp, doc_id AS bdoc FROM bwfps
-        WHERE fp IN (SELECT fp FROM bwfps GROUP BY fp HAVING count(*) <= 8)
+        WHERE fp IN (SELECT fp FROM bwfps GROUP BY fp
+                     HAVING count(*) <= {_WINNOW_DF_MAX})
     ),
     partial AS (
         SELECT ddoc, min(bdoc) AS keeper FROM (
             SELECT d.doc_id AS ddoc, c.bdoc
             FROM dwfps d JOIN capped c USING (fp)
             GROUP BY d.doc_id, c.bdoc
-            HAVING count(*) >= 2
+            HAVING count(*) >= {_WINNOW_MIN_SHARED}
         )
         WHERE ddoc NOT IN (SELECT doc_id FROM exact)
           AND ddoc NOT IN (SELECT ddoc FROM near)

@@ -428,7 +428,9 @@ def test_winnow_fingerprints_matching_guarantee(spark, tmp_path):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = {
-        r["doc_id"]: list(r["fps"])
+        # fps is the space-joined scalar surface (driver-sortable) —
+        # parse it back for the first-principles compare
+        r["doc_id"]: [int(x) for x in r["fps"].split(" ")]
         for r in text_winnow_fingerprints(
             Catalog(spark, str(tmp_path))
         ).collect()

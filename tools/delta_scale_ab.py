@@ -48,7 +48,9 @@ def main() -> None:
     for r in range(3):
         t0 = time.perf_counter()
         n = benchlib.materialize(
-            dedup.delta_decisions(delta, idx.fps, idx.sigs, base_docs)
+            dedup.delta_decisions(
+                delta, idx.fps, idx.sigs, idx.winnow, base_docs
+            )
         )
         print(
             f"{arm} base={base_sf} run{r}: "
