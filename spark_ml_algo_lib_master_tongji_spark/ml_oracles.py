@@ -163,6 +163,137 @@ JOIN c{KMEANS_ITERS} c ON a.cid = c.cid
 """
     )
 
+    # Classifier-family accuracy anchor (ml_estimators.ml_est_logreg_acc):
+    # the numerics are the nearest-class-centroid classifier's train
+    # accuracy (per-label coordinate means rounded at 9, argmin of the
+    # 6-decimal d², ties to the smaller label — the Lloyd-assign
+    # arithmetic) and the majority baseline; the LR estimator's agreement
+    # rides in the boolean — the twin asserts it TRUE.
+    o["ml_est_logreg_acc"] = f"""
+WITH {_PTS},
+cent AS (
+    SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+        SELECT label, pos, round(avg(x), 9) AS m FROM (
+            SELECT label,
+                   UNNEST(generate_series(1, len(v))) AS pos,
+                   UNNEST(v) AS x
+            FROM pts
+        ) GROUP BY label, pos
+    ) GROUP BY label
+),
+assign AS (
+    SELECT vec_id, label, clabel FROM (
+        SELECT p.vec_id, p.label, c.clabel,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_d2('p.v', 'c.c')} ASC, c.clabel ASC) AS rn
+        FROM pts p CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+maj AS (
+    SELECT max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS n
+    FROM (SELECT count(*) AS cnt FROM pts GROUP BY label)
+)
+SELECT (SELECT n FROM maj) AS n,
+       (SELECT round(avg(CASE WHEN label = clabel THEN 1.0 ELSE 0.0 END), 4)
+        FROM assign) AS centroid_acc,
+       (SELECT round(mx * 1.0 / n, 4) FROM maj) AS majority_acc,
+       TRUE AS est_in_band
+"""
+
+    # Five-classifier anchor row (ml_estimators.ml_est_clf_acc_anchors):
+    # numerics are the exact 10-class / binary centroid accuracies and the
+    # binary majority baseline (same centroid CTE arithmetic, label vs
+    # label % 2); the five estimator agreements ride in the booleans.
+    def _centroid_sql(lab_expr: str) -> str:
+        return f"""(
+    WITH cpts AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                         {lab_expr} AS lab
+                  FROM embeddings),
+    cent AS (
+        SELECT lab AS clab, list(m ORDER BY pos) AS c FROM (
+            SELECT lab, pos, round(avg(x), 9) AS m FROM (
+                SELECT lab,
+                       UNNEST(generate_series(1, len(v))) AS pos,
+                       UNNEST(v) AS x
+                FROM cpts
+            ) GROUP BY lab, pos
+        ) GROUP BY lab
+    ),
+    assign AS (
+        SELECT vec_id, lab, clab FROM (
+            SELECT p.vec_id, p.lab, c.clab,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {_d2('p.v', 'c.c')} ASC, c.clab ASC) AS rn
+            FROM cpts p CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+    SELECT round(avg(CASE WHEN lab = clab THEN 1.0 ELSE 0.0 END), 4)
+    FROM assign
+)"""
+
+    _bin_majority_sql = """(
+    SELECT round(max(cnt) * 1.0 / sum(cnt), 4)
+    FROM (SELECT count(*) AS cnt FROM embeddings GROUP BY label % 2)
+)"""
+    o["ml_est_clf_acc_anchors"] = f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+       {_centroid_sql("label")} AS centroid_acc,
+       {_centroid_sql("label % 2")} AS bin_centroid_acc,
+       {_bin_majority_sql} AS bin_majority_acc,
+       TRUE AS dt_ok, TRUE AS rf_ok, TRUE AS gbt_ok,
+       TRUE AS svc_ok, TRUE AS lrb_ok
+"""
+
+    # Three-regressor anchor row (ml_estimators.ml_est_reg_rmse_anchors):
+    # the numeric is the label's population σ — the constant-predictor
+    # baseline RMSE; the three estimator agreements ride in the booleans.
+    o["ml_est_reg_rmse_anchors"] = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sqrt(var_pop(CAST(label AS DOUBLE))), 4) AS baseline_rmse,
+       TRUE AS dt_ok, TRUE AS rf_ok, TRUE AS gbt_ok
+FROM embeddings
+"""
+
+    # LDA anchor row (ml_estimators.ml_est_lda_ppx): vocab is the
+    # CountVectorizer size — #tokens appearing in ≥2 docs (distinct per
+    # doc), capped at 500 (a boundary tie changes the set, never the
+    # count); uniform_logppx = ln(V); the fit agreement rides in the
+    # boolean.
+    o["ml_est_lda_ppx"] = """
+WITH dtok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+v AS (
+    SELECT least(CAST(count(*) AS INT), 500) AS vocab
+    FROM (SELECT tok FROM dtok GROUP BY tok HAVING count(*) >= 2)
+)
+SELECT 5 AS k, vocab,
+       round(ln(vocab), 4) AS uniform_logppx,
+       TRUE AS est_in_band
+FROM v
+"""
+
+    # ALS-family MSE anchor (ml_estimators.ml_est_als_mse): the numeric is
+    # the ratings population variance (global-mean-baseline train MSE),
+    # recomputed from lineitem ⋈ orders with the ratings_table shape; the
+    # ALS estimator's agreement rides in the boolean.
+    o["ml_est_als_mse"] = """
+WITH r AS (
+    SELECT o_custkey AS u, l_partkey AS i, avg(l_quantity) AS rating
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ratings,
+       round(avg(rating * rating) - avg(rating) * avg(rating), 4)
+           AS baseline_mse,
+       TRUE AS est_in_band
+FROM r
+"""
+
     # SemDeDup composition: the Lloyd assignment scopes the cosine keeper
     # election to same-cluster pairs (threshold literal matches
     # dedup.COSINE_DEDUP_THRESHOLD and the dedup_embedding_cosine oracle).

@@ -111,6 +111,62 @@ def _clf_metrics(pred: DataFrame, label_col: str) -> DataFrame:
     )
 
 
+def _shared_clf_acc(cat: Catalog, key: str, label_col: str, fit) -> float:
+    """Session-shared train accuracy of a seeded classifier fit — the
+    plain metric query and the ``ml_est_clf_acc_anchors`` row consume the
+    SAME fit's scalar (the ``_kmeans_est_cost`` load-once-run-many
+    pattern; one fit + one agg per (session, sf_dir, model))."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _derived_scalar,
+    )
+
+    def compute() -> float:
+        df = _features(cat)
+        row = (
+            fit(df)
+            .transform(df)
+            .agg(
+                F.avg(
+                    (F.col(label_col) == F.col("prediction")).cast("double")
+                ).alias("acc")
+            )
+            .first()
+        )
+        return round(float(row["acc"]), 4)
+
+    return _derived_scalar(cat, key, compute)
+
+
+def _features_n(cat: Catalog) -> int:
+    """Session-shared row count of the feature relation."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _derived_scalar,
+    )
+
+    return int(_derived_scalar(cat, "ml_features_n", lambda: float(_features(cat).count())))
+
+
+def _shared_reg_rmse(cat: Catalog, key: str, label_col: str, fit) -> float:
+    """Session-shared train RMSE of a seeded regressor fit (see
+    ``_shared_clf_acc``)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _derived_scalar,
+    )
+
+    def compute() -> float:
+        df = _features(cat)
+        err = F.col(label_col) - F.col("prediction")
+        row = (
+            fit(df)
+            .transform(df)
+            .agg(F.sqrt(F.avg(err * err)).alias("rmse"))
+            .first()
+        )
+        return round(float(row["rmse"]), 4)
+
+    return _derived_scalar(cat, key, compute)
+
+
 def _reg_metrics(pred: DataFrame, label_col: str) -> DataFrame:
     """Train-set RMSE + count in ONE aggregation job (the evaluator pass +
     separate count pass computed the identical √avg((y−ŷ)²) in two)."""
@@ -538,27 +594,37 @@ def _doc_tokens(cat: Catalog) -> DataFrame:
     )
 
 
+def _lda_metrics(cat: Catalog) -> tuple[int, float, float]:
+    """Session-shared online-LDA fit metrics (vocab, logLik, logPpx) —
+    ``ml_est_lda`` and the ``ml_est_lda_ppx`` anchor consume the SAME
+    seeded fit's scalars."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
+
+    def build() -> tuple[int, float, float]:
+        docs = _doc_tokens(cat)
+        cv = CountVectorizer(
+            inputCol="toks", outputCol="tf", vocabSize=500, minDF=2.0
+        ).fit(docs)
+        tf = cv.transform(docs)
+        lda = LDA(
+            k=5, maxIter=10, seed=SEED, optimizer="online", featuresCol="tf"
+        ).fit(tf)
+        return (
+            len(cv.vocabulary),
+            round(lda.logLikelihood(tf), 2),
+            round(lda.logPerplexity(tf), 4),
+        )
+
+    return _derived_obj(cat, "lda_metrics", build)
+
+
 def ml_est_lda(cat: Catalog) -> DataFrame:
     """LDA topic model (``LDARunner.scala:157-186``): CountVectorizer corpus
     → online LDA k=5; logLikelihood/logPerplexity eval on the training
     corpus (``LDARunner.scala:211-219`` uses a seeded sample)."""
-    docs = _doc_tokens(cat)
-    cv = CountVectorizer(
-        inputCol="toks", outputCol="tf", vocabSize=500, minDF=2.0
-    ).fit(docs)
-    tf = cv.transform(docs)
-    lda = LDA(
-        k=5, maxIter=10, seed=SEED, optimizer="online", featuresCol="tf"
-    ).fit(tf)
-    return docs.sparkSession.createDataFrame(
-        [
-            (
-                5,
-                len(cv.vocabulary),
-                round(lda.logLikelihood(tf), 2),
-                round(lda.logPerplexity(tf), 4),
-            )
-        ],
+    vocab, loglik, logppx = _lda_metrics(cat)
+    return cat.spark.createDataFrame(
+        [(5, vocab, loglik, logppx)],
         "k int, vocab int, log_likelihood double, log_perplexity double",
     )
 
@@ -566,55 +632,225 @@ def ml_est_lda(cat: Catalog) -> DataFrame:
 # ---- classification --------------------------------------------------------
 
 
+def _logreg_est_acc(cat: Catalog) -> float:
+    """Session-shared multinomial-LR train accuracy — ``ml_est_logreg``
+    and the ``ml_est_logreg_acc`` anchor consume the SAME seeded fit's
+    metric (the ``_kmeans_est_cost`` load-once-run-many pattern)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _derived_scalar,
+    )
+
+    def fit() -> float:
+        df = _features(cat)
+        m = LogisticRegression(
+            maxIter=20, regParam=0.01, elasticNetParam=0.5, labelCol="label"
+        ).fit(df)
+        row = (
+            m.transform(df)
+            .agg(
+                F.avg(
+                    (F.col("label") == F.col("prediction")).cast("double")
+                ).alias("acc")
+            )
+            .first()
+        )
+        return round(float(row["acc"]), 4)
+
+    return _derived_scalar(cat, "logreg_est_acc", fit)
+
+
 def ml_est_logreg(cat: Catalog) -> DataFrame:
     """Multinomial elastic-net LR (``LogRRunner.scala:146-179``)."""
     df = _features(cat)
-    m = LogisticRegression(
-        maxIter=20, regParam=0.01, elasticNetParam=0.5, labelCol="label"
-    ).fit(df)
-    return _clf_metrics(m.transform(df), "label")
+    acc = _logreg_est_acc(cat)
+    n = df.count()
+    return df.sparkSession.createDataFrame(
+        [(acc, n)], "accuracy double, n long"
+    )
+
+
+#: ml_est_logreg_acc band: the multinomial elastic-net LR's train accuracy
+#: vs the nearest-class-centroid classifier's — two linear decision rules
+#: over the same embeddings, so their ratio sits in a narrow band
+#: (measured 0.90–1.07 across sf0.001/0.01/0.1). Generous on both sides
+#: so fixture growth never flips the anchor; a degenerate fit
+#: (constant/plurality prediction ≈ the majority baseline) lands at
+#: ~0.52 × centroid on every fixture — far below the floor.
+LOGREG_CENTROID_BAND = (0.7, 1.5)
+
+
+def _centroid_baselines(cat: Catalog, binary: bool) -> tuple[float, float]:
+    """Session-shared (centroid_acc, majority_acc) of the exact
+    nearest-class-centroid classifier over the embeddings — the
+    closed-form, SQL-recomputable decision rule the estimator anchors
+    ride on (centroids = per-class coordinate means rounded at 9,
+    assignment = argmin of the 6-decimal-rounded dot-identity d², ties
+    to the smaller class — the Lloyd-assign oracle arithmetic).
+    ``binary`` uses the bin_label (label % 2) classes."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up,
+        round_half_up_f,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.functions.vectors import (
+        as_double_array,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import _dist2
+    from pyspark.sql import Window
+
+    def build() -> tuple[float, float]:
+        lab = (F.col("label") % 2) if binary else F.col("label")
+        pts = spread(cat.embeddings).select(
+            "vec_id",
+            as_double_array("embedding").alias("v"),
+            lab.cast("int").alias("lab"),
+        )
+        cent = (
+            pts.select("lab", F.posexplode("v").alias("pos", "x"))
+            .groupBy("lab", "pos")
+            .agg(round_half_up(F.avg("x"), 9).alias("m"))
+            .groupBy("lab")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select(
+                F.col("lab").alias("clab"),
+                F.transform("s", lambda t: t["m"]).alias("c"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("clab").asc()
+        )
+        assigned = (
+            pts.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id", "lab", "clab", _dist2(F.col("v"), F.col("c")).alias("d2")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        row = assigned.agg(
+            round_half_up(
+                F.avg((F.col("lab") == F.col("clab")).cast("double")), 4
+            ).alias("acc")
+        ).first()
+        mrow = (
+            pts.groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("n"))
+            .first()
+        )
+        return (
+            float(row["acc"]),
+            round_half_up_f(mrow["mx"] / mrow["n"], 4),
+        )
+
+    key = "centroid_baselines_bin" if binary else "centroid_baselines"
+    return _derived_obj(cat, key, build)
+
+
+def ml_est_logreg_acc(cat: Catalog) -> DataFrame:
+    """Driver-verifiable accuracy anchor for the multinomial LR
+    (``LogRRunner.scala:200`` — filter(label === prediction)/count): the
+    emitted numerics are the nearest-class-centroid classifier's train
+    accuracy plus the majority-class baseline — both exact, closed-form,
+    SQL-recomputable decision rules (``_centroid_baselines``). The seeded
+    LR estimator rides in-band: ``est_in_band`` asserts its accuracy sits
+    inside LOGREG_CENTROID_BAND × the centroid accuracy (the SQL twin
+    emits TRUE — a drifted estimator flips the bit and the value hash;
+    round-8 verdict item 6, the ``ml_est_kmeans_wssse`` template).
+
+    One 10-row broadcast join + two aggregates over the shared embedding
+    scan — no new shuffle of the points."""
+    centroid_acc, majority_acc = _centroid_baselines(cat, binary=False)
+    ratio = _logreg_est_acc(cat) / centroid_acc
+    in_band = LOGREG_CENTROID_BAND[0] <= ratio <= LOGREG_CENTROID_BAND[1]
+    return cat.spark.createDataFrame(
+        [(_features_n(cat), centroid_acc, majority_acc, bool(in_band))],
+        "n long, centroid_acc double, majority_acc double, "
+        "est_in_band boolean",
+    )
+
+
+def _lrb_acc(cat: Catalog) -> float:
+    """Session-shared box-constrained binary LR accuracy."""
+
+    def fit(df):
+        from pyspark.ml.linalg import Matrices
+
+        dim = len(df.first()["features"])
+        return LogisticRegression(
+            maxIter=20,
+            labelCol="bin_label",
+            lowerBoundsOnCoefficients=Matrices.dense(1, dim, [0.0] * dim),
+        ).fit(df)
+
+    return _shared_clf_acc(cat, "lrb_acc", "bin_label", fit)
 
 
 def ml_est_logreg_bounded(cat: Catalog) -> DataFrame:
     """Box-constrained binary LR — coefficient lower bounds at 0, the
     ``lowerBoundsOnCoefficients`` path of ``LogRRunner.scala:152-153``."""
-    from pyspark.ml.linalg import Matrices
+    return cat.spark.createDataFrame(
+        [(_lrb_acc(cat), _features_n(cat))], "accuracy double, n long"
+    )
 
-    df = _features(cat)
-    dim = len(df.first()["features"])
-    m = LogisticRegression(
-        maxIter=20,
-        labelCol="bin_label",
-        lowerBoundsOnCoefficients=Matrices.dense(1, dim, [0.0] * dim),
-    ).fit(df)
-    return _clf_metrics(m.transform(df), "bin_label")
+
+def _svc_acc(cat: Catalog) -> float:
+    """Session-shared LinearSVC accuracy."""
+    return _shared_clf_acc(
+        cat,
+        "svc_acc",
+        "bin_label",
+        lambda df: LinearSVC(
+            maxIter=20, regParam=0.01, labelCol="bin_label"
+        ).fit(df),
+    )
 
 
 def ml_est_svc(cat: Catalog) -> DataFrame:
     """LinearSVC binary classification (``SVMRunner.scala:112-143``)."""
-    df = _features(cat)
-    m = LinearSVC(maxIter=20, regParam=0.01, labelCol="bin_label").fit(df)
-    return _clf_metrics(m.transform(df), "bin_label")
+    return cat.spark.createDataFrame(
+        [(_svc_acc(cat), _features_n(cat))], "accuracy double, n long"
+    )
+
+
+def _dt_clf_acc(cat: Catalog) -> float:
+    """Session-shared DecisionTreeClassifier accuracy."""
+    return _shared_clf_acc(
+        cat,
+        "dt_clf_acc",
+        "label",
+        lambda df: DecisionTreeClassifier(
+            maxDepth=8, maxBins=32, seed=SEED, labelCol="label"
+        ).fit(df),
+    )
 
 
 def ml_est_dt_classifier(cat: Catalog) -> DataFrame:
     """DecisionTreeClassifier (``DTRunner.scala:236-302``; maxDepth/maxBins
     from yml)."""
-    df = _features(cat)
-    m = DecisionTreeClassifier(
-        maxDepth=8, maxBins=32, seed=SEED, labelCol="label"
-    ).fit(df)
-    return _clf_metrics(m.transform(df), "label")
+    return cat.spark.createDataFrame(
+        [(_dt_clf_acc(cat), _features_n(cat))], "accuracy double, n long"
+    )
+
+
+def _rf_clf_acc(cat: Catalog) -> float:
+    """Session-shared RandomForestClassifier accuracy."""
+    return _shared_clf_acc(
+        cat,
+        "rf_clf_acc",
+        "label",
+        lambda df: RandomForestClassifier(
+            numTrees=20, maxDepth=8, maxBins=32, seed=SEED, labelCol="label"
+        ).fit(df),
+    )
 
 
 def ml_est_rf_classifier(cat: Catalog) -> DataFrame:
     """RandomForestClassifier 20 trees (``RFRunner.scala:210-247``,
     ``ml/rf/rf_arm.yml:5-19`` scaled)."""
-    df = _features(cat)
-    m = RandomForestClassifier(
-        numTrees=20, maxDepth=8, maxBins=32, seed=SEED, labelCol="label"
-    ).fit(df)
-    return _clf_metrics(m.transform(df), "label")
+    return cat.spark.createDataFrame(
+        [(_rf_clf_acc(cat), _features_n(cat))], "accuracy double, n long"
+    )
 
 
 def gbt_bin_model(cat: Catalog):
@@ -632,11 +868,19 @@ def gbt_bin_model(cat: Catalog):
     )
 
 
+def _gbt_clf_acc(cat: Catalog) -> float:
+    """Session-shared GBTClassifier accuracy (model itself shared via
+    ``gbt_bin_model``)."""
+    return _shared_clf_acc(
+        cat, "gbt_clf_acc", "bin_label", lambda df: gbt_bin_model(cat)
+    )
+
+
 def ml_est_gbt_classifier(cat: Catalog) -> DataFrame:
     """GBTClassifier on the binary label (``GBDTRunner.scala:167-226``)."""
-    df = _features(cat)
-    m = gbt_bin_model(cat)
-    return _clf_metrics(m.transform(df), "bin_label")
+    return cat.spark.createDataFrame(
+        [(_gbt_clf_acc(cat), _features_n(cat))], "accuracy double, n long"
+    )
 
 
 # ---- regression ------------------------------------------------------------
@@ -674,24 +918,55 @@ def ml_est_linreg(cat: Catalog) -> DataFrame:
     )
 
 
+def _dt_reg_rmse(cat: Catalog) -> float:
+    return _shared_reg_rmse(
+        cat,
+        "dt_reg_rmse",
+        "y",
+        lambda df: DecisionTreeRegressor(
+            maxDepth=8, seed=SEED, labelCol="y"
+        ).fit(df),
+    )
+
+
 def ml_est_dt_regressor(cat: Catalog) -> DataFrame:
-    df = _features(cat)
-    m = DecisionTreeRegressor(maxDepth=8, seed=SEED, labelCol="y").fit(df)
-    return _reg_metrics(m.transform(df), "y")
+    return cat.spark.createDataFrame(
+        [(_dt_reg_rmse(cat), _features_n(cat))], "rmse double, n long"
+    )
+
+
+def _rf_reg_rmse(cat: Catalog) -> float:
+    return _shared_reg_rmse(
+        cat,
+        "rf_reg_rmse",
+        "y",
+        lambda df: RandomForestRegressor(
+            numTrees=20, maxDepth=8, seed=SEED, labelCol="y"
+        ).fit(df),
+    )
 
 
 def ml_est_rf_regressor(cat: Catalog) -> DataFrame:
-    df = _features(cat)
-    m = RandomForestRegressor(
-        numTrees=20, maxDepth=8, seed=SEED, labelCol="y"
-    ).fit(df)
-    return _reg_metrics(m.transform(df), "y")
+    return cat.spark.createDataFrame(
+        [(_rf_reg_rmse(cat), _features_n(cat))], "rmse double, n long"
+    )
+
+
+def _gbt_reg_rmse(cat: Catalog) -> float:
+    return _shared_reg_rmse(
+        cat,
+        "gbt_reg_rmse",
+        "y",
+        lambda df: GBTRegressor(
+            maxIter=20, maxDepth=5, seed=SEED, labelCol="y"
+        ).fit(df),
+    )
 
 
 def ml_est_gbt_regressor(cat: Catalog) -> DataFrame:
-    df = _features(cat)
-    m = GBTRegressor(maxIter=20, maxDepth=5, seed=SEED, labelCol="y").fit(df)
-    return _reg_metrics(m.transform(df), "y")
+    return cat.spark.createDataFrame(
+        [(_gbt_reg_rmse(cat), _features_n(cat))], "rmse double, n long"
+    )
 
 
 # ---- decomposition ---------------------------------------------------------
@@ -886,6 +1161,197 @@ def ml_est_als_implicit(cat: Catalog) -> DataFrame:
     return _als_run(cat, implicit=True)
 
 
+#: ml_est_clf_acc_anchors floors — each seeded classifier's train accuracy
+#: over its exact SQL-recomputable baseline. Multiclass trees vs the
+#: 10-class centroid accuracy (measured ratios across sf0.001/0.01/0.1:
+#: DT 1.55–1.71, RF 2.38–4.2); the binary GBT vs the 2-class centroid
+#: (1.58–1.64). Floors sit far below every measurement and far above the
+#: degenerate plurality predictor (≈0.5–0.9× the respective centroid).
+TREE_CLF_CENTROID_FLOORS = {"dt": 1.2, "rf": 1.5, "gbt": 1.3}
+#: Linear binary classifiers (SVC, bounded LR) on the weakly separable
+#: parity label barely clear the 2-class centroid at sf0.1, so a centroid
+#: ratio cannot separate them from degenerate there; the honest anchor is
+#: a margin over the majority baseline (measured margins 0.036–0.148; an
+#: exactly-degenerate constant predictor scores margin 0).
+BIN_CLF_MAJORITY_MARGIN = 0.015
+
+
+def ml_est_clf_acc_anchors(cat: Catalog) -> DataFrame:
+    """Driver-verifiable accuracy anchors for the five remaining
+    rows-only classifier workloads in ONE row (round-8 verdict item 6,
+    extending the ``ml_est_kmeans_wssse`` template): the numerics are the
+    exact nearest-class-centroid accuracies (10-class and binary) and the
+    binary majority baseline — all SQL-recomputable; each seeded
+    estimator rides in its own boolean (DT/RF vs the 10-class centroid
+    floor, GBT vs the binary centroid floor, SVC/bounded-LR vs the
+    majority margin). The SQL twin emits five TRUEs — any single drifted
+    estimator flips its bit and the value hash. All five fits are the
+    session-shared ones their plain metric queries consume."""
+    centroid_acc, _ = _centroid_baselines(cat, binary=False)
+    bin_centroid_acc, bin_majority_acc = _centroid_baselines(cat, binary=True)
+    f = TREE_CLF_CENTROID_FLOORS
+    dt_ok = _dt_clf_acc(cat) >= f["dt"] * centroid_acc
+    rf_ok = _rf_clf_acc(cat) >= f["rf"] * centroid_acc
+    gbt_ok = _gbt_clf_acc(cat) >= f["gbt"] * bin_centroid_acc
+    svc_ok = _svc_acc(cat) >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
+    lrb_ok = _lrb_acc(cat) >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
+    return cat.spark.createDataFrame(
+        [
+            (
+                _features_n(cat),
+                centroid_acc,
+                bin_centroid_acc,
+                bin_majority_acc,
+                bool(dt_ok),
+                bool(rf_ok),
+                bool(gbt_ok),
+                bool(svc_ok),
+                bool(lrb_ok),
+            )
+        ],
+        "n long, centroid_acc double, bin_centroid_acc double, "
+        "bin_majority_acc double, dt_ok boolean, rf_ok boolean, "
+        "gbt_ok boolean, svc_ok boolean, lrb_ok boolean",
+    )
+
+
+#: ml_est_reg_rmse_anchors band: each seeded tree regressor's train RMSE
+#: over the label's population σ (= the RMSE of the constant global-mean
+#: predictor). Measured ratios across sf0.001/0.01/0.1: DT 0.47–0.82,
+#: RF 0.56–0.76, GBT 0.26–0.66; a broken fit (constant/unjoined output)
+#: scores ≥ 1×σ, a leak artifact ≈ 0.
+TREE_REG_SIGMA_BAND = (0.05, 0.9)
+
+
+def ml_est_reg_rmse_anchors(cat: Catalog) -> DataFrame:
+    """Driver-verifiable RMSE anchors for the three rows-only tree
+    regressors in ONE row: the numeric is the label's population σ
+    (the constant-predictor baseline RMSE, exactly SQL-recomputable from
+    the embeddings); each seeded regressor rides in its own boolean
+    (train RMSE within TREE_REG_SIGMA_BAND × σ). The SQL twin emits
+    three TRUEs. Fits are the session-shared ones the plain metric
+    queries consume."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up,
+    )
+
+    row = (
+        _features(cat)
+        .agg(round_half_up(F.sqrt(F.var_pop("y")), 4).alias("s"))
+        .first()
+    )
+    sigma = float(row["s"])
+    lo, hi = TREE_REG_SIGMA_BAND
+
+    def ok(rmse: float) -> bool:
+        return lo <= rmse / sigma <= hi
+
+    return cat.spark.createDataFrame(
+        [
+            (
+                _features_n(cat),
+                sigma,
+                ok(_dt_reg_rmse(cat)),
+                ok(_rf_reg_rmse(cat)),
+                ok(_gbt_reg_rmse(cat)),
+            )
+        ],
+        "n long, baseline_rmse double, dt_ok boolean, rf_ok boolean, "
+        "gbt_ok boolean",
+    )
+
+
+#: ml_est_lda_ppx band: the online-LDA train logPerplexity over ln(V) —
+#: the per-token log-perplexity of the UNIFORM unigram model on a
+#: V-token vocabulary. A fitted topic model's ELBO-based perplexity sits
+#: just above ln(V) on this weakly-topical fixture (measured 1.035–1.040
+#: across sf0.001/0.01/0.1); a broken corpus/vocab lands far outside.
+LDA_PPX_BAND = (0.9, 1.2)
+
+
+def ml_est_lda_ppx(cat: Catalog) -> DataFrame:
+    """Driver-verifiable anchor for the LDA family: the numerics are the
+    CountVectorizer vocabulary size (minDF ≥ 2, capped at 500 — exactly
+    SQL-recomputable as least(#tokens in ≥2 docs, 500); a boundary tie
+    changes the SET, never the COUNT) and the uniform-model log
+    perplexity ln(V); the seeded online-LDA fit rides in
+    ``est_in_band`` (logPerplexity within LDA_PPX_BAND × ln V). The SQL
+    twin emits TRUE. The fit is the session-shared one ``ml_est_lda``
+    consumes."""
+    import math
+
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up_f,
+    )
+
+    vocab, _, logppx = _lda_metrics(cat)
+    uniform = round_half_up_f(math.log(vocab), 4)
+    ratio = logppx / uniform
+    in_band = LDA_PPX_BAND[0] <= ratio <= LDA_PPX_BAND[1]
+    return cat.spark.createDataFrame(
+        [(5, vocab, uniform, bool(in_band))],
+        "k int, vocab int, uniform_logppx double, est_in_band boolean",
+    )
+
+
+#: ml_est_als_mse band: the explicit-ALS train MSE over the population
+#: variance of the ratings (= the MSE of the constant global-mean
+#: predictor, the weakest honest baseline). A rank-8, 5-iteration seeded
+#: fit lands at 0.35–0.44 of the variance across sf0.001/0.01/0.1; the
+#: band is generous on both sides so fixture growth never flips the
+#: anchor. A broken fit (wrong column, unjoined predictions, constant
+#: output) scores ≥ 1× the variance — far above the ceiling; a
+#: leak/overfit artifact (mse ≈ 0) breaches the floor.
+ALS_VAR_BAND = (0.05, 0.8)
+
+
+def ml_est_als_mse(cat: Catalog) -> DataFrame:
+    """Driver-verifiable MSE anchor for the ALS family
+    (``ALSRunner.scala:215-234`` — the reference's headline metric): the
+    emitted numeric is the ratings matrix's population variance
+    avg(r²) − avg(r)² — the train MSE of the global-mean baseline,
+    exactly SQL-recomputable from lineitem ⋈ orders. The seeded explicit
+    ALS fit rides in-band: ``est_in_band`` asserts its train MSE sits
+    inside ALS_VAR_BAND × the variance (the SQL twin emits TRUE — a
+    drifted estimator flips the bit and the value hash; round-8 verdict
+    item 6, the ``ml_est_kmeans_wssse`` template).
+
+    One aggregate over the session-shared ratings table + the shared ALS
+    fit's scoring pass — no new shuffle of the ratings."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up,
+    )
+
+    r = spread(ratings_table(cat)).cache()
+    base = r.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        round_half_up(
+            F.avg(F.col("rating") * F.col("rating"))
+            - F.avg("rating") * F.avg("rating"),
+            4,
+        ).alias("baseline_mse"),
+    ).first()
+    m = _als_explicit_model(cat, r)
+    est = (
+        m.transform(r)
+        .agg(
+            F.avg(
+                (F.col("rating") - F.col("prediction"))
+                * (F.col("rating") - F.col("prediction"))
+            ).alias("mse")
+        )
+        .first()
+    )
+    r.unpersist(blocking=False)  # per-invocation cache — metrics are scalars
+    baseline = float(base["baseline_mse"])
+    ratio = float(est["mse"]) / baseline
+    in_band = ALS_VAR_BAND[0] <= ratio <= ALS_VAR_BAND[1]
+    return cat.spark.createDataFrame(
+        [(base["n_ratings"], baseline, bool(in_band))],
+        "n_ratings long, baseline_mse double, est_in_band boolean",
+    )
+
+
 # ---- feature weighting -----------------------------------------------------
 
 
@@ -1008,6 +1474,11 @@ QUERIES = (
     "ml_est_kmeans",
     "ml_est_kmeans_wssse",
     "ml_est_linreg_rmse",
+    "ml_est_logreg_acc",
+    "ml_est_als_mse",
+    "ml_est_clf_acc_anchors",
+    "ml_est_reg_rmse_anchors",
+    "ml_est_lda_ppx",
     "ml_est_kmeans_rdd",
     "ml_est_pearson_rdd",
     "ml_est_dt_rdd",

@@ -1043,12 +1043,18 @@ DEDUP_ORACLES["dedup_delta"] = f"""
 
 DEDUP_ORACLES["dedup_index_stats"] = f"""
     WITH {_delta_shingle_ctes("documents", "b")},
-    {_winnow_fp_ctes("documents", "b")}
+    {_winnow_fp_ctes("documents", "b")},
+    bover AS (
+        SELECT fp FROM bwfps GROUP BY fp
+        HAVING count(*) > {_WINNOW_DF_MAX}
+    )
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            (SELECT count(DISTINCT {_NORM_FP_SQL}) FROM documents)
                AS n_exact_fps,
            (SELECT count(*) FROM bsh2) AS n_sig_docs,
-           (SELECT count(*) FROM bwfps) AS n_winnow_postings
+           (SELECT count(*) FROM bwfps
+            WHERE fp NOT IN (SELECT fp FROM bover)) AS n_winnow_postings,
+           (SELECT count(*) FROM bover) AS n_overcap_fps
 """
 
 DEDUP_ORACLES["dedup_simhash_pairs"] = f"""

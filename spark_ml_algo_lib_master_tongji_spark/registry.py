@@ -91,82 +91,32 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 8 rotation. Tier 1: the 12 round-7 oracles that
-#: have never received a driver CORRECTNESS row (round-7 window was spent
-#: on the 39 stale rotations + 11 changed implementations; the judge's own
-#: sweep hash-matched all 12, but the driver record is the record). Tier 2:
-#: round-6-green queries whose latest driver row is two rounds old — 38 of
-#: the 43 fit; the five cheapest/most-stable relational rows at the window
-#: tail are the designated swap-out slots if round 8 ships new oracles.
-#: Tier 3 (behind the window): the five deferred round-6 rows (2-round
-#: staleness, within the contract bound), the 50 round-7-green entries
-#: (freshest), then the no-oracle estimator workloads (pytest-only).
+#: Priority order, round 9 rotation. Tier 1: queries whose implementation
+#: or output surface changed this round (the winnow scalar-string surface;
+#: the versioned capped sketch store behind both delta queries) plus the
+#: two NEW round-9 estimator anchors and the two oracles that have never
+#: received a driver row (text_bpe_token_stats, graph_node2vec_embeddings —
+#: both judge-sweep MATCH in round 8). Tier 2: the ten round-6-green rows
+#: deferred at round 8 — they hit the 3-round staleness bound now. Tier 3
+#: fill: the round-7-green cohort (2 rounds stale), oldest-first 30 of 50;
+#: the remaining 20 head the round-10 window (with 30 of the 33
+#: round-8-refresh rows; the overflow rides round 11 — at 117 oracles a
+#: 50-slot window sustains a ≤3-round rotation, no longer ≤2 everywhere).
+#: Behind the window: those 20, then the round-8-green entries (freshest),
+#: then the no-oracle estimator workloads (pytest-only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1: NEW oracles r7, zero driver rows ever — first priority ------
-    "pipeline_sequence_pack",
-    "pipeline_doc_chunks",
-    "text_repetition_3gram",
-    "pipeline_domain_mix",
-    "text_tfidf_top_terms",
-    "pipeline_vocab_prune",
-    "pipeline_quality_filter",
-    "pipeline_pii_scrub",
-    "ml_est_pca_energy",
-    "pipeline_chunk_dedup",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    # -- tier 1b: NEW oracles r8, zero driver rows ever ----------------------
-    "dedup_delta",
-    "dedup_index_stats",
-    "ml_est_kmeans_wssse",
-    "ml_est_linreg_rmse",
-    "pipeline_lm_perplexity",
-    # -- tier 2: driver row is round 6, two rounds stale — refresh -----------
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q6_forecast_revenue",
-    "q_broadcast_dim_join",
-    "q_anti_join_customers_without_orders",
-    "q_semi_join_suppliers_with_big_lineitems",
-    "stat_covariance_lineitem",
-    "stat_pearson_lineitem",
-    # banding refactor (banded_keys extraction) touched the minhash
-    # pipeline this round → re-verify despite round-7-green rows; the two
-    # displaced round-6 rows (ml_linreg_ols, text_fingerprint) are
-    # covered — ml_linreg_ols's SQL twin is embedded verbatim inside the
-    # windowed ml_est_linreg_rmse oracle, text_fingerprint by pytest.
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "sim_brute_force_topk",
-    "graph_degrees_nation",
-    "graph_weak_cliques",
-    "graph_incremental_pagerank",
-    "ml_simrank",
-    "graph_pagerank",
-    "graph_connected_components",
-    "graph_mssp",
-    "graph_bfs",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "dedup_embedding_cosine",
-    "graph_clustering_coefficient",
-    "graph_betweenness",
-    "graph_louvain",
-    "graph_modularity",
-    "dedup_exact",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- tier 3 head: round-6 rows deferred to round 9 (2-round staleness is
-    #    within the contract bound; each keeps its pytest differential;
-    #    pipeline_training_mix's three stages — groups, lang, quality — are
-    #    all independently hash-verified inside the window) -----------------
-    "text_bpe_token_stats",  # NEW oracle r8 (late): first driver row r9;
-    #    this round verified by driver_sim sweep + pytest differential
+    # -- tier 1: changed this round / new oracles / first-ever rows ----------
+    "text_winnow_fingerprints",  # r9: fps array → sortable scalar string
+    "dedup_delta",  # r9: pre-capped versioned store in the read path
+    "dedup_index_stats",  # r9: capped posting count + n_overcap_fps
+    "ml_est_logreg_acc",  # NEW r9 estimator anchor
+    "ml_est_als_mse",  # NEW r9 estimator anchor
+    "ml_est_clf_acc_anchors",  # NEW r9: 5 classifiers in one anchor row
+    "ml_est_reg_rmse_anchors",  # NEW r9: 3 regressors in one anchor row
+    "ml_est_lda_ppx",  # NEW r9: LDA vocab + uniform-ppx anchor
+    "text_bpe_token_stats",  # first driver row (oracle landed late in r8)
+    "graph_node2vec_embeddings",  # first driver row (oracle landed r8)
+    # -- tier 2: round-6 rows at the 3-round staleness bound — must refresh --
     "pipeline_training_mix",
     "q_union_distinct_nations",
     "q_topk_per_group",
@@ -177,7 +127,7 @@ _ORDER: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    # -- tier 3: driver-green in round 7, freshest ---------------------------
+    # -- tier 3 fill: round-7-green cohort (2 rounds stale), first 33 --------
     "stat_spearman_lineitem",
     "graph_cycle_detection",
     "graph_maximal_cliques",
@@ -208,6 +158,11 @@ _ORDER: tuple[str, ...] = (
     "graph_ppr_multi",
     "graph_closeness_nation",
     "graph_scc_nation",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- tier 3 head: the 20 round-7 rows deferred to round 10 (2-round
+    #    staleness, within the contract bound; each keeps its pytest
+    #    differential; ml_linreg_ols's SQL twin is embedded verbatim inside
+    #    ml_est_linreg_rmse's oracle) --------------------------------------
     "text_top_ngrams",
     "text_lang_rollup",
     "pipeline_stratified_sample",
@@ -228,6 +183,54 @@ _ORDER: tuple[str, ...] = (
     "ml_est_idf",
     "ml_est_svd_energy",
     "graph_triangle_count",
+    # -- tier 3: driver-green in round 8, freshest ---------------------------
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "q_broadcast_dim_join",
+    "q_anti_join_customers_without_orders",
+    "q_semi_join_suppliers_with_big_lineitems",
+    "stat_covariance_lineitem",
+    "stat_pearson_lineitem",
+    "dedup_minhash_lsh",
+    "dedup_minhash_groups",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_force_topk",
+    "graph_degrees_nation",
+    "graph_weak_cliques",
+    "graph_incremental_pagerank",
+    "ml_simrank",
+    "graph_pagerank",
+    "graph_connected_components",
+    "graph_mssp",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "dedup_embedding_cosine",
+    "graph_clustering_coefficient",
+    "graph_betweenness",
+    "graph_louvain",
+    "graph_modularity",
+    "dedup_exact",
+    "pipeline_sequence_pack",
+    "pipeline_doc_chunks",
+    "text_repetition_3gram",
+    "pipeline_domain_mix",
+    "text_tfidf_top_terms",
+    "pipeline_vocab_prune",
+    "pipeline_quality_filter",
+    "pipeline_pii_scrub",
+    "ml_est_pca_energy",
+    "pipeline_chunk_dedup",
+    "dedup_winnow_pairs",
+    "ml_est_kmeans_wssse",
+    "ml_est_linreg_rmse",
+    "pipeline_lm_perplexity",
     # -- tier 3: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -250,7 +253,6 @@ _ORDER: tuple[str, ...] = (
     "ml_est_gbt_pipeline",
     "ml_est_pca_sparse",
     "ml_est_xgboost",
-    "graph_node2vec_embeddings",
     "ml_knn_spilltree",
     "ml_knn_spilltree_classifier",
     "sim_ivf_topk",
@@ -265,8 +267,8 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "dedup_exact", (
-    "tier-1/2 prefix no longer ends at the driver window boundary"
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_scc_nation", (
+    "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 
 

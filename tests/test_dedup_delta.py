@@ -47,7 +47,10 @@ def test_delta_equals_fresh_recompute(spark):
         dedup._delta_docs(cat),
         fresh_fps,
         fresh_sigs,
-        winnow_fp_stream(base),
+        # the store materializes the capped postings at build time; the
+        # fresh arm caps on the fly — this equality IS the
+        # capped-at-build == capped-on-the-fly pin (round-8 verdict 3)
+        dedup.capped_postings(winnow_fp_stream(base)),
         base,
     )
     via_index = dedup.dedup_delta(cat)
@@ -77,7 +80,7 @@ def test_index_roundtrip_lossless(spark):
         fresh_sigs
     )
     assert _sorted_rows(idx.winnow.select("doc_id", "fp")) == _sorted_rows(
-        winnow_fp_stream(base)
+        dedup.capped_postings(winnow_fp_stream(base))
     )
 
 
@@ -182,6 +185,76 @@ def test_index_merge_absorbs_new_docs(spark, tmp_path):
     assert upgraded > 0
 
 
+def test_merged_store_capped_view_exact_across_cap_crossing(spark, tmp_path):
+    """The versioned store's winnow view == a from-scratch capped
+    recompute over base ∪ increment, INCLUDING a fingerprint that was
+    under the df-cap at build and crosses it at merge: its base-version
+    postings are on disk but the cumulative over-cap list must hide
+    them. Also pins refresh write volume ∝ increment: the v1 root holds
+    only increment-sized sigs/postings, never a copy of v0's."""
+    import os
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fp_stream,
+    )
+
+    run = " ".join(f"hot{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    cap = dedup.WINNOW_DF_MAX
+    base_rows = [
+        (i, f"u{i} v{i} w{i} {run} x{i} y{i} z{i}") for i in range(cap)
+    ]  # shared run in exactly WINNOW_DF_MAX docs: at the cap, kept at v0
+    inc_rows = [
+        (100 + i, f"a{i} b{i} c{i} {run} d{i} e{i} f{i}") for i in range(3)
+    ]  # 3 more docs with the run: df crosses the cap at merge
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    idx = dedup.build_dedup_index(base, str(tmp_path / "v0"))
+    # the shared-run fp is under the cap at v0 → present in the view
+    shared_fps = {
+        r["fp"]
+        for r in winnow_fp_stream(base)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") == cap)
+        .collect()
+    }
+    assert shared_fps
+    v0_fps = {r["fp"] for r in idx.winnow.collect()}
+    assert shared_fps <= v0_fps
+    idx2 = dedup.merge_dedup_index(idx, inc, str(tmp_path / "v1"))
+    want = sorted(
+        tuple(r)
+        for r in dedup.capped_postings(
+            winnow_fp_stream(base.unionByName(inc))
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in idx2.winnow.select("doc_id", "fp").collect())
+    assert got == want
+    # the crossed fp vanished from the merged view (its v0 postings are
+    # still on disk — the anti-join hides them)
+    assert not shared_fps & {fp for _, fp in got}
+    # the pinned v0 handle still reads its original files unchanged
+    assert {r["fp"] for r in idx.winnow.collect()} == v0_fps
+    # write ∝ increment: v1's sig/posting bytes ≪ v0's (3 docs vs 8,
+    # and no base rewrite)
+    def table_bytes(root, name):
+        d = os.path.join(root, name)
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert table_bytes(str(tmp_path / "v1"), "sigs") < table_bytes(
+        str(tmp_path / "v0"), "sigs"
+    )
+    n_v1_postings = spark.read.parquet(str(tmp_path / "v1") + "/winnow").count()
+    n_inc_postings = winnow_fp_stream(inc).count()
+    assert n_v1_postings <= n_inc_postings
+
+
 def test_delta_near_text_short_doc_is_empty_string(spark):
     """<3-token docs produce '' (not NULL) as the near-dup mutated text —
     the contract the oracle's coalesce mirrors."""
@@ -214,3 +287,66 @@ def test_estimator_anchor_oracles(spark, duck):
     r = me.ml_est_linreg_rmse(cat)
     assert_match(r, duck, o["ml_est_linreg_rmse"], "ml_est_linreg_rmse")
     assert r.first()["est_within_tol"] is True
+
+
+def test_estimator_anchor_oracles_r9(spark, duck):
+    """ml_est_logreg_acc / ml_est_als_mse — the round-9 estimator
+    promotions: value-hash match incl. the TRUE anchor bit, and the
+    anchored metric actually clears its deterministic twin with margin
+    (the band's job is catching degenerate fits, so check the degenerate
+    levels too: LR well above the majority baseline, ALS well below the
+    variance)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_estimators as me
+
+    cat = Catalog(spark, SF_ORACLE)
+    o = all_oracles()
+    a = me.ml_est_logreg_acc(cat)
+    assert_match(a, duck, o["ml_est_logreg_acc"], "ml_est_logreg_acc")
+    arow = a.first()
+    assert arow["est_in_band"] is True
+    assert arow["centroid_acc"] > 2 * arow["majority_acc"]
+    assert me._logreg_est_acc(cat) > 2 * arow["majority_acc"]
+    m = me.ml_est_als_mse(cat)
+    assert_match(m, duck, o["ml_est_als_mse"], "ml_est_als_mse")
+    mrow = m.first()
+    assert mrow["est_in_band"] is True
+    assert mrow["baseline_mse"] > 0
+
+
+def test_combined_estimator_anchor_rows(spark, duck):
+    """ml_est_clf_acc_anchors / ml_est_reg_rmse_anchors / ml_est_lda_ppx —
+    the nine-estimator promotion rows: value-hash match incl. every TRUE
+    bit; the shared scalars equal the plain metric queries' outputs (one
+    fit serves both); the bands genuinely separate fitted from degenerate
+    (majority / constant-mean / vocab-blind) at fixture scale."""
+    import math
+
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_estimators as me
+
+    cat = Catalog(spark, SF_ORACLE)
+    o = all_oracles()
+    c = me.ml_est_clf_acc_anchors(cat)
+    assert_match(c, duck, o["ml_est_clf_acc_anchors"], "ml_est_clf_acc_anchors")
+    crow = c.first()
+    assert all(
+        crow[k] is True for k in ("dt_ok", "rf_ok", "gbt_ok", "svc_ok", "lrb_ok")
+    )
+    # a degenerate plurality predictor must fail the floors it anchors
+    f = me.TREE_CLF_CENTROID_FLOORS
+    assert crow["bin_majority_acc"] < f["gbt"] * crow["bin_centroid_acc"]
+    assert 0.126 < f["dt"] * crow["centroid_acc"]  # 10-class majority ceiling
+    r = me.ml_est_reg_rmse_anchors(cat)
+    assert_match(r, duck, o["ml_est_reg_rmse_anchors"], "ml_est_reg_rmse_anchors")
+    rrow = r.first()
+    assert all(rrow[k] is True for k in ("dt_ok", "rf_ok", "gbt_ok"))
+    # the constant-mean predictor (ratio 1.0) sits outside the band
+    assert me.TREE_REG_SIGMA_BAND[1] < 1.0
+    ld = me.ml_est_lda_ppx(cat)
+    assert_match(ld, duck, o["ml_est_lda_ppx"], "ml_est_lda_ppx")
+    lrow = ld.first()
+    assert lrow["est_in_band"] is True
+    assert lrow["uniform_logppx"] == round(math.log(lrow["vocab"]), 4)
+    # shared-fit consistency: plain metric queries emit the same scalars
+    assert me.ml_est_lda(cat).first()["vocab"] == lrow["vocab"]
+    assert me.ml_est_dt_classifier(cat).first()["accuracy"] == me._dt_clf_acc(cat)
+    assert me.ml_est_gbt_regressor(cat).first()["rmse"] == me._gbt_reg_rmse(cat)

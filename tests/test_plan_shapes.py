@@ -364,3 +364,43 @@ def test_dedup_delta_plan_no_cartesian_pruned_store_reads(cat):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "struct<fp:bigint>" in plan  # winnow cap: fp-only store scan
+
+
+def test_bucketed_store_sink_elides_store_side_exchange(spark, tmp_path):
+    """The 100 TB store layout claim (build_dedup_index docstring +
+    round-8 verdict item 5): with the fps sink written ``bucketBy(fp)``,
+    the delta-side fp join needs NO exchange on the store side — the scan
+    itself satisfies the join's hash distribution — while the identical
+    plain-parquet store pays one. Broadcast is disabled to simulate the
+    regime where neither side fits (the only regime bucketing is for);
+    the differential (2 exchanges plain vs 1 bucketed) is the evidence,
+    robust to unrelated plan changes."""
+    import pyspark.sql.functions as F
+
+    store = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("fp"),
+        F.col("id").alias("keeper_doc_id"),
+    )
+    delta = spark.range(0, 500).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("fp"),
+        (F.col("id") + 7_000_000).alias("doc_id"),
+    )
+    store.write.mode("overwrite").parquet(str(tmp_path / "plain_fps"))
+    store.write.bucketBy(8, "fp").sortBy("fp").mode("overwrite").saveAsTable(
+        "t_fps_bucketed_ab"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = _full_plan(
+            delta.join(spark.read.parquet(str(tmp_path / "plain_fps")), "fp")
+        ).split("== Physical Plan ==")[-1]
+        bucketed = _full_plan(
+            delta.join(spark.table("t_fps_bucketed_ab"), "fp")
+        ).split("== Physical Plan ==")[-1]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_fps_bucketed_ab")
+    assert plain.count("Exchange") == 2
+    assert bucketed.count("Exchange") == 1
+    assert "SelectedBucketsCount" in bucketed or "Bucketed: true" in bucketed

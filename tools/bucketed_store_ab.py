@@ -1,0 +1,74 @@
+"""Bucketed vs plain sketch-store sinks A/B (round-8 verdict item 5).
+
+Question: does ``bucketBy(fp)``-ing the store's fps/winnow sinks drop the
+store-side exchange of the delta joins, and what does that buy in wall
+time? The regime bucketing exists for is "neither join side fits a
+broadcast", so both arms run with autoBroadcastJoinThreshold = -1; the
+plan-shape differential (2 exchanges → 1 on the fp join) is pinned by
+``tests/test_plan_shapes.py::test_bucketed_store_sink_elides_store_side_exchange``.
+
+Protocol (fair per PLANS round-7 notes): fresh session per arm (one arm
+per process), unrelated warmup count, 3 runs with benchlib.materialize,
+warm = min of runs 2-3.
+
+Usage: python tools/bucketed_store_ab.py {plain|bucketed} [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_BUCKETS = 32
+
+
+def main() -> None:
+    arm = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from spark_ml_algo_lib_master_tongji_spark import benchlib
+    from spark_ml_algo_lib_master_tongji_spark.operators import dedup
+    from spark_ml_algo_lib_master_tongji_spark.session import get_session
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    spark = get_session(app_name=f"bucketed_ab_{arm}")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # JIT warmup
+
+    cat = Catalog(spark, sf_dir)
+    idx = dedup._dedup_index(cat)  # plain store build = one-time, untimed
+    if arm == "bucketed":
+        # rewrite the two fp-keyed tables as bucketed managed tables; the
+        # capped winnow view is re-derived from the bucketed postings so
+        # the joins in delta_decisions see bucketed scans.
+        for t in ("ab_store_fps", "ab_store_winnow"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")  # also clears a stale
+            # warehouse dir left by a killed run (LOCATION_ALREADY_EXISTS)
+        idx.fps.write.bucketBy(N_BUCKETS, "fp").sortBy("fp").mode(
+            "overwrite"
+        ).saveAsTable("ab_store_fps")
+        idx.winnow.write.bucketBy(N_BUCKETS, "fp").sortBy("fp").mode(
+            "overwrite"
+        ).saveAsTable("ab_store_winnow")
+        fps, winnow = spark.table("ab_store_fps"), spark.table("ab_store_winnow")
+    else:
+        fps, winnow = idx.fps, idx.winnow
+
+    delta = dedup._delta_docs(cat)
+    base_docs = cat.documents.select("doc_id", "text")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for r in range(3):
+        t0 = time.perf_counter()
+        n = benchlib.materialize(
+            dedup.delta_decisions(delta, fps, idx.sigs, winnow, base_docs)
+        )
+        print(
+            f"{arm} sf={sf_dir} run{r}: "
+            f"{time.perf_counter() - t0:.3f}s rows={n}"
+        )
+
+
+if __name__ == "__main__":
+    main()
