@@ -201,10 +201,10 @@ SELECT (SELECT n FROM maj) AS n,
        TRUE AS est_in_band
 """
 
-    # Five-classifier anchor row (ml_estimators.ml_est_clf_acc_anchors):
+    # Six-classifier anchor row (ml_estimators.ml_est_clf_acc_anchors):
     # numerics are the exact 10-class / binary centroid accuracies and the
     # binary majority baseline (same centroid CTE arithmetic, label vs
-    # label % 2); the five estimator agreements ride in the booleans.
+    # label % 2); the six estimator agreements ride in the booleans.
     def _centroid_sql(lab_expr: str) -> str:
         return f"""(
     WITH cpts AS (SELECT vec_id,
@@ -243,7 +243,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
        {_centroid_sql("label")} AS centroid_acc,
        {_centroid_sql("label % 2")} AS bin_centroid_acc,
        {_bin_majority_sql} AS bin_majority_acc,
-       TRUE AS dt_ok, TRUE AS rf_ok, TRUE AS gbt_ok,
+       TRUE AS dt_ok, TRUE AS rf_ok, TRUE AS gbt_ok, TRUE AS pipe_ok,
        TRUE AS svc_ok, TRUE AS lrb_ok
 """
 

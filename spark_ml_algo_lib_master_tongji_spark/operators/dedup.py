@@ -869,15 +869,23 @@ def build_dedup_index(
         .agg(F.min("doc_id").alias("keeper_doc_id"))
     )
     sigs = minhash_signatures(docs, shingles=shingles)
-    postings = winnow_fp_stream(docs)
-    wdf = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    capped = postings.join(
-        F.broadcast(wdf.where(F.col("df") > WINNOW_DF_MAX).select("fp")),
-        "fp",
-        "left_anti",
-    )
-    overcap = wdf.where(F.col("df") > WINNOW_DF_MAX).select("fp")
-    return _write_version(spark, path, fps, sigs, capped, wdf, overcap, [])
+    # one interpreted-HOF sketch pass serves the df agg, the capped
+    # posting write, and (downstream of wdf) the over-cap list — without
+    # the persist the capped write re-evaluates the whole sketch.
+    postings = winnow_fp_stream(docs).persist()
+    try:
+        wdf = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        capped = postings.join(
+            F.broadcast(wdf.where(F.col("df") > WINNOW_DF_MAX).select("fp")),
+            "fp",
+            "left_anti",
+        )
+        overcap = wdf.where(F.col("df") > WINNOW_DF_MAX).select("fp")
+        return _write_version(
+            spark, path, fps, sigs, capped, wdf, overcap, []
+        )
+    finally:
+        postings.unpersist(blocking=False)
 
 
 def merge_dedup_index(
@@ -917,27 +925,34 @@ def merge_dedup_index(
         .agg(F.min("doc_id").alias("keeper_doc_id"))
     )
     sigs = minhash_signatures(new_docs, shingles=sh)
-    inc = winnow_fp_stream(new_docs)
-    inc_counts = inc.groupBy("fp").agg(F.count(F.lit(1)).alias("_inc"))
-    old_df = idx.winnow_df(spark)
-    touched = (
-        inc_counts.join(old_df, "fp", "left")
-        .select(
-            "fp",
-            (F.coalesce(F.col("df"), F.lit(0)) + F.col("_inc")).alias("df"),
+    # persist: the increment sketch feeds both the df update and the
+    # capped posting write (see build_dedup_index).
+    inc = winnow_fp_stream(new_docs).persist()
+    try:
+        inc_counts = inc.groupBy("fp").agg(F.count(F.lit(1)).alias("_inc"))
+        old_df = idx.winnow_df(spark)
+        touched = (
+            inc_counts.join(old_df, "fp", "left")
+            .select(
+                "fp",
+                (F.coalesce(F.col("df"), F.lit(0)) + F.col("_inc")).alias(
+                    "df"
+                ),
+            )
         )
-    )
-    old_overcap = spark.read.parquet(f"{idx.path}/winnow_overcap")
-    overcap = (
-        old_overcap.unionByName(
-            touched.where(F.col("df") > WINNOW_DF_MAX).select("fp")
+        old_overcap = spark.read.parquet(f"{idx.path}/winnow_overcap")
+        overcap = (
+            old_overcap.unionByName(
+                touched.where(F.col("df") > WINNOW_DF_MAX).select("fp")
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    capped = inc.join(F.broadcast(overcap), "fp", "left_anti")
-    return _write_version(
-        spark, path, fps, sigs, capped, touched, overcap, idx.roots
-    )
+        capped = inc.join(F.broadcast(overcap), "fp", "left_anti")
+        return _write_version(
+            spark, path, fps, sigs, capped, touched, overcap, idx.roots
+        )
+    finally:
+        inc.unpersist(blocking=False)
 
 
 def _dedup_index(cat: Catalog) -> DedupIndex:

@@ -1167,7 +1167,9 @@ def ml_est_als_implicit(cat: Catalog) -> DataFrame:
 #: DT 1.55–1.71, RF 2.38–4.2); the binary GBT vs the 2-class centroid
 #: (1.58–1.64). Floors sit far below every measurement and far above the
 #: degenerate plurality predictor (≈0.5–0.9× the respective centroid).
-TREE_CLF_CENTROID_FLOORS = {"dt": 1.2, "rf": 1.5, "gbt": 1.3}
+#: The 4-stage GBDT pipeline (binary, 10 boosting iters) measured
+#: 1.47–1.55× the binary centroid.
+TREE_CLF_CENTROID_FLOORS = {"dt": 1.2, "rf": 1.5, "gbt": 1.3, "pipe": 1.25}
 #: Linear binary classifiers (SVC, bounded LR) on the weakly separable
 #: parity label barely clear the 2-class centroid at sf0.1, so a centroid
 #: ratio cannot separate them from degenerate there; the honest anchor is
@@ -1177,22 +1179,24 @@ BIN_CLF_MAJORITY_MARGIN = 0.015
 
 
 def ml_est_clf_acc_anchors(cat: Catalog) -> DataFrame:
-    """Driver-verifiable accuracy anchors for the five remaining
+    """Driver-verifiable accuracy anchors for the six remaining
     rows-only classifier workloads in ONE row (round-8 verdict item 6,
     extending the ``ml_est_kmeans_wssse`` template): the numerics are the
     exact nearest-class-centroid accuracies (10-class and binary) and the
     binary majority baseline — all SQL-recomputable; each seeded
     estimator rides in its own boolean (DT/RF vs the 10-class centroid
-    floor, GBT vs the binary centroid floor, SVC/bounded-LR vs the
-    majority margin). The SQL twin emits five TRUEs — any single drifted
-    estimator flips its bit and the value hash. All five fits are the
-    session-shared ones their plain metric queries consume."""
+    floor, GBT and the 4-stage GBDT pipeline vs the binary centroid
+    floor, SVC/bounded-LR vs the majority margin). The SQL twin emits six
+    TRUEs — any single drifted estimator flips its bit and the value
+    hash. All six fits are the session-shared ones their plain metric
+    queries consume."""
     centroid_acc, _ = _centroid_baselines(cat, binary=False)
     bin_centroid_acc, bin_majority_acc = _centroid_baselines(cat, binary=True)
     f = TREE_CLF_CENTROID_FLOORS
     dt_ok = _dt_clf_acc(cat) >= f["dt"] * centroid_acc
     rf_ok = _rf_clf_acc(cat) >= f["rf"] * centroid_acc
     gbt_ok = _gbt_clf_acc(cat) >= f["gbt"] * bin_centroid_acc
+    pipe_ok = _gbt_pipeline_acc(cat) >= f["pipe"] * bin_centroid_acc
     svc_ok = _svc_acc(cat) >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
     lrb_ok = _lrb_acc(cat) >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
     return cat.spark.createDataFrame(
@@ -1205,13 +1209,14 @@ def ml_est_clf_acc_anchors(cat: Catalog) -> DataFrame:
                 bool(dt_ok),
                 bool(rf_ok),
                 bool(gbt_ok),
+                bool(pipe_ok),
                 bool(svc_ok),
                 bool(lrb_ok),
             )
         ],
         "n long, centroid_acc double, bin_centroid_acc double, "
         "bin_majority_acc double, dt_ok boolean, rf_ok boolean, "
-        "gbt_ok boolean, svc_ok boolean, lrb_ok boolean",
+        "gbt_ok boolean, pipe_ok boolean, svc_ok boolean, lrb_ok boolean",
     )
 
 
@@ -1355,43 +1360,68 @@ def ml_est_als_mse(cat: Catalog) -> DataFrame:
 # ---- feature weighting -----------------------------------------------------
 
 
+def _gbt_pipeline_acc(cat: Catalog) -> float:
+    """Session-shared accuracy of the full 4-stage GBDT pipeline fit —
+    ``ml_est_gbt_pipeline`` and the clf-anchor row consume the same
+    fit's scalar."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        _derived_scalar,
+    )
+
+    def compute() -> float:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.feature import (
+            IndexToString,
+            StringIndexer,
+            VectorIndexer,
+        )
+
+        df = _features(cat).withColumn(
+            "label_str",
+            F.concat(F.lit("c"), (F.col("label") % 2).cast("string")),
+        )
+        si = StringIndexer(inputCol="label_str", outputCol="indexedLabel")
+        vi = VectorIndexer(
+            inputCol="features", outputCol="indexedFeatures", maxCategories=4
+        )
+        gbt = GBTClassifier(
+            labelCol="indexedLabel",
+            featuresCol="indexedFeatures",
+            maxIter=10,
+            maxDepth=5,
+            seed=SEED,
+        )
+        sim = si.fit(df)
+        its = IndexToString(
+            inputCol="prediction",
+            outputCol="predictedLabel",
+            labels=sim.labels,
+        )
+        model = Pipeline(stages=[si, vi, gbt, its]).fit(df)
+        # one agg job — the former filter-count / count / count trio
+        # re-scored the whole pipeline three times
+        row = (
+            model.transform(df)
+            .agg(
+                F.avg(
+                    (F.col("label_str") == F.col("predictedLabel")).cast(
+                        "double"
+                    )
+                ).alias("acc")
+            )
+            .first()
+        )
+        return round(float(row["acc"]), 4)
+
+    return _derived_scalar(cat, "gbt_pipeline_acc", compute)
+
+
 def ml_est_gbt_pipeline(cat: Catalog) -> DataFrame:
     """The reference's full GBDT pipeline (``GBDTRunner.scala:150-203``):
     StringIndexer → VectorIndexer → GBTClassifier → IndexToString, assembled
     as a spark.ml Pipeline → one row (accuracy, n, stages)."""
-    from pyspark.ml import Pipeline
-    from pyspark.ml.feature import IndexToString, StringIndexer, VectorIndexer
-
-    df = _features(cat).withColumn(
-        "label_str", F.concat(F.lit("c"), (F.col("label") % 2).cast("string"))
-    )
-    si = StringIndexer(inputCol="label_str", outputCol="indexedLabel")
-    vi = VectorIndexer(
-        inputCol="features", outputCol="indexedFeatures", maxCategories=4
-    )
-    gbt = GBTClassifier(
-        labelCol="indexedLabel",
-        featuresCol="indexedFeatures",
-        maxIter=10,
-        maxDepth=5,
-        seed=SEED,
-    )
-    sim = si.fit(df)
-    its = IndexToString(
-        inputCol="prediction", outputCol="predictedLabel", labels=sim.labels
-    )
-    model = Pipeline(stages=[si, vi, gbt, its]).fit(df)
-    pred = model.transform(df)
-    # one agg job — the former filter-count / count / count trio re-scored
-    # the whole pipeline three times
-    row = pred.agg(
-        F.avg(
-            (F.col("label_str") == F.col("predictedLabel")).cast("double")
-        ).alias("acc"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    return df.sparkSession.createDataFrame(
-        [(round(float(row["acc"]), 4), row["n"], 4)],
+    return cat.spark.createDataFrame(
+        [(_gbt_pipeline_acc(cat), _features_n(cat), 4)],
         "accuracy double, n long, stages int",
     )
 

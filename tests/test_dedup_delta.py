@@ -329,7 +329,8 @@ def test_combined_estimator_anchor_rows(spark, duck):
     assert_match(c, duck, o["ml_est_clf_acc_anchors"], "ml_est_clf_acc_anchors")
     crow = c.first()
     assert all(
-        crow[k] is True for k in ("dt_ok", "rf_ok", "gbt_ok", "svc_ok", "lrb_ok")
+        crow[k] is True
+        for k in ("dt_ok", "rf_ok", "gbt_ok", "pipe_ok", "svc_ok", "lrb_ok")
     )
     # a degenerate plurality predictor must fail the floors it anchors
     f = me.TREE_CLF_CENTROID_FLOORS
