@@ -89,28 +89,6 @@ def _features(cat: Catalog) -> DataFrame:
     )
 
 
-def _one_row(spark_df: DataFrame) -> DataFrame:
-    return spark_df
-
-
-def _clf_metrics(pred: DataFrame, label_col: str) -> DataFrame:
-    """Train-set accuracy as a 1-row DataFrame (``LogRRunner.scala:200``:
-    filter(label === prediction) / count — expressed directly as that
-    one aggregation). The evaluator's "accuracy" is the same quantity but
-    costs a separate confusion-matrix pass on top of the count pass; one
-    agg job halves every clf workload's evaluation cost (round-4 verdict
-    item 5: shave the estimator family's fixed overhead)."""
-    row = pred.agg(
-        F.avg((F.col(label_col) == F.col("prediction")).cast("double")).alias(
-            "acc"
-        ),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    return pred.sparkSession.createDataFrame(
-        [(round(float(row["acc"]), 4), row["n"])], "accuracy double, n long"
-    )
-
-
 def _shared_clf_acc(cat: Catalog, key: str, label_col: str, fit) -> float:
     """Session-shared train accuracy of a seeded classifier fit — the
     plain metric query and the ``ml_est_clf_acc_anchors`` row consume the
@@ -165,18 +143,6 @@ def _shared_reg_rmse(cat: Catalog, key: str, label_col: str, fit) -> float:
         return round(float(row["rmse"]), 4)
 
     return _derived_scalar(cat, key, compute)
-
-
-def _reg_metrics(pred: DataFrame, label_col: str) -> DataFrame:
-    """Train-set RMSE + count in ONE aggregation job (the evaluator pass +
-    separate count pass computed the identical √avg((y−ŷ)²) in two)."""
-    err = F.col(label_col) - F.col("prediction")
-    row = pred.agg(
-        F.sqrt(F.avg(err * err)).alias("rmse"), F.count(F.lit(1)).alias("n")
-    ).first()
-    return pred.sparkSession.createDataFrame(
-        [(round(float(row["rmse"]), 4), row["n"])], "rmse double, n long"
-    )
 
 
 def _mllib_emb_rdd(cat: Catalog):

@@ -53,3 +53,27 @@ def test_every_oracle_has_a_query():
     queries = set(build_registry())
     oracle_names = set(entry.oracle_sql())
     assert oracle_names <= queries, sorted(oracle_names - queries)
+
+
+def test_every_oracle_output_is_driver_sortable(spark):
+    """The round-8 lesson generalized: the driver canonicalizes result
+    frames with pandas ``sort_values``, which raises on list/map/struct
+    cells — every oracle-bearing query must emit only scalar columns
+    (rows-only queries may keep arrays; they are never value-hashed)."""
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.registry import build_registry
+
+    from tests.conftest import SF_SMOKE
+
+    reg = build_registry()
+    oracle_names = set(all_oracles())
+    offenders = []
+    for name in reg:
+        if name not in oracle_names:
+            continue
+        df = reg[name](spark, SF_SMOKE)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if any(k in t for k in ("array", "map", "struct")):
+                offenders.append((name, f.name, t))
+    assert not offenders, offenders
