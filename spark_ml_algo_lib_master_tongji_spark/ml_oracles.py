@@ -201,6 +201,36 @@ SELECT (SELECT n FROM maj) AS n,
        TRUE AS est_in_band
 """
 
+    # Sparse-PCA trace anchor (ml_extra.ml_est_spca_energy): total sample
+    # variance of the deterministic SPCA_VOCAB-column tf matrix from the
+    # COO aggregates alone (zeros contribute nothing to Σv²); n = docs
+    # with ≥1 vocab token. The fit's top-k mass rides in the boolean.
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_extra import (
+        SPCA_VOCAB,
+    )
+
+    o["ml_est_spca_energy"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+head AS (
+    SELECT token FROM (
+        SELECT token, count(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT {SPCA_VOCAB}
+    )
+),
+coo AS (
+    SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS v
+    FROM toks JOIN head USING (token) GROUP BY doc_id, token
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM coo)
+SELECT {SPCA_VOCAB} AS vocab,
+       round(sum((sv2 - sv * sv / (SELECT n FROM nd))
+                 / ((SELECT n FROM nd) - 1)), 4) AS total_variance,
+       TRUE AS est_in_band
+FROM (SELECT token, sum(v * v) AS sv2, sum(v) AS sv FROM coo GROUP BY token)
+"""
+
     # Six-classifier anchor row (ml_estimators.ml_est_clf_acc_anchors):
     # numerics are the exact 10-class / binary centroid accuracies and the
     # binary majority baseline (same centroid CTE arithmetic, label vs

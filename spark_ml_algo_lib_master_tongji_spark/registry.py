@@ -98,11 +98,11 @@ def _module_queries() -> dict[str, QueryFn]:
 #: received a driver row (text_bpe_token_stats, graph_node2vec_embeddings —
 #: both judge-sweep MATCH in round 8). Tier 2: the ten round-6-green rows
 #: deferred at round 8 — they hit the 3-round staleness bound now. Tier 3
-#: fill: the round-7-green cohort (2 rounds stale), oldest-first 30 of 50;
-#: the remaining 20 head the round-10 window (with 30 of the 33
+#: fill: the round-7-green cohort (2 rounds stale), oldest-first 29 of 50;
+#: the remaining 21 head the round-10 window (with 29 of the 33
 #: round-8-refresh rows; the overflow rides round 11 — at 117 oracles a
 #: 50-slot window sustains a ≤3-round rotation, no longer ≤2 everywhere).
-#: Behind the window: those 20, then the round-8-green entries (freshest),
+#: Behind the window: those 21, then the round-8-green entries (freshest),
 #: then the no-oracle estimator workloads (pytest-only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: changed this round / new oracles / first-ever rows ----------
@@ -111,9 +111,10 @@ _ORDER: tuple[str, ...] = (
     "dedup_index_stats",  # r9: capped posting count + n_overcap_fps
     "ml_est_logreg_acc",  # NEW r9 estimator anchor
     "ml_est_als_mse",  # NEW r9 estimator anchor
-    "ml_est_clf_acc_anchors",  # NEW r9: 5 classifiers in one anchor row
+    "ml_est_clf_acc_anchors",  # NEW r9: 6 classifiers in one anchor row
     "ml_est_reg_rmse_anchors",  # NEW r9: 3 regressors in one anchor row
     "ml_est_lda_ppx",  # NEW r9: LDA vocab + uniform-ppx anchor
+    "ml_est_spca_energy",  # NEW r9: sparse-PCA trace anchor
     "text_bpe_token_stats",  # first driver row (oracle landed late in r8)
     "graph_node2vec_embeddings",  # first driver row (oracle landed r8)
     # -- tier 2: round-6 rows at the 3-round staleness bound — must refresh --
@@ -127,7 +128,7 @@ _ORDER: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    # -- tier 3 fill: round-7-green cohort (2 rounds stale), first 33 --------
+    # -- tier 3 fill: round-7-green cohort (2 rounds stale), first 29 --------
     "stat_spearman_lineitem",
     "graph_cycle_detection",
     "graph_maximal_cliques",
@@ -157,9 +158,9 @@ _ORDER: tuple[str, ...] = (
     "graph_trustrank",
     "graph_ppr_multi",
     "graph_closeness_nation",
-    "graph_scc_nation",
     # ---------------------------- window boundary (50) ---------------------
-    # -- tier 3 head: the 20 round-7 rows deferred to round 10 (2-round
+    "graph_scc_nation",
+    # -- tier 3 head: the 21 round-7 rows deferred to round 10 (2-round
     #    staleness, within the contract bound; each keeps its pytest
     #    differential; ml_linreg_ols's SQL twin is embedded verbatim inside
     #    ml_est_linreg_rmse's oracle) --------------------------------------
@@ -267,7 +268,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_scc_nation", (
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_closeness_nation", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

@@ -351,3 +351,17 @@ def test_combined_estimator_anchor_rows(spark, duck):
     assert me.ml_est_lda(cat).first()["vocab"] == lrow["vocab"]
     assert me.ml_est_dt_classifier(cat).first()["accuracy"] == me._dt_clf_acc(cat)
     assert me.ml_est_gbt_regressor(cat).first()["rmse"] == me._gbt_reg_rmse(cat)
+    # sparse-PCA trace anchor: SQL-exact total variance + top-k mass band
+    from spark_ml_algo_lib_master_tongji_spark.operators import ml_extra
+
+    sp = ml_extra.ml_est_spca_energy(cat)
+    assert_match(sp, duck, o["ml_est_spca_energy"], "ml_est_spca_energy")
+    sprow = sp.first()
+    assert sprow["est_in_band"] is True
+    # the mass equals the spectrum row's sum (shared fit), and the flat
+    # spectrum's k/vocab mass sits outside the band floor
+    mass = sum(
+        r["explained_variance"] for r in ml_extra.ml_est_pca_sparse(cat).collect()
+    )
+    assert ml_extra.SPCA_MASS_BAND[0] <= mass <= ml_extra.SPCA_MASS_BAND[1]
+    assert ml_extra.SPCA_K / ml_extra.SPCA_VOCAB < ml_extra.SPCA_MASS_BAND[0]
