@@ -255,6 +255,115 @@ def test_merged_store_capped_view_exact_across_cap_crossing(spark, tmp_path):
     assert n_v1_postings <= n_inc_postings
 
 
+def test_two_refresh_chain_store_equals_recompute(spark, tmp_path):
+    """v0 → merge → v1 → merge → v2 on a seeded random corpus: after EACH
+    refresh, all three read-back sketch surfaces equal a from-scratch
+    recompute over the union corpus — fps (min-keeper election), sigs
+    (union), winnow (capped view) — including fps that cross the df-cap
+    at DIFFERENT versions. This is the multi-version manifest's exactness
+    contract; the single-merge tests can't see a v1-written posting being
+    hidden by a v2 cap crossing."""
+    import random
+
+    from spark_ml_algo_lib_master_tongji_spark.functions import text as TXT
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fp_stream,
+    )
+
+    rng = random.Random(2020)
+    run_a = " ".join(f"ha{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    run_b = " ".join(f"hb{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    cap = dedup.WINNOW_DF_MAX
+
+    def doc(i, runs):
+        pre = " ".join(f"w{rng.randrange(40)}" for _ in range(rng.randrange(3, 9)))
+        post = " ".join(f"z{rng.randrange(40)}" for _ in range(rng.randrange(3, 9)))
+        return (i, f"{pre} {' '.join(runs)} {post}" if runs else f"{pre} {post}")
+
+    # run_a: cap-1 docs at v0, crosses at v1. run_b: spread so it crosses
+    # only at v2. Plus plain docs and one exact cross-version duplicate.
+    base_rows = (
+        [doc(i, [run_a]) for i in range(cap - 1)]
+        + [doc(100 + i, [run_b]) for i in range(3)]
+        + [doc(200 + i, []) for i in range(10)]
+    )
+    inc1_rows = (
+        [doc(300 + i, [run_a]) for i in range(2)]  # a crosses (cap+1 total)
+        + [doc(400 + i, [run_b]) for i in range(2)]  # b at 5 ≤ cap
+        + [doc(500 + i, []) for i in range(5)]
+        + [(590, base_rows[200 - 200 + len(base_rows) - 1][1])]  # exact dup
+    )
+    inc2_rows = (
+        [doc(600 + i, [run_b]) for i in range(cap)]  # b crosses now
+        + [doc(700 + i, []) for i in range(5)]
+        + [(790, inc1_rows[0][1])]  # exact dup of a v1 doc
+    )
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame(base_rows, schema)
+    inc1 = spark.createDataFrame(inc1_rows, schema)
+    inc2 = spark.createDataFrame(inc2_rows, schema)
+
+    def check(idx, union_df):
+        got_w = sorted(tuple(r) for r in idx.winnow.select("doc_id", "fp").collect())
+        want_w = sorted(
+            tuple(r)
+            for r in dedup.capped_postings(winnow_fp_stream(union_df)).collect()
+        )
+        assert got_w == want_w
+        want_fps = sorted(
+            tuple(r)
+            for r in union_df.select(
+                TXT.fingerprint(F.col("text")).alias("fp"), "doc_id"
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keeper_doc_id"))
+            .collect()
+        )
+        got_fps = sorted(
+            tuple(r) for r in idx.fps.select("fp", "keeper_doc_id").collect()
+        )
+        assert got_fps == want_fps
+        want_sigs = sorted(
+            tuple(r) for r in dedup.minhash_signatures(union_df).collect()
+        )
+        got_sigs = sorted(tuple(r) for r in idx.sigs.select("doc_id", "sig").collect())
+        assert got_sigs == want_sigs
+
+    idx0 = dedup.build_dedup_index(base, str(tmp_path / "v0"))
+    check(idx0, base)
+    idx1 = dedup.merge_dedup_index(idx0, inc1, str(tmp_path / "v1"))
+    check(idx1, base.unionByName(inc1))
+    idx2 = dedup.merge_dedup_index(idx1, inc2, str(tmp_path / "v2"))
+    u2 = base.unionByName(inc1).unionByName(inc2)
+    check(idx2, u2)
+    # the engineered crossings actually happened at different versions —
+    # the winnowing guarantee pins exactly ONE fp per shared run: a
+    # K+W−1-token run has exactly one all-inside window, whose min (over
+    # the run's own W gram hashes) is context-independent.
+    import hashlib
+
+    def run_fp(run: str) -> int:
+        t = run.split(" ")
+        grams = [
+            " ".join(t[i : i + WINNOW_K]) for i in range(len(t) - WINNOW_K + 1)
+        ]
+        return min(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        )
+
+    v0_fps = {r["fp"] for r in idx0.winnow.collect()}
+    v1_fps = {r["fp"] for r in idx1.winnow.collect()}
+    v2_fps = {r["fp"] for r in idx2.winnow.collect()}
+    fa, fb = run_fp(run_a), run_fp(run_b)
+    assert fa in v0_fps and fa not in v1_fps and fa not in v2_fps
+    assert fb in v0_fps and fb in v1_fps and fb not in v2_fps
+    # pinned handles keep reading their own manifests
+    assert {r["fp"] for r in idx0.winnow.collect()} == v0_fps
+    assert {r["fp"] for r in idx1.winnow.collect()} == v1_fps
+
+
 def test_delta_near_text_short_doc_is_empty_string(spark):
     """<3-token docs produce '' (not NULL) as the near-dup mutated text —
     the contract the oracle's coalesce mirrors."""
