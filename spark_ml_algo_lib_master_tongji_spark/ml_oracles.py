@@ -288,20 +288,28 @@ FROM embeddings
 """
 
     # LDA anchor row (ml_estimators.ml_est_lda_ppx): vocab is the
-    # CountVectorizer size — #tokens appearing in ≥2 docs (distinct per
-    # doc), capped at 500 (a boundary tie changes the set, never the
-    # count); uniform_logppx = ln(V); the fit agreement rides in the
-    # boolean.
-    o["ml_est_lda_ppx"] = """
+    # CountVectorizer size — #tokens appearing in ≥ LDA_MIN_DF docs
+    # (distinct per doc), capped at LDA_VOCAB_SIZE (a boundary tie
+    # changes the set, never the count); uniform_logppx = ln(V); the fit
+    # agreement rides in the boolean. Constants are the Spark side's own
+    # (interpolated, never re-typed).
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        LDA_K,
+        LDA_MIN_DF,
+        LDA_VOCAB_SIZE,
+    )
+
+    o["ml_est_lda_ppx"] = f"""
 WITH dtok AS (
     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
     FROM documents
 ),
 v AS (
-    SELECT least(CAST(count(*) AS INT), 500) AS vocab
-    FROM (SELECT tok FROM dtok GROUP BY tok HAVING count(*) >= 2)
+    SELECT least(CAST(count(*) AS INT), {LDA_VOCAB_SIZE}) AS vocab
+    FROM (SELECT tok FROM dtok GROUP BY tok
+          HAVING count(*) >= {int(LDA_MIN_DF)})
 )
-SELECT 5 AS k, vocab,
+SELECT {LDA_K} AS k, vocab,
        round(ln(vocab), 4) AS uniform_logppx,
        TRUE AS est_in_band
 FROM v

@@ -875,12 +875,8 @@ def build_dedup_index(
     postings = winnow_fp_stream(docs).persist()
     try:
         wdf = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        capped = postings.join(
-            F.broadcast(wdf.where(F.col("df") > WINNOW_DF_MAX).select("fp")),
-            "fp",
-            "left_anti",
-        )
         overcap = wdf.where(F.col("df") > WINNOW_DF_MAX).select("fp")
+        capped = postings.join(F.broadcast(overcap), "fp", "left_anti")
         return _write_version(
             spark, path, fps, sigs, capped, wdf, overcap, []
         )
@@ -982,18 +978,36 @@ def _dedup_index(cat: Catalog) -> DedupIndex:
             "" if env_root else "|" + cat.spark.sparkContext.applicationId
         )
         key = hashlib.md5(seed.encode()).hexdigest()[:12]
+        path = os.path.join(root, key)
+        if env_root and _store_complete(path):
+            # deliberate cross-session reuse: the env path is stable and
+            # sf-keyed, so a complete store is READ, never rebuilt — and
+            # never rmtree'd, since another session may be reading it
+            # (the rmtree below would otherwise delete a concurrent
+            # reader's files mid-job). Provisioning the shared store is
+            # the operator's one-time job; a half-written store (no
+            # _SUCCESS everywhere) is rebuilt in place.
+            return DedupIndex(cat.spark, [path])
         # a cleared _derived_obj cache (tests; session restart reusing an
         # applicationId-keyed dir) re-lands here: the store sinks are
         # errorifexists by design, so drop OUR OWN previous store first —
-        # the path is session-private (app id in the key) or explicitly
-        # owned (SPARK_GRAFT_INDEX_DIR), never another session's.
-        shutil.rmtree(os.path.join(root, key), ignore_errors=True)
+        # the tempdir path is session-private (app id in the key); the
+        # env path is only cleared when incomplete.
+        shutil.rmtree(path, ignore_errors=True)
         base = spread(cat.documents.select("doc_id", "text"))
-        return build_dedup_index(
-            base, os.path.join(root, key), shingles=doc_shingles(cat)
-        )
+        return build_dedup_index(base, path, shingles=doc_shingles(cat))
 
     return _derived_obj(cat, "dedup_index", build)
+
+
+def _store_complete(path: str) -> bool:
+    """True iff every store table dir at ``path`` has a _SUCCESS marker."""
+    import os
+
+    return all(
+        os.path.exists(os.path.join(path, t, "_SUCCESS"))
+        for t in ("fps", "sigs", "winnow", "winnow_df", "winnow_overcap")
+    )
 
 
 def delta_decisions(

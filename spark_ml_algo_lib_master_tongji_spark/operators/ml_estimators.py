@@ -49,6 +49,13 @@ from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, sprea
 
 SEED = 2020  # GBDTRunner.scala:182,198; LDARunner.scala:158
 
+#: LDA corpus geometry (LDARunner.scala:157-186) — shared between the
+#: spark.ml fit and the ml_est_lda_ppx oracle twin (interpolated into the
+#: SQL, never re-typed).
+LDA_K = 5
+LDA_VOCAB_SIZE = 500
+LDA_MIN_DF = 2.0
+
 #: Seeded training-input fraction for the mllib RDD dispatch arms. The
 #: reference's ``rdd`` dispatch (``DTRunner.scala:377-382``) is an
 #: API-parity surface, not a throughput workload — the Python mllib API is
@@ -569,11 +576,14 @@ def _lda_metrics(cat: Catalog) -> tuple[int, float, float]:
     def build() -> tuple[int, float, float]:
         docs = _doc_tokens(cat)
         cv = CountVectorizer(
-            inputCol="toks", outputCol="tf", vocabSize=500, minDF=2.0
+            inputCol="toks",
+            outputCol="tf",
+            vocabSize=LDA_VOCAB_SIZE,
+            minDF=LDA_MIN_DF,
         ).fit(docs)
         tf = cv.transform(docs)
         lda = LDA(
-            k=5, maxIter=10, seed=SEED, optimizer="online", featuresCol="tf"
+            k=LDA_K, maxIter=10, seed=SEED, optimizer="online", featuresCol="tf"
         ).fit(tf)
         return (
             len(cv.vocabulary),
@@ -590,7 +600,7 @@ def ml_est_lda(cat: Catalog) -> DataFrame:
     corpus (``LDARunner.scala:211-219`` uses a seeded sample)."""
     vocab, loglik, logppx = _lda_metrics(cat)
     return cat.spark.createDataFrame(
-        [(5, vocab, loglik, logppx)],
+        [(LDA_K, vocab, loglik, logppx)],
         "k int, vocab int, log_likelihood double, log_perplexity double",
     )
 
@@ -602,36 +612,20 @@ def _logreg_est_acc(cat: Catalog) -> float:
     """Session-shared multinomial-LR train accuracy — ``ml_est_logreg``
     and the ``ml_est_logreg_acc`` anchor consume the SAME seeded fit's
     metric (the ``_kmeans_est_cost`` load-once-run-many pattern)."""
-    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
-        _derived_scalar,
-    )
-
-    def fit() -> float:
-        df = _features(cat)
-        m = LogisticRegression(
+    return _shared_clf_acc(
+        cat,
+        "logreg_est_acc",
+        "label",
+        lambda df: LogisticRegression(
             maxIter=20, regParam=0.01, elasticNetParam=0.5, labelCol="label"
-        ).fit(df)
-        row = (
-            m.transform(df)
-            .agg(
-                F.avg(
-                    (F.col("label") == F.col("prediction")).cast("double")
-                ).alias("acc")
-            )
-            .first()
-        )
-        return round(float(row["acc"]), 4)
-
-    return _derived_scalar(cat, "logreg_est_acc", fit)
+        ).fit(df),
+    )
 
 
 def ml_est_logreg(cat: Catalog) -> DataFrame:
     """Multinomial elastic-net LR (``LogRRunner.scala:146-179``)."""
-    df = _features(cat)
-    acc = _logreg_est_acc(cat)
-    n = df.count()
-    return df.sparkSession.createDataFrame(
-        [(acc, n)], "accuracy double, n long"
+    return cat.spark.createDataFrame(
+        [(_logreg_est_acc(cat), _features_n(cat))], "accuracy double, n long"
     )
 
 
@@ -1260,7 +1254,7 @@ def ml_est_lda_ppx(cat: Catalog) -> DataFrame:
     ratio = logppx / uniform
     in_band = LDA_PPX_BAND[0] <= ratio <= LDA_PPX_BAND[1]
     return cat.spark.createDataFrame(
-        [(5, vocab, uniform, bool(in_band))],
+        [(LDA_K, vocab, uniform, bool(in_band))],
         "k int, vocab int, uniform_logppx double, est_in_band boolean",
     )
 

@@ -100,7 +100,7 @@ def _module_queries() -> dict[str, QueryFn]:
 #: deferred at round 8 — they hit the 3-round staleness bound now. Tier 3
 #: fill: the round-7-green cohort (2 rounds stale), oldest-first 29 of 50;
 #: the remaining 21 head the round-10 window (with 29 of the 33
-#: round-8-refresh rows; the overflow rides round 11 — at 117 oracles a
+#: round-8-refresh rows; the overflow rides round 11 — at 118 oracles a
 #: 50-slot window sustains a ≤3-round rotation, no longer ≤2 everywhere).
 #: Behind the window: those 21, then the round-8-green entries (freshest),
 #: then the no-oracle estimator workloads (pytest-only).

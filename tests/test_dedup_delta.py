@@ -364,6 +364,41 @@ def test_two_refresh_chain_store_equals_recompute(spark, tmp_path):
     assert {r["fp"] for r in idx1.winnow.collect()} == v1_fps
 
 
+def test_env_index_dir_reuses_complete_store(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_INDEX_DIR = deliberate cross-session reuse: a COMPLETE
+    store at the stable path is read back, never rebuilt or rmtree'd (a
+    concurrent reader's files must survive); an incomplete one (missing
+    _SUCCESS) is rebuilt in place."""
+    import os
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _OBJ_CACHE
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    def clear():
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _OBJ_CACHE if k[0] == app and "dedup_index" in str(k)]:
+            del _OBJ_CACHE[k]
+
+    clear()
+    cat = Catalog(spark, SF_ORACLE)
+    idx1 = dedup._dedup_index(cat)
+    marker = os.path.join(idx1.path, "fps", "_SUCCESS")
+    mtime1 = os.path.getmtime(marker)
+    n1 = idx1.winnow.count()
+    clear()
+    idx2 = dedup._dedup_index(cat)  # fresh build() call, same env path
+    assert idx2.path == idx1.path
+    assert os.path.getmtime(marker) == mtime1  # reused, not rewritten
+    assert idx2.winnow.count() == n1
+    # incomplete store (lost _SUCCESS) → rebuilt in place
+    os.remove(marker)
+    clear()
+    idx3 = dedup._dedup_index(cat)
+    assert os.path.exists(marker)
+    assert idx3.winnow.count() == n1
+
+
 def test_delta_near_text_short_doc_is_empty_string(spark):
     """<3-token docs produce '' (not NULL) as the near-dup mutated text —
     the contract the oracle's coalesce mirrors."""
