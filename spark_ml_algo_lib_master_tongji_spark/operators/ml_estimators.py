@@ -219,11 +219,10 @@ def ml_est_kmeans(cat: Catalog) -> DataFrame:
     """KMeans k=8 (``KMeansRunner.scala:134-154``; k/maxIter from yml
     ``ml/kmeans/kmeans.yml:4-7`` scaled to fixture size). Output: one row
     (k, wssse, n) — the WSSSE metric of ``KMeansRunner.scala:157``."""
-    df = _features(cat)
     wssse = _kmeans_est_cost(cat)
-    n = df.count()
-    return df.sparkSession.createDataFrame(
-        [(8, round(wssse, 2), n)], "k int, wssse double, n long"
+    return cat.spark.createDataFrame(
+        [(8, round(wssse, 2), _features_n(cat))],
+        "k int, wssse double, n long",
     )
 
 
