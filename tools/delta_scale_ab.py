@@ -25,11 +25,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = "/root/repo/testdata_sf1"
+SF_HUGE = "/root/repo/testdata_sf3"  # 30× base — second-decade arm
 
 
 def main() -> None:
     arm = sys.argv[1]
-    base_sf = {"small": SF_SMALL, "big": SF_BIG}[arm]
+    base_sf = {"small": SF_SMALL, "big": SF_BIG, "huge": SF_HUGE}[arm]
 
     from spark_ml_algo_lib_master_tongji_spark import benchlib
     from spark_ml_algo_lib_master_tongji_spark.operators import dedup
