@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 75+ declared oracles the window cannot hold all of them in one
+check. With 118 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
