@@ -811,6 +811,31 @@ class DedupIndex:
         )
 
 
+def _same_store_path(a: str, b: str) -> bool:
+    """True iff two store-root strings name the same directory. Local
+    paths compare by realpath (symlink/..-proof); URI roots (hdfs://,
+    s3a://, file:// — what the 100 TB layout uses) compare by normalized
+    scheme/authority/path, since realpath is meaningless for them
+    (round-9 ADVICE). Distinct spellings of the same remote dir via
+    server-side aliasing are out of scope — the guard is a same-string
+    footgun check, not a filesystem oracle."""
+    from urllib.parse import urlparse
+    import os
+    import posixpath
+
+    def norm(p: str):
+        u = urlparse(p)
+        if u.scheme in ("", "file") and not u.netloc:
+            return ("local", os.path.realpath(u.path or p))
+        return (
+            u.scheme.lower(),
+            u.netloc.lower(),
+            posixpath.normpath(u.path or "/"),
+        )
+
+    return norm(a) == norm(b)
+
+
 def _write_version(
     spark,
     root: str,
@@ -821,10 +846,8 @@ def _write_version(
     overcap: DataFrame,
     prior_roots: list[str],
 ) -> DedupIndex:
-    import os
-
     for existing in prior_roots:
-        if os.path.realpath(existing) == os.path.realpath(root):
+        if _same_store_path(existing, root):
             # fps/overcap are rewritten per version; writing over a root
             # an existing handle lazily reads would delete its input
             # files mid-job (round-8 ADVICE).
@@ -961,7 +984,6 @@ def _dedup_index(cat: Catalog) -> DedupIndex:
     sessions on the same fixture (parallel pytest/bench processes), whose
     overwrite-writes would otherwise race each other's lazy parquet reads
     at a world-shared path (round-8 ADVICE)."""
-    import hashlib
     import os
     import tempfile
 
@@ -974,30 +996,84 @@ def _dedup_index(cat: Catalog) -> DedupIndex:
         root = env_root or os.path.join(
             tempfile.gettempdir(), "spark_graft_dedup_index"
         )
-        seed = cat.sf_dir + (
+        seed = _store_cache_seed(cat.sf_dir) + (
             "" if env_root else "|" + cat.spark.sparkContext.applicationId
         )
+        import hashlib
+
         key = hashlib.md5(seed.encode()).hexdigest()[:12]
         path = os.path.join(root, key)
         if env_root and _store_complete(path):
             # deliberate cross-session reuse: the env path is stable and
-            # sf-keyed, so a complete store is READ, never rebuilt — and
-            # never rmtree'd, since another session may be reading it
-            # (the rmtree below would otherwise delete a concurrent
-            # reader's files mid-job). Provisioning the shared store is
-            # the operator's one-time job; a half-written store (no
-            # _SUCCESS everywhere) is rebuilt in place.
+            # keyed on (fixture identity, sketch params, store format) —
+            # see _store_cache_seed — so a complete store is READ, never
+            # rebuilt, and never rmtree'd, since another session may be
+            # reading it. A regenerated fixture or a changed sketch
+            # constant changes the key and lands on a fresh dir instead
+            # of silently reusing stale sketches (round-9 ADVICE).
             return DedupIndex(cat.spark, [path])
-        # a cleared _derived_obj cache (tests; session restart reusing an
-        # applicationId-keyed dir) re-lands here: the store sinks are
-        # errorifexists by design, so drop OUR OWN previous store first —
-        # the tempdir path is session-private (app id in the key); the
-        # env path is only cleared when incomplete.
-        shutil.rmtree(path, ignore_errors=True)
         base = spread(cat.documents.select("doc_id", "text"))
-        return build_dedup_index(base, path, shingles=doc_shingles(cat))
+        if not env_root:
+            # session-private path (app id in the key): a cleared
+            # _derived_obj cache re-lands here and the store sinks are
+            # errorifexists by design, so drop our own previous store.
+            shutil.rmtree(path, ignore_errors=True)
+            return build_dedup_index(base, path, shingles=doc_shingles(cat))
+        # shared env path, store absent/incomplete: build into a
+        # session-private sibling, then PUBLISH with one atomic rename —
+        # concurrent provisioners never write the same files, and a
+        # loser adopts the winner's store (round-9 ADVICE).
+        tmp = f"{path}.build-{cat.spark.sparkContext.applicationId}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_dedup_index(base, tmp, shingles=doc_shingles(cat))
+        shutil.rmtree(path, ignore_errors=True)  # half-written leftover
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another session published between our rmtree and rename;
+            # use theirs, drop ours.
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not _store_complete(path):
+                raise
+        return DedupIndex(cat.spark, [path])
 
     return _derived_obj(cat, "dedup_index", build)
+
+
+#: Bump when the store's on-disk layout changes (tables, schemas, or the
+#: read-back contract) — invalidates every env-shared cache key.
+_STORE_FORMAT_VERSION = 2
+
+
+def _store_cache_seed(sf_dir: str) -> str:
+    """Cache-key seed for the env-shared store path: fixture directory +
+    fixture file identity (name/size/mtime of every documents.parquet
+    part) + every sketch constant the store bakes in + the store format
+    version. Any of these changing must miss the cache — a store built
+    before a fixture regeneration or under different WINNOW/minhash
+    params would otherwise be silently reused (round-9 ADVICE)."""
+    import os
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    stats: list[str] = []
+    if os.path.isdir(docs):
+        for name in sorted(os.listdir(docs)):
+            st = os.stat(os.path.join(docs, name))
+            stats.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(docs):
+        st = os.stat(docs)
+        stats.append(f"documents.parquet:{st.st_size}:{st.st_mtime_ns}")
+    params = (
+        f"fmt={_STORE_FORMAT_VERSION},perm={NUM_PERM},band={BAND_SIZE},"
+        f"jac={JACCARD_THRESHOLD},dfmax={WINNOW_DF_MAX},"
+        f"shared={WINNOW_MIN_SHARED},k={WINNOW_K},w={WINNOW_W}"
+    )
+    return "|".join([sf_dir, params, *stats])
 
 
 def _store_complete(path: str) -> bool:

@@ -720,8 +720,13 @@ def ml_est_logreg_acc(cat: Catalog) -> DataFrame:
     One 10-row broadcast join + two aggregates over the shared embedding
     scan — no new shuffle of the points."""
     centroid_acc, majority_acc = _centroid_baselines(cat, binary=False)
-    ratio = _logreg_est_acc(cat) / centroid_acc
-    in_band = LOGREG_CENTROID_BAND[0] <= ratio <= LOGREG_CENTROID_BAND[1]
+    # zero guard: a degenerate fixture (centroid_acc 0) flips the bit
+    # instead of raising ZeroDivisionError (round-9 ADVICE).
+    in_band = centroid_acc > 0 and (
+        LOGREG_CENTROID_BAND[0]
+        <= _logreg_est_acc(cat) / centroid_acc
+        <= LOGREG_CENTROID_BAND[1]
+    )
     return cat.spark.createDataFrame(
         [(_features_n(cat), centroid_acc, majority_acc, bool(in_band))],
         "n long, centroid_acc double, majority_acc double, "
@@ -1308,8 +1313,11 @@ def ml_est_als_mse(cat: Catalog) -> DataFrame:
     )
     r.unpersist(blocking=False)  # per-invocation cache — metrics are scalars
     baseline = float(base["baseline_mse"])
-    ratio = float(est["mse"]) / baseline
-    in_band = ALS_VAR_BAND[0] <= ratio <= ALS_VAR_BAND[1]
+    # zero guard: constant ratings (variance 0) flip the bit instead of
+    # raising ZeroDivisionError (round-9 ADVICE).
+    in_band = baseline > 0 and (
+        ALS_VAR_BAND[0] <= float(est["mse"]) / baseline <= ALS_VAR_BAND[1]
+    )
     return cat.spark.createDataFrame(
         [(base["n_ratings"], baseline, bool(in_band))],
         "n_ratings long, baseline_mse double, est_in_band boolean",

@@ -401,6 +401,9 @@ def test_bucketed_store_sink_elides_store_side_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_fps_bucketed_ab")
-    assert plain.count("Exchange") == 2
-    assert bucketed.count("Exchange") == 1
+    # differential, not absolute counts (robust across Spark versions /
+    # AQE config — round-9 ADVICE): bucketing removes exactly the
+    # store-side exchange, and the plain side pays at least one.
+    assert plain.count("Exchange") == bucketed.count("Exchange") + 1
+    assert plain.count("Exchange") >= 1
     assert "SelectedBucketsCount" in bucketed or "Bucketed: true" in bucketed
