@@ -549,6 +549,8 @@ def _pr_round_ctes(
 
 def _build_graph_extra_oracles() -> dict[str, str]:
     from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import (
+        BETW_OVERLAP_K,
+        BETW_OVERLAP_MOD,
         CLIQUE_MIN_W,
         H_A,
         H_B,
@@ -568,6 +570,31 @@ def _build_graph_extra_oracles() -> dict[str, str]:
     )
 
     o: dict[str, str] = {}
+
+    # Sampled-betweenness accuracy anchor (graph_extra.
+    # graph_betweenness_overlap): subgraph vertex/edge counts and k are
+    # recomputed from the mod-filtered co-purchase derivation; the
+    # measured top-k overlap vs the exact (all-sources) arm rides in the
+    # boolean the twin asserts TRUE.
+    o["graph_betweenness_overlap"] = f"""
+WITH sub AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_partkey % {BETW_OVERLAP_MOD} = 0
+      AND b.l_partkey % {BETW_OVERLAP_MOD} = 0
+    GROUP BY 1, 2
+),
+nv AS (
+    SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_verts
+    FROM (SELECT src AS v FROM sub UNION ALL SELECT dst FROM sub)
+)
+SELECT nv.n_verts,
+       (SELECT CAST(count(*) AS BIGINT) FROM sub) AS n_edges,
+       CAST(least({BETW_OVERLAP_K}, nv.n_verts) AS INT) AS k,
+       TRUE AS overlap_ok
+FROM nv
+"""
 
     # -- incremental pagerank: prior snapshot PR → warm-started full PR
     prior_ctes = f"""

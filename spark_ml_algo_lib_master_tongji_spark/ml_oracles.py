@@ -332,6 +332,23 @@ SELECT CAST(count(*) AS BIGINT) AS n_ratings,
 FROM r
 """
 
+    # Recommendation-serving anchor (ml_estimators.ml_est_als_rec_topk):
+    # user count / rec row count / mean rating recomputed from the
+    # ratings-table shape; the per-user score ordering and the top-1
+    # score band ride in the booleans.
+    o["ml_est_als_rec_topk"] = """
+WITH r AS (
+    SELECT o_custkey AS u, l_partkey AS i, avg(l_quantity) AS rating
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)
+SELECT CAST(least(50, count(DISTINCT u)) AS BIGINT)     AS n_users,
+       CAST(3 * least(50, count(DISTINCT u)) AS BIGINT) AS n_recs,
+       round(avg(rating), 4)                            AS avg_rating,
+       TRUE AS sorted_ok, TRUE AS est_in_band
+FROM r
+"""
+
     # SemDeDup composition: the Lloyd assignment scopes the cosine keeper
     # election to same-cluster pairs (threshold literal matches
     # dedup.COSINE_DEDUP_THRESHOLD and the dedup_embedding_cosine oracle).
@@ -383,6 +400,39 @@ SELECT qid, round(avg(CAST(nlabel AS DOUBLE)), 6) AS predicted
 FROM nb GROUP BY qid
 """
     )
+
+    # The two-phase spill-tree search (operators/knn.py) is EXACT, so the
+    # brute-force scan is its ground truth — full (qid, nid, rank, d2)
+    # value-hash, not just containment (strengthens the reference's own
+    # check, KNNRunner.scala:181-218). Ties rank on round(d2, 6) + nid on
+    # both sides, like _KNN_CTES.
+    o["ml_knn_spilltree"] = f"""
+WITH {_PTS},
+q AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id % {KNN_QUERY_MOD} = 0),
+corp AS (SELECT vec_id AS nid, v AS nv
+         FROM pts WHERE vec_id % {KNN_QUERY_MOD} <> 0),
+nbd AS (
+    SELECT qid, nid, d2,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d2 ASC, nid ASC) AS rn
+    FROM (SELECT q.qid, corp.nid, {_d2('q.qv', 'corp.nv')} AS d2
+          FROM corp CROSS JOIN q)
+)
+SELECT qid, nid, CAST(rn AS INT) AS rank, d2 FROM nbd WHERE rn <= {KNN_K}
+"""
+
+    # Same ground truth as ml_knn_classifier: the spill-tree search is
+    # exact, so the vote over its hits equals the vote over the
+    # brute-force hits — one oracle, two engine arms under test.
+    o["ml_knn_spilltree_classifier"] = o["ml_knn_classifier"]
+
+    # IVF recall anchor (operators/knn.py sim_ivf_recall): the numeric is
+    # the exact arm's query count (every query has ≥ k corpus neighbors);
+    # the measured recall@k vs the exact search rides in the boolean.
+    o["sim_ivf_recall"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+"""
 
     o["ml_idf"] = f"""
 WITH tok AS (

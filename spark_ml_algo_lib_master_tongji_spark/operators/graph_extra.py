@@ -1017,6 +1017,100 @@ def graph_betweenness_sampled(cat: Catalog) -> DataFrame:
     )
 
 
+#: Sampled-betweenness accuracy anchor knobs. The overlap is judged on a
+#: mod-BETW_OVERLAP_MOD induced subgraph of the co-purchase graph so the
+#: EXACT arm (a full-source run of the same estimator, sample ratio 1.0 —
+#: the reference's own ground-truth protocol) stays bounded at every
+#: bench SF: the full sf0.1 graph costs ~95s exact vs ~2s on the
+#: subgraph, and the estimator code under test is identical either way.
+#: The estimator arm samples BY RATIO, the reference's own knob
+#: (``BetweennessRunner.scala:86`` ``run(edgeRDD, k, p)`` — p is a
+#: sample fraction, not a count): a fixed source count degrades with
+#: graph size on the fixture's near-regular random graph, where top-k
+#: betweenness is tightly bunched.
+BETW_OVERLAP_MOD = 10
+BETW_OVERLAP_K = 25
+BETW_OVERLAP_RATIO = 0.5
+#: top-k overlap floor for the p=0.5 estimator vs exact. Measured across
+#: sf0.001/0.01/0.1: 1.000 / 0.800 / 0.760 (tools/anchor_bands.py
+#: reproduces; PLANS round-10 addendum). A broken dependency
+#: accumulation or source sampler lands near the random-set overlap
+#: k/n_verts ≤ 0.125.
+BETW_OVERLAP_FLOOR = 0.5
+
+
+def graph_betweenness_overlap(cat: Catalog) -> DataFrame:
+    """Driver-verifiable accuracy anchor for the sampled-betweenness
+    estimator (round-9 verdict item 2c): top-k set overlap between the
+    64-source estimator and an exact (all-sources) run of the same code
+    on the mod-``BETW_OVERLAP_MOD`` induced co-purchase subgraph — the
+    reference's own accuracy metric (``BetweennessRunner.scala:92-99``
+    judges ``run(edgeRDD, k, p)`` by top-k overlap against a sample-ratio
+    1.0 ground truth). Numerics (subgraph vertex/edge counts, k) are
+    exactly SQL-recomputable; the measured overlap rides in the boolean
+    (≥ BETW_OVERLAP_FLOOR, twin asserts TRUE)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_pairs,
+        csr_broadcast,
+    )
+
+    pairs = (
+        copurchase_pairs(cat)
+        .where(
+            (F.col("src") % BETW_OVERLAP_MOD == 0)
+            & (F.col("dst") % BETW_OVERLAP_MOD == 0)
+        )
+        .persist()
+    )
+    try:
+        n_edges = pairs.count()
+        # canonical (src<dst) list: take BOTH endpoints (graph.vertices
+        # expects a symmetrized list)
+        verts = (
+            pairs.select(F.col("src").alias("v"))
+            .unionByName(pairs.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        n_verts = verts.count()
+        k = min(BETW_OVERLAP_K, n_verts)
+        csr = csr_broadcast(pairs)
+        try:
+            sampled = betweenness_sampled(
+                pairs,
+                n_samples=max(1, int(BETW_OVERLAP_RATIO * n_verts)),
+                top_k=k,
+                csr=csr,
+                verts=verts,
+                n_verts=n_verts,
+            )
+            exact = betweenness_sampled(
+                pairs,
+                n_samples=n_verts,
+                top_k=k,
+                csr=csr,
+                verts=verts,
+                n_verts=n_verts,
+            )
+            sv = {r["v"] for r in sampled.select("v").collect()}
+            ev = {r["v"] for r in exact.select("v").collect()}
+        finally:
+            csr[0].destroy(blocking=False)
+        overlap = len(sv & ev) / float(k)
+        return cat.spark.createDataFrame(
+            [
+                (
+                    int(n_verts),
+                    int(n_edges),
+                    int(k),
+                    bool(overlap >= BETW_OVERLAP_FLOOR),
+                )
+            ],
+            "n_verts long, n_edges long, k int, overlap_ok boolean",
+        )
+    finally:
+        pairs.unpersist(blocking=False)
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "graph_incremental_pagerank",
@@ -1029,4 +1123,5 @@ QUERIES = (
     "graph_node2vec_embeddings",
     "graph_betweenness",
     "graph_betweenness_sampled",
+    "graph_betweenness_overlap",
 )

@@ -42,11 +42,24 @@ from pyspark.sql import types as T
 from spark_ml_algo_lib_master_tongji_spark.functions.vectors import as_double_array
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog, spread
 
+from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import (
+    KNN_K as KNN_TOPK,  # one k across the exact/brute/IVF arms + oracles
+    KNN_QUERY_MOD,
+)
+
 N_PIVOTS = 8
 SPILL = 2  # phase-1 probes per query
-KNN_TOPK = 5
 SAMPLE_N = 512
 SEED = 2020
+
+#: IVF recall@k floor vs the exact search on the fixture's adversarially
+#: uniform embeddings (n_probes=3 of N_PIVOTS=8 lists — candidate volume
+#: 3/8 of the corpus). Measured recall across sf0.001/0.01/0.1:
+#: 0.496 / 0.552 / 0.618 (tools/anchor_bands.py reproduces; PLANS
+#: round-10 addendum). Degenerate levels sit below the floor: random
+#: probe routing ≈ the 3/8 candidate fraction (0.375), a broken leaf
+#: assignment near 0.
+IVF_RECALL_FLOOR = 0.45
 
 _HIT_SCHEMA = T.StructType(
     [
@@ -188,12 +201,21 @@ def knn_search(
         .applyInPandas(local_topk, _HIT_SCHEMA)
     )
 
-    merged = hits1.unionByName(hits2).dropDuplicates(["qid", "nid"])
+    # Final ranking on ROUNDED d2 (6 decimals) + nid — the same
+    # cross-engine-deterministic tie order as the brute-force arm
+    # (ml_exact._dist2) and its DuckDB twin, so the exact search is
+    # value-hash verifiable. The two-phase bound above still prunes on
+    # unrounded distances; only the reported tie order is quantized.
+    merged = (
+        hits1.unionByName(hits2)
+        .dropDuplicates(["qid", "nid"])
+        .withColumn("d2", F.round("d2", 6))
+    )
     w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
     return (
         merged.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qid", "nid", "rank", F.round("d2", 6).alias("d2"))
+        .select("qid", "nid", "rank", "d2")
     )
 
 
@@ -205,8 +227,8 @@ def _corpus_queries(cat: Catalog):
             F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
         )
 
-    queries = pts().where(F.col("id") % 20 == 0)
-    corpus = pts().where(F.col("id") % 20 != 0)
+    queries = pts().where(F.col("id") % KNN_QUERY_MOD == 0)
+    corpus = pts().where(F.col("id") % KNN_QUERY_MOD != 0)
     return corpus, queries
 
 
@@ -226,15 +248,21 @@ def _knn_hits_derived(cat: Catalog) -> DataFrame:
 
 def ml_knn_spilltree(cat: Catalog) -> DataFrame:
     """Registry entry: distributed exact KNN neighbors of the query split
-    (rows-only driver check; pytest applies the reference's brute-force
-    containment rule, ``KNNRunner.scala:181-218``)."""
+    → (qid, nid, rank, d2). Driver value-hash verified against the DuckDB
+    brute-force twin (the reference's own containment check,
+    ``KNNRunner.scala:181-218``, strengthened to full set+distance
+    equality — the two-phase search is exact, so the brute-force oracle
+    IS its ground truth); pytest additionally pins containment = 1.0
+    against the in-engine brute arm."""
     return _knn_hits_derived(cat)
 
 
 def ml_knn_spilltree_classifier(cat: Catalog) -> DataFrame:
     """Weighted-vote classification on top of the distributed search
     (``KNNClassifier.scala:154-180``): majority label of the k hits,
-    ties → smaller label."""
+    ties → smaller label. Driver value-hash verified: the search is
+    exact, so the brute-force vote oracle (ml_knn_classifier's twin)
+    is its ground truth too."""
     hits = _knn_hits_derived(cat)
     lab = cat.embeddings.select(
         F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
@@ -299,9 +327,42 @@ def _assign_leaf_nearest(df: DataFrame, pivots) -> DataFrame:
 
 def sim_ivf_topk(cat: Catalog) -> DataFrame:
     """Registry entry: IVF approximate neighbors of the query split
-    (rows-only driver check; pytest measures recall vs the exact search)."""
+    (rows-only driver check — the hit set is approximate by design; its
+    quality rides in ``sim_ivf_recall``'s driver-verified anchor bit and
+    pytest's recall measurement)."""
     corpus, queries = _corpus_queries(cat)
     return ivf_search(corpus, queries)
+
+
+def sim_ivf_recall(cat: Catalog) -> DataFrame:
+    """Driver-verifiable anchor for the approximate ANN path (round-9
+    verdict item 2b): recall@k of ``ivf_search`` against the session-shared
+    EXACT search → one row (n_queries, recall_ok). n_queries is exactly
+    SQL-recomputable (every query has ≥ k corpus neighbors, so the exact
+    arm emits k rows per query); the measured recall rides in the boolean
+    (≥ IVF_RECALL_FLOOR — the twin asserts TRUE, so a probe-routing or
+    leaf-assignment regression flips the value hash). The reference judges
+    its approximate searches the same way (``KNNRunner.scala:181-218``
+    containment; ``BetweennessRunner.scala:92-99`` top-k overlap)."""
+    exact = _knn_hits_derived(cat).select("qid", "nid")
+    corpus, queries = _corpus_queries(cat)
+    approx = ivf_search(corpus, queries).select(
+        "qid", "nid", F.lit(1).alias("_hit")
+    )
+    row = (
+        exact.join(approx, ["qid", "nid"], "left")
+        .agg(
+            F.count_distinct("qid").alias("nq"),
+            F.avg(F.coalesce(F.col("_hit"), F.lit(0)).cast("double")).alias(
+                "recall"
+            ),
+        )
+        .first()
+    )
+    return cat.spark.createDataFrame(
+        [(int(row["nq"]), bool(float(row["recall"]) >= IVF_RECALL_FLOOR))],
+        "n_queries long, recall_ok boolean",
+    )
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)
@@ -309,4 +370,5 @@ QUERIES = (
     "ml_knn_spilltree",
     "ml_knn_spilltree_classifier",
     "sim_ivf_topk",
+    "sim_ivf_recall",
 )

@@ -40,7 +40,7 @@ from pyspark.ml.regression import (
     LinearRegression,
     RandomForestRegressor,
 )
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_ml_algo_lib_master_tongji_spark.functions.text import tokens
@@ -1411,6 +1411,76 @@ def ml_est_als_recommend(cat: Catalog) -> DataFrame:
     )
 
 
+#: ml_est_als_rec_topk band: the mean top-1 recommendation score over the
+#: mean rating. The fitted factors' per-user maximum over ~|items| dot
+#: products sits in (and extrapolates slightly past) the ratings' upper
+#: tail. Measured across sf0.001/0.01/0.1: 2.48 / 2.85 / 2.92
+#: (tools/anchor_bands.py reproduces; PLANS round-10 addendum). A broken
+#: fit (zero or unjoined factors) lands at 0; even a perfect
+#: max-rating-everywhere oracle sits at max/mean ≈ 2; an unregularized
+#: blow-up lands far above the cap.
+ALS_REC_TOP1_BAND = (1.5, 4.5)
+
+
+def ml_est_als_rec_topk(cat: Catalog) -> DataFrame:
+    """Driver-verifiable anchor for the recommendation-serving surface
+    (round-9 verdict item 2d): one row over ``recommendForUserSubset``'s
+    output for the 50 smallest user ids. Numerics are exactly
+    SQL-recomputable from the ratings table (user count, rec row count =
+    3 per user, mean rating); the model-dependent properties ride in
+    booleans the twin asserts TRUE — ``sorted_ok`` (per-user rec scores
+    non-increasing in rank: the API contract recommendForAllUsers
+    documents) and ``est_in_band`` (mean top-1 score within
+    ALS_REC_TOP1_BAND × the mean rating). The fit is the session-shared
+    one ml_est_als / ml_est_als_mse / ml_est_als_recommend consume."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up,
+    )
+
+    r = spread(ratings_table(cat)).cache()
+    m = _als_explicit_model(cat, r)
+    users = r.select("user").distinct().orderBy("user").limit(50)
+    flat = m.recommendForUserSubset(users, 3).select(
+        "user", F.posexplode("recommendations").alias("pos", "rec")
+    )
+    w = Window.partitionBy("user").orderBy("pos")
+    row = (
+        flat.select("user", "pos", F.col("rec.rating").alias("score"))
+        .withColumn("prev", F.lag("score").over(w))
+        .agg(
+            F.count_distinct("user").alias("nu"),
+            F.count(F.lit(1)).alias("nrec"),
+            F.sum(
+                F.when(F.col("prev") < F.col("score"), 1).otherwise(0)
+            ).alias("viol"),
+            F.avg(F.when(F.col("pos") == 0, F.col("score"))).alias("top1"),
+        )
+        .first()
+    )
+    base = r.agg(round_half_up(F.avg("rating"), 4).alias("ar")).first()
+    r.unpersist(blocking=False)
+    avg_rating = float(base["ar"])
+    # zero guard: degenerate all-zero ratings flip the bit, never raise
+    in_band = avg_rating > 0 and (
+        ALS_REC_TOP1_BAND[0]
+        <= float(row["top1"]) / avg_rating
+        <= ALS_REC_TOP1_BAND[1]
+    )
+    return cat.spark.createDataFrame(
+        [
+            (
+                int(row["nu"]),
+                int(row["nrec"]),
+                avg_rating,
+                bool(int(row["viol"]) == 0),
+                bool(in_band),
+            )
+        ],
+        "n_users long, n_recs long, avg_rating double, "
+        "sorted_ok boolean, est_in_band boolean",
+    )
+
+
 def ml_est_idf(cat: Catalog) -> DataFrame:
     """spark.ml IDF estimator over a CountVectorizer corpus
     (``IDFRunner.scala:102-111``) → (n_terms, idf_sum): aggregate of the
@@ -1502,6 +1572,7 @@ QUERIES = (
     "ml_est_als",
     "ml_est_als_implicit",
     "ml_est_als_recommend",
+    "ml_est_als_rec_topk",
     "ml_est_gbt_pipeline",
     "ml_est_idf",
     "ml_est_prefixspan",

@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 118 declared oracles the window cannot hold all of them in one
+check. With 123 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,33 +91,112 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 9 rotation. Tier 1: queries whose implementation
-#: or output surface changed this round (the winnow scalar-string surface;
-#: the versioned capped sketch store behind both delta queries) plus the
-#: two NEW round-9 estimator anchors and the two oracles that have never
-#: received a driver row (text_bpe_token_stats, graph_node2vec_embeddings —
-#: both judge-sweep MATCH in round 8). Tier 2: the ten round-6-green rows
-#: deferred at round 8 — they hit the 3-round staleness bound now. Tier 3
-#: fill: the round-7-green cohort (2 rounds stale), oldest-first 29 of 50;
-#: the remaining 21 head the round-10 window (with 29 of the 33
-#: round-8-refresh rows; the overflow rides round 11 — at 118 oracles a
-#: 50-slot window sustains a ≤3-round rotation, no longer ≤2 everywhere).
-#: Behind the window: those 21, then the round-8-green entries (freshest),
-#: then the no-oracle estimator workloads (pytest-only).
+#: Priority order, round 10 rotation (123 oracles / 151 queries). Tier 1:
+#: queries whose implementation or output surface changed this round (the
+#: fps-delta versioned store behind both dedup rows; the rounded-tie KNN
+#: surface; the two round-9 anchors that gained zero guards) plus the five
+#: NEW round-10 oracles (the spill-tree search + vote promoted to full
+#: value-hash rows; the IVF-recall / ALS-recommend / sampled-betweenness
+#: overlap anchors). Tier 2a: ml_linreg_ols + text_fingerprint — the
+#: driver record shows their freshest green is ROUND 6 (the round-9 plan
+#: mislabeled them round-7-green), 4 rounds stale, most urgent. Tier 2b:
+#: the 19 round-7-green rows at the 3-round staleness bound. Tier 3 fill:
+#: 20 of the 47 round-8-green rows (their bound hits at round 11; the
+#: remaining 27 MUST head the round-11 window, then the 46 round-9 rows
+#: split across rounds 11-12). Behind the window: those 27, the round-9
+#: cohort, then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1: changed this round / new oracles / first-ever rows ----------
-    "text_winnow_fingerprints",  # r9: fps array → sortable scalar string
-    "dedup_delta",  # r9: pre-capped versioned store in the read path
-    "dedup_index_stats",  # r9: capped posting count + n_overcap_fps
-    "ml_est_logreg_acc",  # NEW r9 estimator anchor
-    "ml_est_als_mse",  # NEW r9 estimator anchor
-    "ml_est_clf_acc_anchors",  # NEW r9: 6 classifiers in one anchor row
-    "ml_est_reg_rmse_anchors",  # NEW r9: 3 regressors in one anchor row
-    "ml_est_lda_ppx",  # NEW r9: LDA vocab + uniform-ppx anchor
-    "ml_est_spca_energy",  # NEW r9: sparse-PCA trace anchor
-    "text_bpe_token_stats",  # first driver row (oracle landed late in r8)
-    "graph_node2vec_embeddings",  # first driver row (oracle landed r8)
-    # -- tier 2: round-6 rows at the 3-round staleness bound — must refresh --
+    # -- tier 1: changed this round / new oracles ---------------------------
+    "dedup_delta",  # r10: fps election-delta store in the read path
+    "dedup_index_stats",  # r10: fps count now via the merged union view
+    "ml_knn_spilltree",  # r10: PROMOTED to full value-hash (exact search)
+    "ml_knn_spilltree_classifier",  # r10: PROMOTED (vote over exact hits)
+    "sim_ivf_recall",  # NEW r10: IVF recall@k anchor
+    "ml_est_als_rec_topk",  # NEW r10: recommend-surface anchor
+    "graph_betweenness_overlap",  # NEW r10: sampled-betweenness accuracy
+    "ml_est_logreg_acc",  # r10: zero-guarded band ratio
+    "ml_est_als_mse",  # r10: zero-guarded band ratio
+    # -- tier 2a: round-6-green rows PAST the staleness bound ---------------
+    "ml_linreg_ols",
+    "text_fingerprint",
+    # -- tier 2b: round-7-green rows at the 3-round staleness bound ---------
+    "graph_scc_nation",
+    "text_top_ngrams",
+    "text_lang_rollup",
+    "pipeline_stratified_sample",
+    "pipeline_decontaminate",
+    "graph_edges",
+    "graph_degrees",
+    "q_skew_salted_user_counts",
+    "ml_dbscan",
+    "ml_dbscan_summary",
+    "ml_dbscan_grid_neighbors",
+    "ml_kmeans_lloyd_assign",
+    "ml_kmeans_lloyd_sizes",
+    "pipeline_semantic_dedup",
+    "ml_est_covariance",
+    "ml_est_pearson_rdd",
+    "ml_est_idf",
+    "ml_est_svd_energy",
+    "graph_triangle_count",
+    # -- tier 3 fill: round-8-green cohort, first 20 of 47 ------------------
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "q_broadcast_dim_join",
+    "q_anti_join_customers_without_orders",
+    "q_semi_join_suppliers_with_big_lineitems",
+    "stat_covariance_lineitem",
+    "stat_pearson_lineitem",
+    "dedup_minhash_lsh",
+    "dedup_minhash_groups",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_force_topk",
+    "graph_degrees_nation",
+    "graph_weak_cliques",
+    "graph_incremental_pagerank",
+    "ml_simrank",
+    "graph_pagerank",
+    "graph_connected_components",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- the 27 remaining round-8-green rows: round-11 window head ----------
+    "graph_mssp",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "dedup_embedding_cosine",
+    "graph_clustering_coefficient",
+    "graph_betweenness",
+    "graph_louvain",
+    "graph_modularity",
+    "dedup_exact",
+    "pipeline_sequence_pack",
+    "pipeline_doc_chunks",
+    "text_repetition_3gram",
+    "pipeline_domain_mix",
+    "text_tfidf_top_terms",
+    "pipeline_vocab_prune",
+    "pipeline_quality_filter",
+    "pipeline_pii_scrub",
+    "ml_est_pca_energy",
+    "pipeline_chunk_dedup",
+    "dedup_winnow_pairs",
+    "ml_est_kmeans_wssse",
+    "ml_est_linreg_rmse",
+    "pipeline_lm_perplexity",
+    # -- round-9-green cohort (freshest; bound hits round 12) ---------------
+    "text_winnow_fingerprints",
+    "ml_est_clf_acc_anchors",
+    "ml_est_reg_rmse_anchors",
+    "ml_est_lda_ppx",
+    "ml_est_spca_energy",
+    "text_bpe_token_stats",
+    "graph_node2vec_embeddings",
     "pipeline_training_mix",
     "q_union_distinct_nations",
     "q_topk_per_group",
@@ -128,7 +207,6 @@ _ORDER: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    # -- tier 3 fill: round-7-green cohort (2 rounds stale), first 29 --------
     "stat_spearman_lineitem",
     "graph_cycle_detection",
     "graph_maximal_cliques",
@@ -158,80 +236,6 @@ _ORDER: tuple[str, ...] = (
     "graph_trustrank",
     "graph_ppr_multi",
     "graph_closeness_nation",
-    # ---------------------------- window boundary (50) ---------------------
-    "graph_scc_nation",
-    # -- tier 3 head: the 21 round-7 rows deferred to round 10 (2-round
-    #    staleness, within the contract bound; each keeps its pytest
-    #    differential; ml_linreg_ols's SQL twin is embedded verbatim inside
-    #    ml_est_linreg_rmse's oracle) --------------------------------------
-    "text_top_ngrams",
-    "text_lang_rollup",
-    "pipeline_stratified_sample",
-    "pipeline_decontaminate",
-    "graph_edges",
-    "graph_degrees",
-    "ml_linreg_ols",
-    "text_fingerprint",
-    "q_skew_salted_user_counts",
-    "ml_dbscan",
-    "ml_dbscan_summary",
-    "ml_dbscan_grid_neighbors",
-    "ml_kmeans_lloyd_assign",
-    "ml_kmeans_lloyd_sizes",
-    "pipeline_semantic_dedup",
-    "ml_est_covariance",
-    "ml_est_pearson_rdd",
-    "ml_est_idf",
-    "ml_est_svd_energy",
-    "graph_triangle_count",
-    # -- tier 3: driver-green in round 8, freshest ---------------------------
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q6_forecast_revenue",
-    "q_broadcast_dim_join",
-    "q_anti_join_customers_without_orders",
-    "q_semi_join_suppliers_with_big_lineitems",
-    "stat_covariance_lineitem",
-    "stat_pearson_lineitem",
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "sim_brute_force_topk",
-    "graph_degrees_nation",
-    "graph_weak_cliques",
-    "graph_incremental_pagerank",
-    "ml_simrank",
-    "graph_pagerank",
-    "graph_connected_components",
-    "graph_mssp",
-    "graph_bfs",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "dedup_embedding_cosine",
-    "graph_clustering_coefficient",
-    "graph_betweenness",
-    "graph_louvain",
-    "graph_modularity",
-    "dedup_exact",
-    "pipeline_sequence_pack",
-    "pipeline_doc_chunks",
-    "text_repetition_3gram",
-    "pipeline_domain_mix",
-    "text_tfidf_top_terms",
-    "pipeline_vocab_prune",
-    "pipeline_quality_filter",
-    "pipeline_pii_scrub",
-    "ml_est_pca_energy",
-    "pipeline_chunk_dedup",
-    "dedup_winnow_pairs",
-    "ml_est_kmeans_wssse",
-    "ml_est_linreg_rmse",
-    "pipeline_lm_perplexity",
     # -- tier 3: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -254,8 +258,6 @@ _ORDER: tuple[str, ...] = (
     "ml_est_gbt_pipeline",
     "ml_est_pca_sparse",
     "ml_est_xgboost",
-    "ml_knn_spilltree",
-    "ml_knn_spilltree_classifier",
     "sim_ivf_topk",
     "graph_betweenness_sampled",
     "ml_est_dt_rdd",
@@ -268,7 +270,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_closeness_nation", (
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_connected_components", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

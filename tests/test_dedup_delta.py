@@ -364,6 +364,109 @@ def test_two_refresh_chain_store_equals_recompute(spark, tmp_path):
     assert {r["fp"] for r in idx1.winnow.collect()} == v1_fps
 
 
+def _store_surfaces(idx):
+    return (
+        sorted(tuple(r) for r in idx.fps.select("fp", "keeper_doc_id").collect()),
+        sorted(tuple(r) for r in idx.sigs.select("doc_id", "sig").collect()),
+        sorted(tuple(r) for r in idx.winnow.select("doc_id", "fp").collect()),
+    )
+
+
+def test_compacted_store_equals_fresh_build(spark, tmp_path):
+    """compact_dedup_index rewrites an N-root manifest as one root whose
+    every surface equals a from-scratch build over the union corpus, and
+    a refresh chained onto the compacted base stays exact (round-9
+    verdict item 6)."""
+    import random
+
+    rng = random.Random(7)
+
+    def doc(i):
+        return (
+            i,
+            " ".join(f"t{rng.randrange(60)}" for _ in range(rng.randrange(6, 14))),
+        )
+
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame([doc(i) for i in range(15)], schema)
+    inc1 = spark.createDataFrame(
+        [doc(100 + i) for i in range(6)] + [(190, base.collect()[0][1])], schema
+    )
+    inc2 = spark.createDataFrame([doc(200 + i) for i in range(5)], schema)
+    idx = dedup.build_dedup_index(base, str(tmp_path / "v0"))
+    idx = dedup.merge_dedup_index(idx, inc1, str(tmp_path / "v1"))
+    idx = dedup.merge_dedup_index(idx, inc2, str(tmp_path / "v2"))
+    u = base.unionByName(inc1).unionByName(inc2)
+
+    compacted = dedup.compact_dedup_index(idx, str(tmp_path / "compact"))
+    fresh = dedup.build_dedup_index(u, str(tmp_path / "fresh"))
+    assert len(compacted.roots) == 1
+    assert _store_surfaces(compacted) == _store_surfaces(fresh)
+
+    # a live root is refused as the target
+    import pytest
+
+    with pytest.raises(ValueError, match="live version root"):
+        dedup.compact_dedup_index(idx, str(tmp_path / "v1"))
+
+    # refresh chained onto the compacted base stays exact
+    inc3 = spark.createDataFrame(
+        [doc(300 + i) for i in range(4)] + [(390, inc2.collect()[0][1])], schema
+    )
+    after = dedup.merge_dedup_index(compacted, inc3, str(tmp_path / "v3"))
+    fresh2 = dedup.build_dedup_index(
+        u.unionByName(inc3), str(tmp_path / "fresh2")
+    )
+    assert _store_surfaces(after) == _store_surfaces(fresh2)
+
+
+def test_fps_refresh_writes_delta_only(spark, tmp_path):
+    """The refresh's fps table holds ONLY new-or-improved election rows
+    (round-9 verdict item 3 — the former corpus-wide rewrite); an
+    increment of pure losing duplicates writes an EMPTY but readable fps
+    delta and the merged election is unchanged."""
+    schema = "doc_id long, text string"
+    texts = [f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(10)]
+    base = spark.createDataFrame(list(enumerate(texts)), schema)
+    idx = dedup.build_dedup_index(base, str(tmp_path / "v0"))
+
+    # inc1: 2 brand-new texts + 1 losing duplicate (doc_id above keeper)
+    inc1 = spark.createDataFrame(
+        [(100, "newone x y z"), (101, "newtwo p q r"), (102, texts[3])], schema
+    )
+    idx1 = dedup.merge_dedup_index(idx, inc1, str(tmp_path / "v1"))
+    v1_fps = spark.read.parquet(str(tmp_path / "v1" / "fps"))
+    got = {
+        (r["fp"], r["keeper_doc_id"]) for r in v1_fps.collect()
+    }
+    assert len(got) == 2  # only the two NEW fps; the losing dup wrote no row
+    assert {k for _, k in got} == {100, 101}
+
+    # inc2: all losing duplicates → EMPTY delta, still readable
+    inc2 = spark.createDataFrame([(200, texts[0]), (201, texts[1])], schema)
+    idx2 = dedup.merge_dedup_index(idx1, inc2, str(tmp_path / "v2"))
+    assert spark.read.parquet(str(tmp_path / "v2" / "fps")).count() == 0
+    # merged election identical to before the no-op refresh
+    assert sorted(
+        tuple(r) for r in idx2.fps.select("fp", "keeper_doc_id").collect()
+    ) == sorted(tuple(r) for r in idx1.fps.select("fp", "keeper_doc_id").collect())
+
+    # an increment doc with a SMALLER doc_id than the keeper wins the
+    # election — the improved row is in the delta and the merged view
+    inc3 = spark.createDataFrame([(-5, texts[0])], schema)
+    idx3 = dedup.merge_dedup_index(idx2, inc3, str(tmp_path / "v3"))
+    v3 = {
+        (r["fp"], r["keeper_doc_id"])
+        for r in spark.read.parquet(str(tmp_path / "v3" / "fps")).collect()
+    }
+    assert {k for _, k in v3} == {-5}
+    merged = dict(
+        (r["fp"], r["keeper_doc_id"]) for r in idx3.fps.collect()
+    )
+    fp0 = next(iter(v3))[0]
+    assert merged[fp0] == -5
+
+
 def test_env_index_dir_reuses_complete_store(spark, tmp_path, monkeypatch):
     """SPARK_GRAFT_INDEX_DIR = deliberate cross-session reuse: a COMPLETE
     store at the stable path is read back, never rebuilt or rmtree'd (a
@@ -455,6 +558,53 @@ def test_estimator_anchor_oracles_r9(spark, duck):
     mrow = m.first()
     assert mrow["est_in_band"] is True
     assert mrow["baseline_mse"] > 0
+
+
+def test_round10_promotion_oracles(spark, duck):
+    """The round-10 rows-only promotions: the exact spill-tree search and
+    its vote are FULL value-hash rows against the brute-force twin (the
+    search is exact, so brute force is its ground truth); the IVF /
+    ALS-recommend / sampled-betweenness anchors hash-match with every
+    boolean TRUE and their measured metric clears the floor with margin
+    over the degenerate level."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import (
+        graph_extra as ge,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators import knn as K
+    from spark_ml_algo_lib_master_tongji_spark.operators import (
+        ml_estimators as me,
+    )
+
+    cat = Catalog(spark, SF_ORACLE)
+    o = all_oracles()
+
+    hits = K.ml_knn_spilltree(cat)
+    assert_match(hits, duck, o["ml_knn_spilltree"], "ml_knn_spilltree")
+    assert_match(
+        K.ml_knn_spilltree_classifier(cat),
+        duck,
+        o["ml_knn_spilltree_classifier"],
+        "ml_knn_spilltree_classifier",
+    )
+
+    r = K.sim_ivf_recall(cat)
+    assert_match(r, duck, o["sim_ivf_recall"], "sim_ivf_recall")
+    assert r.first()["recall_ok"] is True
+
+    a = me.ml_est_als_rec_topk(cat)
+    assert_match(a, duck, o["ml_est_als_rec_topk"], "ml_est_als_rec_topk")
+    arow = a.first()
+    assert arow["sorted_ok"] is True and arow["est_in_band"] is True
+    assert arow["n_recs"] == 3 * arow["n_users"]
+
+    b = ge.graph_betweenness_overlap(cat)
+    assert_match(
+        b, duck, o["graph_betweenness_overlap"], "graph_betweenness_overlap"
+    )
+    brow = b.first()
+    assert brow["overlap_ok"] is True
+    # the floor genuinely separates the estimator from a random top-k set
+    assert ge.BETW_OVERLAP_FLOOR > 2 * brow["k"] / brow["n_verts"]
 
 
 def test_combined_estimator_anchor_rows(spark, duck):

@@ -1,10 +1,12 @@
 """Refresh write-volume evidence: merge_dedup_index writes ∝ increment.
 
-Reproduces PLANS round-9 addendum 2: build a base store (v0), merge a
-small increment (v1), and print per-table parquet byte volumes plus wall
-times. The claim under test: v1's sigs/winnow/winnow_df are
-increment-sized; only fps (re-election) and winnow_overcap (hot list)
-are corpus-wide, both small.
+Reproduces PLANS round-9 addendum 2 / round-10 fps-delta follow-up:
+build a base store (v0), merge a small increment (v1), and print
+per-table parquet byte volumes plus wall times. The claim under test:
+v1's fps/sigs/winnow/winnow_df are ALL increment-sized (fps became an
+election delta in round 10 — formerly the one corpus-wide rewrite);
+only winnow_overcap (the hot-fingerprint list) is corpus-cumulative,
+and it is tiny by construction.
 
 Usage: python tools/refresh_volume_ab.py [base_sf_dir] [inc_sf_dir]
        (defaults: /root/repo/testdata_sf1 base, /root/testdata/sf0.1

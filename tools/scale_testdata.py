@@ -9,7 +9,14 @@ exponents; dimension tables region/nation stay fixed like real TPC-H).
 Caveat recorded in PLANS.md: document texts and embedding vectors repeat
 across replicas, so dedup/similarity queries see FACTOR-sized duplicate
 groups — a *worst-case* collision load for the LSH paths, not an organic
-one.
+one. ``--mutate-docs PCT`` fixes that for the text family (round-9
+verdict item 4): in replicas k>0, a seeded PCT% of each document's
+tokens get a per-replica suffix, so replica texts are near- rather than
+exact duplicates and per-gram document frequency no longer multiplies by
+FACTOR — hot-fingerprint (winnow over-cap) selectivity at sf1 then
+resembles organic sf0.1 instead of the everything-over-cap artifact.
+The mutation is deterministic (hash of doc_id/position/replica), so
+re-runs produce byte-identical fixtures.
 
 Usage: python tools/scale_testdata.py [--src DIR] [--out DIR] [--factor N]
 Writes DIR/*.parquet (default /root/repo/testdata_sf1, factor 10); --src
@@ -49,6 +56,15 @@ def main() -> None:
     ap.add_argument("--src", default=DEFAULT_SRC)
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--mutate-docs",
+        type=int,
+        default=0,
+        metavar="PCT",
+        help="percent of tokens to suffix per replica (k>0) in "
+        "documents.text — makes replicas near- instead of exact "
+        "duplicates so sketch-df statistics scale organically",
+    )
     ap.add_argument(
         "--tables",
         default=None,
@@ -94,6 +110,17 @@ def main() -> None:
         ).df().columns
         others = ", ".join(f'"{n}"' for n in schema if n not in cols)
         sel = shifted + (", " + others if others else "")
+        if table == "documents" and args.mutate_docs:
+            # seeded per-(doc, position, replica) token suffixing; replica
+            # 0 stays byte-identical to the source corpus
+            mut = (
+                "array_to_string(list_transform(string_split(text, ' '), "
+                "(t, i) -> CASE WHEN r.k > 0 AND "
+                f"hash(doc_id * 1000003 + i * 7919 + r.k) % 100 "
+                f"< {args.mutate_docs} "
+                "THEN t || '~' || r.k ELSE t END), ' ') AS text"
+            )
+            sel = sel.replace('"text"', mut)
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{src}/{table}.parquet'), "
             f"(SELECT unnest(range({args.factor})) AS k) r) "
