@@ -26,11 +26,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = "/root/repo/testdata_sf1"
 SF_HUGE = "/root/repo/testdata_sf3"  # 30× base — second-decade arm
+#: 10× base with --mutate-docs 25 (round-10): replicas are NEAR- not
+#: exact duplicates, so the capped winnow store is populated like an
+#: organic corpus instead of everything-over-cap (PLANS r9 addendum 1).
+SF_BIG_MUT = "/root/repo/testdata_sf1m"
 
 
 def main() -> None:
     arm = sys.argv[1]
-    base_sf = {"small": SF_SMALL, "big": SF_BIG, "huge": SF_HUGE}[arm]
+    base_sf = {
+        "small": SF_SMALL,
+        "big": SF_BIG,
+        "bigm": SF_BIG_MUT,
+        "huge": SF_HUGE,
+    }[arm]
 
     from spark_ml_algo_lib_master_tongji_spark import benchlib
     from spark_ml_algo_lib_master_tongji_spark.operators import dedup
@@ -50,7 +59,7 @@ def main() -> None:
         t0 = time.perf_counter()
         n = benchlib.materialize(
             dedup.delta_decisions(
-                delta, idx.fps, idx.sigs, idx.winnow, base_docs
+                delta, idx.fps_union, idx.sigs, idx.winnow, base_docs
             )
         )
         print(

@@ -56,7 +56,10 @@ def main() -> None:
 
     assert dt_r["n"] == n, "full-sample arm must see every row"
     print("-- agreement (full data) --")
-    print(f"dt acc   rdd={dt_r['accuracy']:.4f} df={dt_d['accuracy']:.4f}")
+    # dt: the RDD arm is the reference's BINARY problem while the DF twin
+    # is 10-class — behavioral floor only (pytest bar 0.5), not equality
+    print(f"dt acc   rdd(binary)={dt_r['accuracy']:.4f} "
+          f"df(10-class)={dt_d['accuracy']:.4f}")
     print(f"gbdt acc rdd={gb_r['accuracy']:.4f} df={gb_d['accuracy']:.4f}")
     print(f"als mse  rdd={als_r['mse']:.4f} df={als_d['mse']:.4f}")
     print(f"lda      vocab={lda_r['vocab']} topics_ok={lda_r['topics_ok']}")
