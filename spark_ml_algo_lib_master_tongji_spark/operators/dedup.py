@@ -962,8 +962,10 @@ def merge_dedup_index(
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_doc_id"))
     )
+    # no broadcast hint: AQE broadcasts the touched-fp set when it fits;
+    # a production-sized increment shuffle-joins the bucketed store
     cur = (
-        idx.fps_union.join(F.broadcast(inc_fps.select("fp")), "fp")
+        idx.fps_union.join(inc_fps.select("fp"), "fp")
         .groupBy("fp")
         .agg(F.min("keeper_doc_id").alias("cur"))
     )
@@ -1094,10 +1096,20 @@ def _dedup_index(cat: Catalog) -> DedupIndex:
         # shared env path, store absent/incomplete: build into a
         # session-private sibling, then PUBLISH with one atomic rename —
         # concurrent provisioners never write the same files, and a
-        # loser adopts the winner's store (round-9 ADVICE).
+        # loser adopts the winner's store (round-9 ADVICE). A COMPLETE
+        # store at the path is NEVER rmtree'd (a concurrent winner's
+        # readers may hold its files); only an incomplete leftover —
+        # which no reader ever attaches to — is cleared before the
+        # rename. The complete-check→rmtree window is the residual race
+        # (microseconds vs build-minutes); single-provisioner deployment
+        # remains the recommended way to populate the shared path.
         tmp = f"{path}.build-{cat.spark.sparkContext.applicationId}"
         shutil.rmtree(tmp, ignore_errors=True)
         build_dedup_index(base, tmp, shingles=doc_shingles(cat))
+        if _store_complete(path):
+            # another provisioner won while we built: adopt theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            return DedupIndex(cat.spark, [path])
         shutil.rmtree(path, ignore_errors=True)  # half-written leftover
         try:
             os.rename(tmp, path)
@@ -1204,10 +1216,13 @@ def delta_decisions(
     # index_fps holds election rows with min-wins semantics (one row per
     # fp for a fresh table, possibly several across version deltas —
     # DedupIndex.fps_union); join-then-min equals aggregate-then-join for
-    # a min-election, and broadcasting the small delta side keeps the
-    # store scan shuffle-free — no corpus-sized exchange in this path.
+    # a min-election, so the corpus-sized merged view is never computed
+    # here. No broadcast HINT on the delta side: AQE broadcasts it when
+    # it fits (fixture scale), and a production-sized increment falls
+    # back to a shuffle join against the (bucketBy-fp) store — forcing a
+    # broadcast of an unbounded increment would be the OOM footgun.
     exact = (
-        index_fps.join(F.broadcast(dfp), "fp")
+        index_fps.join(dfp, "fp")
         .groupBy("doc_id")
         .agg(F.min("keeper_doc_id").alias("keeper"))
     )

@@ -1041,14 +1041,29 @@ BETW_OVERLAP_FLOOR = 0.5
 
 def graph_betweenness_overlap(cat: Catalog) -> DataFrame:
     """Driver-verifiable accuracy anchor for the sampled-betweenness
-    estimator (round-9 verdict item 2c): top-k set overlap between the
-    64-source estimator and an exact (all-sources) run of the same code
-    on the mod-``BETW_OVERLAP_MOD`` induced co-purchase subgraph — the
-    reference's own accuracy metric (``BetweennessRunner.scala:92-99``
-    judges ``run(edgeRDD, k, p)`` by top-k overlap against a sample-ratio
-    1.0 ground truth). Numerics (subgraph vertex/edge counts, k) are
-    exactly SQL-recomputable; the measured overlap rides in the boolean
+    estimator (round-9 verdict item 2c): top-k set overlap between a
+    ratio-sampled (p = BETW_OVERLAP_RATIO) run and an exact (all-sources)
+    run of the same code on the mod-``BETW_OVERLAP_MOD`` induced
+    co-purchase subgraph — the reference's own accuracy metric
+    (``BetweennessRunner.scala:92-99`` judges ``run(edgeRDD, k, p)`` by
+    top-k overlap against a sample-ratio 1.0 ground truth; see the
+    constants block above for why a fixed source COUNT was rejected).
+    Numerics (subgraph vertex/edge counts, k) are exactly
+    SQL-recomputable; the measured overlap rides in the boolean
     (≥ BETW_OVERLAP_FLOOR, twin asserts TRUE)."""
+    n_verts, n_edges, k, overlap = _betweenness_overlap_metrics(cat)
+    return cat.spark.createDataFrame(
+        [(n_verts, n_edges, k, bool(overlap >= BETW_OVERLAP_FLOOR))],
+        "n_verts long, n_edges long, k int, overlap_ok boolean",
+    )
+
+
+def _betweenness_overlap_metrics(cat: Catalog) -> tuple[int, int, int, float]:
+    """(n_verts, n_edges, k, top-k overlap) on the mod-filtered subgraph —
+    the single measurement behind the ``graph_betweenness_overlap`` anchor
+    AND the ``tools/anchor_bands.py`` audit. Degenerate (empty) subgraphs
+    return overlap 1.0 with k 0 instead of crashing (zero-guard
+    discipline; the SQL twin emits the same empty-subgraph row)."""
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
         copurchase_pairs,
         csr_broadcast,
@@ -1073,6 +1088,8 @@ def graph_betweenness_overlap(cat: Catalog) -> DataFrame:
         )
         n_verts = verts.count()
         k = min(BETW_OVERLAP_K, n_verts)
+        if k == 0:
+            return 0, 0, 0, 1.0
         csr = csr_broadcast(pairs)
         try:
             sampled = betweenness_sampled(
@@ -1095,18 +1112,7 @@ def graph_betweenness_overlap(cat: Catalog) -> DataFrame:
             ev = {r["v"] for r in exact.select("v").collect()}
         finally:
             csr[0].destroy(blocking=False)
-        overlap = len(sv & ev) / float(k)
-        return cat.spark.createDataFrame(
-            [
-                (
-                    int(n_verts),
-                    int(n_edges),
-                    int(k),
-                    bool(overlap >= BETW_OVERLAP_FLOOR),
-                )
-            ],
-            "n_verts long, n_edges long, k int, overlap_ok boolean",
-        )
+        return int(n_verts), int(n_edges), int(k), len(sv & ev) / float(k)
     finally:
         pairs.unpersist(blocking=False)
 

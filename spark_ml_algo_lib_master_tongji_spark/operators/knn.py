@@ -111,17 +111,25 @@ def _local_topk_factory(k: int):
             return pd.DataFrame({"qid": [], "nid": [], "d2": []}).astype(
                 {"qid": "int64", "nid": "int64", "d2": "float64"}
             )
-        C = np.stack(cpdf["v"].to_numpy())
+        # corpus block pre-sorted by nid so a STABLE per-row argsort
+        # yields (d2, nid)-lexicographic order — the same deterministic
+        # tie-break as the merge window and the DuckDB oracle. Positional
+        # argpartition ties (exactly-duplicate vectors, e.g. replicated
+        # scale fixtures) would otherwise keep an input-order-dependent
+        # candidate the oracle's nid tie-break doesn't pick.
+        corder = np.argsort(cpdf["id"].to_numpy(), kind="stable")
+        cids = cpdf["id"].to_numpy()[corder]
+        C = np.stack(cpdf["v"].to_numpy())[corder]
         Q = np.stack(qpdf["v"].to_numpy())
         cn = (C * C).sum(axis=1)
         qn = (Q * Q).sum(axis=1)
         d2 = np.maximum(qn[:, None] + cn[None, :] - 2.0 * (Q @ C.T), 0.0)
         kk = min(k, C.shape[0])
-        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        part = np.argsort(d2, axis=1, kind="stable")[:, :kk]
         return pd.DataFrame(
             {
                 "qid": np.repeat(qpdf["id"].to_numpy(), kk),
-                "nid": cpdf["id"].to_numpy()[part.ravel()],
+                "nid": cids[part.ravel()],
                 "d2": np.take_along_axis(d2, part, axis=1).ravel(),
             }
         )
@@ -204,8 +212,13 @@ def knn_search(
     # Final ranking on ROUNDED d2 (6 decimals) + nid — the same
     # cross-engine-deterministic tie order as the brute-force arm
     # (ml_exact._dist2) and its DuckDB twin, so the exact search is
-    # value-hash verifiable. The two-phase bound above still prunes on
-    # unrounded distances; only the reported tie order is quantized.
+    # value-hash verifiable. EXACT distance ties (duplicate vectors) are
+    # nid-broken identically at every stage (the stable kernel sort, the
+    # prune-bound window, this merge). The residual gap vs the oracle is
+    # a pair of UNEQUAL distances within the same 1e-6 rounding cell
+    # straddling the k boundary — candidate truncation above uses the
+    # unrounded values; order-statistic gaps on real embeddings are
+    # ~1e-2, so the cell-collision case is not reachable there.
     merged = (
         hits1.unionByName(hits2)
         .dropDuplicates(["qid", "nid"])
@@ -344,6 +357,18 @@ def sim_ivf_recall(cat: Catalog) -> DataFrame:
     leaf-assignment regression flips the value hash). The reference judges
     its approximate searches the same way (``KNNRunner.scala:181-218``
     containment; ``BetweennessRunner.scala:92-99`` top-k overlap)."""
+    nq, recall = _ivf_recall(cat)
+    return cat.spark.createDataFrame(
+        [(nq, bool(recall >= IVF_RECALL_FLOOR))],
+        "n_queries long, recall_ok boolean",
+    )
+
+
+def _ivf_recall(cat: Catalog) -> tuple[int, float]:
+    """(n_queries, recall@k) of ``ivf_search`` vs the session-shared exact
+    hits — the single measurement behind the ``sim_ivf_recall`` anchor
+    AND the ``tools/anchor_bands.py`` audit (one implementation, so the
+    audited quantity can never drift from the shipped assertion)."""
     exact = _knn_hits_derived(cat).select("qid", "nid")
     corpus, queries = _corpus_queries(cat)
     approx = ivf_search(corpus, queries).select(
@@ -359,10 +384,7 @@ def sim_ivf_recall(cat: Catalog) -> DataFrame:
         )
         .first()
     )
-    return cat.spark.createDataFrame(
-        [(int(row["nq"]), bool(float(row["recall"]) >= IVF_RECALL_FLOOR))],
-        "n_queries long, recall_ok boolean",
-    )
+    return int(row["nq"]), float(row["recall"])
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)

@@ -1433,6 +1433,23 @@ def ml_est_als_rec_topk(cat: Catalog) -> DataFrame:
     documents) and ``est_in_band`` (mean top-1 score within
     ALS_REC_TOP1_BAND × the mean rating). The fit is the session-shared
     one ml_est_als / ml_est_als_mse / ml_est_als_recommend consume."""
+    nu, nrec, viol, top1, avg_rating = _als_rec_metrics(cat)
+    # zero guard: degenerate all-zero ratings flip the bit, never raise
+    in_band = avg_rating > 0 and (
+        ALS_REC_TOP1_BAND[0] <= top1 / avg_rating <= ALS_REC_TOP1_BAND[1]
+    )
+    return cat.spark.createDataFrame(
+        [(nu, nrec, avg_rating, bool(viol == 0), bool(in_band))],
+        "n_users long, n_recs long, avg_rating double, "
+        "sorted_ok boolean, est_in_band boolean",
+    )
+
+
+def _als_rec_metrics(cat: Catalog) -> tuple[int, int, int, float, float]:
+    """(n_users, n_recs, ordering violations, mean top-1 score, mean
+    rating) over the shared fit's recommendForUserSubset output — the
+    single measurement behind the ``ml_est_als_rec_topk`` anchor AND the
+    ``tools/anchor_bands.py`` audit."""
     from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
         round_half_up,
     )
@@ -1459,25 +1476,12 @@ def ml_est_als_rec_topk(cat: Catalog) -> DataFrame:
     )
     base = r.agg(round_half_up(F.avg("rating"), 4).alias("ar")).first()
     r.unpersist(blocking=False)
-    avg_rating = float(base["ar"])
-    # zero guard: degenerate all-zero ratings flip the bit, never raise
-    in_band = avg_rating > 0 and (
-        ALS_REC_TOP1_BAND[0]
-        <= float(row["top1"]) / avg_rating
-        <= ALS_REC_TOP1_BAND[1]
-    )
-    return cat.spark.createDataFrame(
-        [
-            (
-                int(row["nu"]),
-                int(row["nrec"]),
-                avg_rating,
-                bool(int(row["viol"]) == 0),
-                bool(in_band),
-            )
-        ],
-        "n_users long, n_recs long, avg_rating double, "
-        "sorted_ok boolean, est_in_band boolean",
+    return (
+        int(row["nu"]),
+        int(row["nrec"]),
+        int(row["viol"]),
+        float(row["top1"]),
+        float(base["ar"]),
     )
 
 

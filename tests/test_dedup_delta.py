@@ -365,10 +365,18 @@ def test_two_refresh_chain_store_equals_recompute(spark, tmp_path):
 
 
 def _store_surfaces(idx):
+    spark = idx.sigs.sparkSession
     return (
         sorted(tuple(r) for r in idx.fps.select("fp", "keeper_doc_id").collect()),
         sorted(tuple(r) for r in idx.sigs.select("doc_id", "sig").collect()),
         sorted(tuple(r) for r in idx.winnow.select("doc_id", "fp").collect()),
+        sorted(
+            tuple(r) for r in idx.winnow_df(spark).select("fp", "df").collect()
+        ),
+        sorted(
+            r["fp"]
+            for r in spark.read.parquet(f"{idx.path}/winnow_overcap").collect()
+        ),
     )
 
 

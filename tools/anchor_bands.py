@@ -95,74 +95,20 @@ def main() -> None:
             .first()[0]
         )
         rows.append(("als_mse/var", mse / var, me.ALS_VAR_BAND))
-        # -- round-10 anchors ------------------------------------------------
-        users = r.select("user").distinct().orderBy("user").limit(50)
-        flat = me._als_explicit_model(cat, r).recommendForUserSubset(
-            users, 3
-        ).select("user", F.posexplode("recommendations").alias("pos", "rec"))
-        top1 = float(
-            flat.where(F.col("pos") == 0)
-            .agg(F.avg(F.col("rec.rating")))
-            .first()[0]
-        )
-        ar = float(r.agg(F.avg("rating")).first()[0])
-        rows.append(("als_rec top1/avg_rating", top1 / ar,
-                     me.ALS_REC_TOP1_BAND))
+        # -- round-10 anchors: shared measurement helpers (the audited
+        # quantity is BY CONSTRUCTION the one the shipped anchor asserts)
         from spark_ml_algo_lib_master_tongji_spark.operators import knn as K
-
-        exact = K._knn_hits_derived(cat).select("qid", "nid")
-        corpus, queries = K._corpus_queries(cat)
-        approx = K.ivf_search(corpus, queries).select(
-            "qid", "nid", F.lit(1).alias("_h")
-        )
-        rec = float(
-            exact.join(approx, ["qid", "nid"], "left")
-            .agg(F.avg(F.coalesce(F.col("_h"), F.lit(0)).cast("double")))
-            .first()[0]
-        )
-        rows.append(("ivf recall@k", rec, (K.IVF_RECALL_FLOOR, None)))
         from spark_ml_algo_lib_master_tongji_spark.operators import (
             graph_extra as ge,
         )
-        from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
-            copurchase_pairs,
-            csr_broadcast,
-        )
 
-        bp = (
-            copurchase_pairs(cat)
-            .where(
-                (F.col("src") % ge.BETW_OVERLAP_MOD == 0)
-                & (F.col("dst") % ge.BETW_OVERLAP_MOD == 0)
-            )
-            .persist()
-        )
-        bverts = (
-            bp.select(F.col("src").alias("v"))
-            .unionByName(bp.select(F.col("dst").alias("v")))
-            .distinct()
-        )
-        bnv = bverts.count()
-        bk = min(ge.BETW_OVERLAP_K, bnv)
-        bcsr = csr_broadcast(bp)
-        sv = {
-            rr["v"]
-            for rr in ge.betweenness_sampled(
-                bp,
-                n_samples=max(1, int(ge.BETW_OVERLAP_RATIO * bnv)),
-                top_k=bk, csr=bcsr, verts=bverts, n_verts=bnv,
-            ).select("v").collect()
-        }
-        ev = {
-            rr["v"]
-            for rr in ge.betweenness_sampled(
-                bp, n_samples=bnv, top_k=bk,
-                csr=bcsr, verts=bverts, n_verts=bnv,
-            ).select("v").collect()
-        }
-        bcsr[0].destroy(blocking=False)
-        bp.unpersist(blocking=False)
-        rows.append(("betweenness top-k overlap", len(sv & ev) / bk,
+        _nu, _nr, _viol, top1, ar = me._als_rec_metrics(cat)
+        rows.append(("als_rec top1/avg_rating", top1 / ar,
+                     me.ALS_REC_TOP1_BAND))
+        _nq, rec = K._ivf_recall(cat)
+        rows.append(("ivf recall@k", rec, (K.IVF_RECALL_FLOOR, None)))
+        *_dims, overlap = ge._betweenness_overlap_metrics(cat)
+        rows.append(("betweenness top-k overlap", overlap,
                      (ge.BETW_OVERLAP_FLOOR, None)))
         print(f"== {d}")
         for name, val, band in rows:

@@ -39,10 +39,12 @@ def main() -> None:
 
     cat = Catalog(spark, sf_dir)
     idx = dedup._dedup_index(cat)  # plain store build = one-time, untimed
+    # BOTH arms join MATERIALIZED election/posting tables (the merged
+    # min-election view is computed once, untimed) so the differential is
+    # purely bucketed-vs-plain scan layout — round-10: delta_decisions no
+    # longer carries a broadcast hint, so autoBroadcastJoinThreshold=-1
+    # below genuinely forces the shuffle-join regime bucketing exists for.
     if arm == "bucketed":
-        # rewrite the two fp-keyed tables as bucketed managed tables; the
-        # capped winnow view is re-derived from the bucketed postings so
-        # the joins in delta_decisions see bucketed scans.
         for t in ("ab_store_fps", "ab_store_winnow"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")  # also clears a stale
             # warehouse dir left by a killed run (LOCATION_ALREADY_EXISTS)
@@ -54,7 +56,13 @@ def main() -> None:
         ).saveAsTable("ab_store_winnow")
         fps, winnow = spark.table("ab_store_fps"), spark.table("ab_store_winnow")
     else:
-        fps, winnow = idx.fps, idx.winnow
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ab_plain_store_")
+        idx.fps.write.mode("overwrite").parquet(f"{d}/fps")
+        idx.winnow.write.mode("overwrite").parquet(f"{d}/winnow")
+        fps = spark.read.parquet(f"{d}/fps")
+        winnow = spark.read.parquet(f"{d}/winnow")
 
     delta = dedup._delta_docs(cat)
     base_docs = cat.documents.select("doc_id", "text")
