@@ -1028,6 +1028,10 @@ def graph_betweenness_sampled(cat: Catalog) -> DataFrame:
 #: sample fraction, not a count): a fixed source count degrades with
 #: graph size on the fixture's near-regular random graph, where top-k
 #: betweenness is tightly bunched.
+#: The audit subgraph is corpus-proportional at fixed MOD; a production
+#: deployment raises the modulus with corpus size to keep the exact
+#: arm bounded (the anchor verifies estimator code, not the business
+#: graph — any bounded induced subgraph serves; PLANS r10 addendum 6).
 BETW_OVERLAP_MOD = 10
 BETW_OVERLAP_K = 25
 BETW_OVERLAP_RATIO = 0.5
