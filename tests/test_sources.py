@@ -190,6 +190,50 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL scan/sink parity (training-data interchange, beyond the
+    reference's source list): documents-shaped round-trip with an
+    explicit DDL schema (no inference pass), gzip sink variant, and the
+    PERMISSIVE corrupt-line contract (a bad row loads as NULLs +
+    _corrupt_record instead of failing the read)."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    ddl = "doc_id long, text string, lang string"
+    df = spark.range(40).selectExpr(
+        "id AS doc_id", "concat('tok', id, ' tail') AS text", "'en' AS lang"
+    )
+    out = str(tmp_path / "jsonl_sink")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema=ddl)
+    assert dict(back.dtypes) == {"doc_id": "bigint", "text": "string", "lang": "string"}
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # gzip sink round-trips through the codec chain
+    gz = str(tmp_path / "jsonl_gz")
+    write_jsonl(df, gz, compression="gzip")
+    import os
+
+    assert any(f.endswith(".json.gz") for f in os.listdir(gz))
+    assert read_jsonl(spark, gz, schema=ddl).count() == 40
+
+    # corrupt line: loads as NULLs + _corrupt_record, never fails the job
+    raw = str(tmp_path / "raw")
+    os.makedirs(raw)
+    with open(os.path.join(raw, "part-0.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en"}\n')
+        f.write("{not json at all\n")
+    rows = read_jsonl(
+        spark, raw, schema=ddl + ", _corrupt_record string"
+    ).collect()
+    good = [r for r in rows if r["doc_id"] == 1]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and len(bad) == 1
+    assert bad[0]["doc_id"] is None
+
+
 def test_sequencefile_roundtrip(spark, tmp_path):
     """SequenceFile scan/sink parity (§2.1: KMeansRunner.scala:119-124 reads
     SequenceFile; PrefixSpanRunner.scala:183-184 writes LZ4 SequenceFile):
