@@ -253,6 +253,39 @@ def pipeline_stratified_sample(cat: Catalog) -> DataFrame:
     )
 
 
+#: global-shuffle knobs: the fixture pins 32 shards; a production run
+#: sets GS_SHARDS so one shard ≈ one output file / one task's sort
+#: (e.g. ~100k shards at 100 TB) — the per-shard rank window is then
+#: embarrassingly parallel with no oversized partitions.
+GS_SHARDS = 32
+GS_SEED = "2020"
+
+
+def pipeline_global_shuffle(cat: Catalog) -> DataFrame:
+    """Reproducible seeded global shuffle → (doc_id, shard, shard_pos):
+    the training-time permutation as a pure function of (seed, doc_id) —
+    identical on any engine, partitioning, or cluster size, unlike
+    ``orderBy(rand())``. shard = md5-bucket of the seeded key (uniform,
+    skew-free); shard_pos = rank of the md5 key within the shard. At
+    scale, ``partitionBy(shard)`` the sink and each trainer streams its
+    shard in shard_pos order; re-shuffling = changing GS_SEED, appending
+    data never reorders other docs' relative positions within a shard.
+    One hash shuffle + per-shard sort (task-sized shards by choice of
+    GS_SHARDS)."""
+    key = F.md5(
+        F.concat_ws("|", F.lit(GS_SEED), F.col("doc_id").cast("string"))
+    )
+    d = cat.documents.select("doc_id", key.alias("k")).withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 8), 16, 10).cast("long") % GS_SHARDS)
+        .cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).alias("shard_pos")
+    )
+
+
 #: deterministic stand-in for an external eval/benchmark holdout: every
 #: 97th doc_id. Real pipelines read the benchmark shingle set from a side
 #: table; the operator shape (inverted-index join on shingle) is identical.
@@ -911,6 +944,7 @@ QUERIES = (
     "text_repetition_3gram",
     "text_tfidf_top_terms",
     "pipeline_stratified_sample",
+    "pipeline_global_shuffle",
     "pipeline_decontaminate",
     "pipeline_training_mix",
     "pipeline_sequence_pack",

@@ -420,6 +420,34 @@ TEXT_ORACLES["pipeline_decontaminate"] = f"""
 
 # Reproducible hash-threshold sample: md5(doc_id) bucket — the same
 # engine-stable 64-bit-prefix trick as text_fingerprint's fp_key.
+# Reproducible seeded global shuffle (text_analysis.pipeline_global_shuffle):
+# the permutation is a pure function of (GS_SEED, doc_id), so the twin
+# recomputes it exactly — same md5 keying, same bucket arithmetic, same
+# in-shard rank order. Constants interpolated from the operator module.
+def _global_shuffle_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        GS_SEED,
+        GS_SHARDS,
+    )
+
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+               md5('{GS_SEED}|' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(k, 1, 8))::BIGINT % {GS_SHARDS} AS INT)
+               AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || substr(k, 1, 8))::BIGINT % {GS_SHARDS}
+               ORDER BY k, doc_id) AS INT) AS shard_pos
+    FROM s
+"""
+
+
+TEXT_ORACLES["pipeline_global_shuffle"] = _global_shuffle_sql()
+
 TEXT_ORACLES["pipeline_stratified_sample"] = f"""
     SELECT d.doc_id, l.pred_lang,
            ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100

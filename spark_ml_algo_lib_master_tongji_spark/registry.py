@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 123 declared oracles the window cannot hold all of them in one
+check. With 124 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,19 +91,20 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 10 rotation (123 oracles / 151 queries). Tier 1:
+#: Priority order, round 10 rotation (124 oracles / 152 queries). Tier 1:
 #: queries whose implementation or output surface changed this round (the
 #: fps-delta versioned store behind both dedup rows; the rounded-tie KNN
-#: surface; the two round-9 anchors that gained zero guards) plus the five
+#: surface; the two round-9 anchors that gained zero guards) plus the six
 #: NEW round-10 oracles (the spill-tree search + vote promoted to full
 #: value-hash rows; the IVF-recall / ALS-recommend / sampled-betweenness
-#: overlap anchors). Tier 2a: ml_linreg_ols + text_fingerprint — the
-#: driver record shows their freshest green is ROUND 6 (the round-9 plan
-#: mislabeled them round-7-green), 4 rounds stale, most urgent. Tier 2b:
-#: the 19 round-7-green rows at the 3-round staleness bound. Tier 3 fill:
-#: 20 of the 47 round-8-green rows (their bound hits at round 11; the
-#: remaining 27 MUST head the round-11 window, then the 46 round-9 rows
-#: split across rounds 11-12). Behind the window: those 27, the round-9
+#: overlap anchors; the reproducible global shuffle). Tier 2a:
+#: ml_linreg_ols + text_fingerprint — the driver record shows their
+#: freshest green is ROUND 6 (the round-9 plan mislabeled them
+#: round-7-green), 4 rounds stale, most urgent. Tier 2b: the 19
+#: round-7-green rows at the 3-round staleness bound. Tier 3 fill: 19 of
+#: the 47 round-8-green rows (their bound hits at round 11; the remaining
+#: 28 MUST head the round-11 window, then the 46 round-9 rows split
+#: across rounds 11-12). Behind the window: those 28, the round-9
 #: cohort, then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: changed this round / new oracles ---------------------------
@@ -114,6 +115,7 @@ _ORDER: tuple[str, ...] = (
     "sim_ivf_recall",  # NEW r10: IVF recall@k anchor
     "ml_est_als_rec_topk",  # NEW r10: recommend-surface anchor
     "graph_betweenness_overlap",  # NEW r10: sampled-betweenness accuracy
+    "pipeline_global_shuffle",  # NEW r10: reproducible training shuffle
     "ml_est_logreg_acc",  # r10: zero-guarded band ratio
     "ml_est_als_mse",  # r10: zero-guarded band ratio
     # -- tier 2a: round-6-green rows PAST the staleness bound ---------------
@@ -139,7 +141,7 @@ _ORDER: tuple[str, ...] = (
     "ml_est_idf",
     "ml_est_svd_energy",
     "graph_triangle_count",
-    # -- tier 3 fill: round-8-green cohort, first 20 of 47 ------------------
+    # -- tier 3 fill: round-8-green cohort, first 19 of 47 ------------------
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q6_forecast_revenue",
@@ -159,9 +161,9 @@ _ORDER: tuple[str, ...] = (
     "graph_incremental_pagerank",
     "ml_simrank",
     "graph_pagerank",
-    "graph_connected_components",
     # ---------------------------- window boundary (50) ---------------------
-    # -- the 27 remaining round-8-green rows: round-11 window head ----------
+    # -- the 28 remaining round-8-green rows: round-11 window head ----------
+    "graph_connected_components",
     "graph_mssp",
     "graph_bfs",
     "graph_sssp",
@@ -270,7 +272,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_connected_components", (
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_pagerank", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 
