@@ -30,6 +30,7 @@ SF_HUGE = "/root/repo/testdata_sf3"  # 30× base — second-decade arm
 #: exact duplicates, so the capped winnow store is populated like an
 #: organic corpus instead of everything-over-cap (PLANS r9 addendum 1).
 SF_BIG_MUT = "/root/repo/testdata_sf1m"
+SF_HUGE_MUT = "/root/repo/testdata_sf3m"  # 30× mutated — realistic store
 
 
 def main() -> None:
@@ -39,6 +40,7 @@ def main() -> None:
         "big": SF_BIG,
         "bigm": SF_BIG_MUT,
         "huge": SF_HUGE,
+        "hugem": SF_HUGE_MUT,
     }[arm]
 
     from spark_ml_algo_lib_master_tongji_spark import benchlib
