@@ -418,8 +418,6 @@ TEXT_ORACLES["pipeline_decontaminate"] = f"""
     GROUP BY doc_id
 """
 
-# Reproducible hash-threshold sample: md5(doc_id) bucket — the same
-# engine-stable 64-bit-prefix trick as text_fingerprint's fp_key.
 # Reproducible seeded global shuffle (text_analysis.pipeline_global_shuffle):
 # the permutation is a pure function of (GS_SEED, doc_id), so the twin
 # recomputes it exactly — same md5 keying, same bucket arithmetic, same
@@ -448,6 +446,8 @@ def _global_shuffle_sql() -> str:
 
 TEXT_ORACLES["pipeline_global_shuffle"] = _global_shuffle_sql()
 
+# Reproducible hash-threshold sample: md5(doc_id) bucket — the same
+# engine-stable 64-bit-prefix trick as text_fingerprint's fp_key.
 TEXT_ORACLES["pipeline_stratified_sample"] = f"""
     SELECT d.doc_id, l.pred_lang,
            ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100

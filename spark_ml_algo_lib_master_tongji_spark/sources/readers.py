@@ -223,17 +223,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_jsonl(
     spark: SparkSession, path: str, schema: str | None = None
 ) -> DataFrame:
-    """JSON-Lines scan → DataFrame (one JSON object per line; .gz/.zst
-    part files transparently decoded by Spark's codec chain). THE
-    interchange format of LLM training-data pipelines — beyond the
-    reference's source list (like the streaming family), included so a
-    corpus can enter the engine without a parquet conversion hop.
+    """JSON-Lines scan → DataFrame (one JSON object per line; .gz part
+    files transparently decoded by Spark's codec chain). THE interchange
+    format of LLM training-data pipelines — beyond the reference's
+    source list (like the streaming family), included so a corpus can
+    enter the engine without a parquet conversion hop.
 
     Pass ``schema`` (DDL string) in production: schemaless reads run a
     whole-extra inference PASS over the data and silently widen mixed
     types — at 100 TB that is both a 2× read and a correctness hazard.
-    Corrupt lines land in ``_corrupt_record`` (PERMISSIVE default) so a
-    crawl with a few bad rows loads instead of failing the job."""
+    Corrupt-line handling (PERMISSIVE default): a malformed line never
+    fails the job, but it surfaces in ``_corrupt_record`` ONLY if that
+    column is part of the supplied schema (append
+    ``, _corrupt_record string``) — with a schema that omits it, Spark
+    silently emits an all-NULL row instead, indistinguishable from real
+    nulls. Crawl loaders that must audit bad lines include the column."""
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
@@ -244,8 +248,10 @@ def write_jsonl(
     df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
 ) -> None:
     """JSON-Lines sink (round-trip partner of ``read_jsonl``) — one
-    object per line, optionally compressed (``gzip``/``zstd``) for the
-    export-to-training-run handoff."""
+    object per line, optionally compressed for the export-to-training-run
+    handoff. Codec availability is Spark's text-source list (gzip, lz4,
+    snappy, bzip2, deflate on this build); zstd needs native libhadoop
+    zstd and is NOT available here — verified, so not advertised."""
     w = df.write.mode(mode)
     if compression:
         w = w.option("compression", compression)
