@@ -103,6 +103,31 @@ def _pivot_dists(df: DataFrame, pivots: np.ndarray) -> DataFrame:
     )
 
 
+def _topk_indices(d2: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row indices of the ``kk`` (d2, position)-lexicographically
+    smallest entries, positions ascending within equal d2. O(m)
+    argpartition fast path (the full O(m log m) stable argsort dominated
+    the hot kernel) with an exact stable-argsort fallback for the rows
+    whose k-th value ties across the partition boundary — argpartition
+    keeps an arbitrary subset of boundary ties, which may not be the
+    smallest positions (= smallest nids) the merge and oracle keep."""
+    m = d2.shape[1]
+    if kk >= m:
+        return np.argsort(d2, axis=1, kind="stable")[:, :kk]
+    pre = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    # prefix positions ascending (= nid order), then stable by d2 →
+    # (d2, nid)-lexicographic within the prefix
+    pre.sort(axis=1)
+    pd2 = np.take_along_axis(d2, pre, axis=1)
+    out = np.take_along_axis(pre, np.argsort(pd2, axis=1, kind="stable"), axis=1)
+    # rows where entries OUTSIDE the prefix tie with the prefix max may
+    # owe a smaller-nid candidate to the result: re-rank those exactly
+    tied = (d2 <= pd2.max(axis=1)[:, None]).sum(axis=1) > kk
+    if tied.any():
+        out[tied] = np.argsort(d2[tied], axis=1, kind="stable")[:, :kk]
+    return out
+
+
 def _local_topk_factory(k: int):
     def local_topk(key, cpdf, qpdf):
         import pandas as pd
@@ -111,12 +136,10 @@ def _local_topk_factory(k: int):
             return pd.DataFrame({"qid": [], "nid": [], "d2": []}).astype(
                 {"qid": "int64", "nid": "int64", "d2": "float64"}
             )
-        # corpus block pre-sorted by nid so a STABLE per-row argsort
-        # yields (d2, nid)-lexicographic order — the same deterministic
-        # tie-break as the merge window and the DuckDB oracle. Positional
-        # argpartition ties (exactly-duplicate vectors, e.g. replicated
-        # scale fixtures) would otherwise keep an input-order-dependent
-        # candidate the oracle's nid tie-break doesn't pick.
+        # corpus block pre-sorted by nid so positional order IS nid order
+        # — the (d2, nid)-lexicographic tie-break of the merge window and
+        # the DuckDB oracle falls out of the positional sorts in
+        # ``_topk_indices``.
         corder = np.argsort(cpdf["id"].to_numpy(), kind="stable")
         cids = cpdf["id"].to_numpy()[corder]
         C = np.stack(cpdf["v"].to_numpy())[corder]
@@ -124,8 +147,13 @@ def _local_topk_factory(k: int):
         cn = (C * C).sum(axis=1)
         qn = (Q * Q).sum(axis=1)
         d2 = np.maximum(qn[:, None] + cn[None, :] - 2.0 * (Q @ C.T), 0.0)
+        # Truncate on ROUNDED distances — the exact quantity the merge
+        # window and the DuckDB oracle rank on — so two unequal distances
+        # in the same 1e-6 cell straddling the per-block k boundary can
+        # never drop the candidate the oracle keeps.
+        d2 = np.round(d2, 6)
         kk = min(k, C.shape[0])
-        part = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+        part = _topk_indices(d2, kk)
         return pd.DataFrame(
             {
                 "qid": np.repeat(qpdf["id"].to_numpy(), kk),
@@ -191,7 +219,10 @@ def knn_search(
     )
 
     # ---- phase 2: remaining leaves that survive the triangle bound
-    # lower bound for any point p in leaf L: d(q,p) ≥ d(q,pivot_L) − r_L
+    # lower bound for any point p in leaf L: d(q,p) ≥ d(q,pivot_L) − r_L.
+    # dk is a ROUNDED kth distance (the kernel emits round(d2, 6)) while
+    # lb2 is unrounded — the 1e-6 slack keeps any candidate whose rounded
+    # distance could still enter the rounded top-k from being pruned.
     lb2 = F.pow(
         F.greatest(F.lit(0.0), F.sqrt(F.col("pd2")) - F.sqrt(F.col("r2"))), 2
     )
@@ -199,7 +230,7 @@ def knn_search(
         qranked.where(F.col("rnk") > spill)
         .join(F.broadcast(radii), "leaf")
         .join(bound.withColumnRenamed("qid", "id"), "id")
-        .where(lb2 <= F.col("dk"))
+        .where(lb2 <= F.col("dk") + F.lit(1e-6))
         .select("id", "v", "leaf")
     )
     hits2 = (
@@ -212,13 +243,12 @@ def knn_search(
     # Final ranking on ROUNDED d2 (6 decimals) + nid — the same
     # cross-engine-deterministic tie order as the brute-force arm
     # (ml_exact._dist2) and its DuckDB twin, so the exact search is
-    # value-hash verifiable. EXACT distance ties (duplicate vectors) are
-    # nid-broken identically at every stage (the stable kernel sort, the
-    # prune-bound window, this merge). The residual gap vs the oracle is
-    # a pair of UNEQUAL distances within the same 1e-6 rounding cell
-    # straddling the k boundary — candidate truncation above uses the
-    # unrounded values; order-statistic gaps on real embeddings are
-    # ~1e-2, so the cell-collision case is not reachable there.
+    # value-hash verifiable. Every stage now ranks and truncates on the
+    # same rounded quantity (the kernel rounds BEFORE its per-block
+    # truncation; the prune bound carries 1e-6 slack), so ties —
+    # exact-duplicate vectors or unequal distances sharing a 1e-6 cell —
+    # are nid-broken identically everywhere. The re-round here is a
+    # no-op kept as the contract's single visible statement.
     merged = (
         hits1.unionByName(hits2)
         .dropDuplicates(["qid", "nid"])
@@ -338,13 +368,26 @@ def _assign_leaf_nearest(df: DataFrame, pivots) -> DataFrame:
     )
 
 
+def _ivf_hits_derived(cat: Catalog) -> DataFrame:
+    """``ivf_search`` over the fixture corpus/query split, shared per
+    (session, sf_dir): the approximate-neighbor table and the recall
+    anchor are two registry queries over ONE search — without the cache
+    each paid its own pivot collect + cogroup stage (round-10 verdict)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    def build() -> DataFrame:
+        corpus, queries = _corpus_queries(cat)
+        return ivf_search(corpus, queries)
+
+    return _derived(cat, "ivf_hits", build)
+
+
 def sim_ivf_topk(cat: Catalog) -> DataFrame:
     """Registry entry: IVF approximate neighbors of the query split
     (rows-only driver check — the hit set is approximate by design; its
     quality rides in ``sim_ivf_recall``'s driver-verified anchor bit and
     pytest's recall measurement)."""
-    corpus, queries = _corpus_queries(cat)
-    return ivf_search(corpus, queries)
+    return _ivf_hits_derived(cat)
 
 
 def sim_ivf_recall(cat: Catalog) -> DataFrame:
@@ -370,10 +413,7 @@ def _ivf_recall(cat: Catalog) -> tuple[int, float]:
     AND the ``tools/anchor_bands.py`` audit (one implementation, so the
     audited quantity can never drift from the shipped assertion)."""
     exact = _knn_hits_derived(cat).select("qid", "nid")
-    corpus, queries = _corpus_queries(cat)
-    approx = ivf_search(corpus, queries).select(
-        "qid", "nid", F.lit(1).alias("_hit")
-    )
+    approx = _ivf_hits_derived(cat).select("qid", "nid", F.lit(1).alias("_hit"))
     row = (
         exact.join(approx, ["qid", "nid"], "left")
         .agg(
