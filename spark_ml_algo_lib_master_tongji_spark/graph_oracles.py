@@ -550,7 +550,7 @@ def _pr_round_ctes(
 def _build_graph_extra_oracles() -> dict[str, str]:
     from spark_ml_algo_lib_master_tongji_spark.operators.graph_extra import (
         BETW_OVERLAP_K,
-        BETW_OVERLAP_MOD,
+        BETW_OVERLAP_TARGET_V,
         CLIQUE_MIN_W,
         H_A,
         H_B,
@@ -572,18 +572,28 @@ def _build_graph_extra_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     # Sampled-betweenness accuracy anchor (graph_extra.
-    # graph_betweenness_overlap): subgraph vertex/edge counts and k are
-    # recomputed from the mod-filtered co-purchase derivation; the
-    # measured top-k overlap vs the exact (all-sources) arm rides in the
-    # boolean the twin asserts TRUE.
+    # graph_betweenness_overlap): the corpus-scaled audit modulus
+    # (max(1, |V| // TARGET), graph_extra._betw_overlap_mod — integer
+    # floor division on both engines) and the subgraph vertex/edge counts
+    # and k are recomputed from the co-purchase derivation; the measured
+    # top-k overlap vs the exact (all-sources) arm rides in the boolean
+    # the twin asserts TRUE.
     o["graph_betweenness_overlap"] = f"""
-WITH sub AS (
+WITH pairs_full AS (
     SELECT a.l_partkey AS src, b.l_partkey AS dst
     FROM lineitem a JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    WHERE a.l_partkey % {BETW_OVERLAP_MOD} = 0
-      AND b.l_partkey % {BETW_OVERLAP_MOD} = 0
     GROUP BY 1, 2
+),
+md AS (
+    SELECT greatest(1, (SELECT CAST(count(DISTINCT v) AS BIGINT)
+        FROM (SELECT src AS v FROM pairs_full
+              UNION ALL SELECT dst FROM pairs_full))
+        // {BETW_OVERLAP_TARGET_V}) AS m
+),
+sub AS (
+    SELECT src, dst FROM pairs_full, md
+    WHERE src % md.m = 0 AND dst % md.m = 0
 ),
 nv AS (
     SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_verts

@@ -1018,7 +1018,7 @@ def graph_betweenness_sampled(cat: Catalog) -> DataFrame:
 
 
 #: Sampled-betweenness accuracy anchor knobs. The overlap is judged on a
-#: mod-BETW_OVERLAP_MOD induced subgraph of the co-purchase graph so the
+#: mod-``_betw_overlap_mod`` induced subgraph of the co-purchase graph so the
 #: EXACT arm (a full-source run of the same estimator, sample ratio 1.0 —
 #: the reference's own ground-truth protocol) stays bounded at every
 #: bench SF: the full sf0.1 graph costs ~95s exact vs ~2s on the
@@ -1028,27 +1028,43 @@ def graph_betweenness_sampled(cat: Catalog) -> DataFrame:
 #: sample fraction, not a count): a fixed source count degrades with
 #: graph size on the fixture's near-regular random graph, where top-k
 #: betweenness is tightly bunched.
-#: The audit subgraph is corpus-proportional at fixed MOD; a production
-#: deployment raises the modulus with corpus size to keep the exact
-#: arm bounded (the anchor verifies estimator code, not the business
-#: graph — any bounded induced subgraph serves; PLANS r10 addendum 6).
-BETW_OVERLAP_MOD = 10
+#: The modulus SCALES with the corpus (round-10 verdict item 3): at fixed
+#: MOD the audit subgraph grows with the data and the exact arm's
+#: O(|V_sub|·|E_sub|) cost grows ~quadratically with sf. Targeting
+#: |V_sub| ≈ BETW_OVERLAP_TARGET_V keeps the anchor cost ~flat at every
+#: bench SF (the anchor verifies estimator code, not the business graph —
+#: any bounded induced subgraph serves). mod = max(1, |V| // TARGET) via
+#: integer floor division so the DuckDB twin recomputes the identical
+#: modulus in SQL (greatest(1, n // target)) with no rounding-mode drift:
+#: sf0.001/0.01 (|V| 200/2000) → full graph, sf0.1 (20000) → mod 10
+#: (unchanged from the fixed-MOD rounds), sf1 → 100, sf3 → 300.
+BETW_OVERLAP_TARGET_V = 2000
 BETW_OVERLAP_K = 25
 BETW_OVERLAP_RATIO = 0.5
 #: top-k overlap floor for the p=0.5 estimator vs exact. Measured across
-#: sf0.001/0.01/0.1: 1.000 / 0.800 / 0.760 (tools/anchor_bands.py
-#: reproduces; PLANS round-10 addendum). A broken dependency
-#: accumulation or source sampler lands near the random-set overlap
-#: k/n_verts ≤ 0.125.
+#: sf0.001/0.01/0.1 with the corpus-scaled modulus: 0.840 / 0.760 / 0.760
+#: at ~flat ≈5s anchor cost (tools/anchor_bands.py reproduces; PLANS
+#: round-11 addendum). A broken dependency accumulation or source
+#: sampler lands near the random-set overlap k/n_verts ≤ 0.125.
 BETW_OVERLAP_FLOOR = 0.5
+
+
+def _betw_overlap_mod(cat: Catalog) -> int:
+    """Corpus-scaled audit modulus — |V| // TARGET by integer floor
+    division, the exact expression the DuckDB twin evaluates in SQL."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import (
+        copurchase_n_verts,
+    )
+
+    return max(1, copurchase_n_verts(cat) // BETW_OVERLAP_TARGET_V)
 
 
 def graph_betweenness_overlap(cat: Catalog) -> DataFrame:
     """Driver-verifiable accuracy anchor for the sampled-betweenness
     estimator (round-9 verdict item 2c): top-k set overlap between a
     ratio-sampled (p = BETW_OVERLAP_RATIO) run and an exact (all-sources)
-    run of the same code on the mod-``BETW_OVERLAP_MOD`` induced
-    co-purchase subgraph — the reference's own accuracy metric
+    run of the same code on the corpus-scaled mod-``_betw_overlap_mod``
+    induced co-purchase subgraph — the reference's own accuracy metric
     (``BetweennessRunner.scala:92-99`` judges ``run(edgeRDD, k, p)`` by
     top-k overlap against a sample-ratio 1.0 ground truth; see the
     constants block above for why a fixed source COUNT was rejected).
@@ -1073,12 +1089,10 @@ def _betweenness_overlap_metrics(cat: Catalog) -> tuple[int, int, int, float]:
         csr_broadcast,
     )
 
+    mod = _betw_overlap_mod(cat)
     pairs = (
         copurchase_pairs(cat)
-        .where(
-            (F.col("src") % BETW_OVERLAP_MOD == 0)
-            & (F.col("dst") % BETW_OVERLAP_MOD == 0)
-        )
+        .where((F.col("src") % mod == 0) & (F.col("dst") % mod == 0))
         .persist()
     )
     try:

@@ -934,7 +934,85 @@ def pipeline_lm_perplexity(cat: Catalog) -> DataFrame:
 
 
 #: registry-exported query names (ordering lives in registry._ORDER)
+#: explicit read schema for the staged documents JSONL export — a LITERAL,
+#: not derived from the parquet footer at runtime, because the production
+#: contract is "the loader KNOWS its schema": schemaless JSONL reads run a
+#: whole extra inference pass over the corpus (see readers.read_jsonl).
+DOCUMENTS_JSONL_DDL = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _staged_jsonl_dir(cat: Catalog) -> str:
+    """Stage a gzip JSONL export of the documents table once per SF under
+    the streaming family's cache root (fixtures are read-only; one cache
+    root, round-10 verdict item 7). Re-exported only when the fixture is
+    newer than the export's _SUCCESS marker; written to a
+    session-private tmp dir and renamed into place so a concurrent
+    session never reads a half-written export."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import write_jsonl
+
+    src = Path(cat.sf_dir) / "documents.parquet"
+    dst = (
+        Path(__file__).resolve().parents[2]
+        / ".stream_cache"
+        / Path(cat.sf_dir).name
+        / "documents_jsonl"
+    )
+    marker = dst / "_SUCCESS"
+    if marker.exists() and marker.stat().st_mtime >= src.stat().st_mtime:
+        return str(dst)
+    tmp = Path(f"{dst}.build-{cat.spark.sparkContext.applicationId}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    write_jsonl(cat.documents, str(tmp), compression="gzip")
+    shutil.rmtree(dst, ignore_errors=True)
+    try:
+        os.rename(tmp, dst)
+    except OSError:  # concurrent session renamed first: adopt theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not marker.exists():
+            raise
+    return str(dst)
+
+
+def pipeline_jsonl_roundtrip(cat: Catalog) -> DataFrame:
+    """Registry entry: JSONL interchange round-trip (round-10 verdict
+    item 2) → (lang, source, n_docs, chars, sum_n_chars, first_doc,
+    last_doc) over the documents corpus READ BACK from a gzip JSONL
+    export staged once per SF. The read supplies explicit DDL (no
+    inference pass); the DuckDB twin recomputes the identical rollup
+    from the parquet ORIGINAL, so a green row proves the export →
+    compress → decode → parse cycle lossless for every column type the
+    corpus uses (long ids, text, categorical strings). Scale note: gzip
+    parts are NOT splittable — read parallelism equals part count (the
+    export keeps the corpus's partitioning, one .gz per partition), so a
+    production export sizes parts at a few hundred MB, never one giant
+    file."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import read_jsonl
+
+    docs = read_jsonl(
+        cat.spark, _staged_jsonl_dir(cat), schema=DOCUMENTS_JSONL_DDL
+    )
+    return (
+        spread(docs)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 QUERIES = (
+    "pipeline_jsonl_roundtrip",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

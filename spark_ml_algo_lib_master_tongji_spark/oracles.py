@@ -403,6 +403,21 @@ TEXT_ORACLES["text_lang_rollup"] = f"""
     GROUP BY l.pred_lang
 """
 
+# JSONL interchange round-trip (text_analysis.pipeline_jsonl_roundtrip):
+# the Spark arm aggregates the corpus read back from a staged gzip JSONL
+# export; the twin recomputes the identical rollup from the parquet
+# ORIGINAL — equality proves the export/decode/parse cycle lossless.
+TEXT_ORACLES["pipeline_jsonl_roundtrip"] = """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT)            AS n_docs,
+           CAST(sum(length(text)) AS BIGINT)   AS chars,
+           CAST(sum(n_chars) AS BIGINT)        AS sum_n_chars,
+           min(doc_id)                         AS first_doc,
+           max(doc_id)                         AS last_doc
+    FROM documents
+    GROUP BY lang, source
+"""
+
 # Benchmark decontamination: distinct 3-gram shingles shared with the
 # (doc_id % 97 == 0) holdout — the inverted-index overlap join.
 TEXT_ORACLES["pipeline_decontaminate"] = f"""

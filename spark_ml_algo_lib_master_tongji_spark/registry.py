@@ -91,78 +91,26 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 10 rotation (124 oracles / 152 queries). Tier 1:
-#: queries whose implementation or output surface changed this round (the
-#: fps-delta versioned store behind both dedup rows; the rounded-tie KNN
-#: surface; the two round-9 anchors that gained zero guards) plus the six
-#: NEW round-10 oracles (the spill-tree search + vote promoted to full
-#: value-hash rows; the IVF-recall / ALS-recommend / sampled-betweenness
-#: overlap anchors; the reproducible global shuffle). Tier 2a:
-#: ml_linreg_ols + text_fingerprint — the driver record shows their
-#: freshest green is ROUND 6 (the round-9 plan mislabeled them
-#: round-7-green), 4 rounds stale, most urgent. Tier 2b: the 19
-#: round-7-green rows at the 3-round staleness bound. Tier 3 fill: 19 of
-#: the 47 round-8-green rows (their bound hits at round 11; the remaining
-#: 28 MUST head the round-11 window, then the 46 round-9 rows split
-#: across rounds 11-12). Behind the window: those 28, the round-9
-#: cohort, then the no-oracle workloads (pytest-verified only).
+#: Priority order, round 11 rotation (125 oracles / 153 queries). Tier 1:
+#: the NEW pipeline_jsonl_roundtrip oracle plus the four rows whose
+#: implementation changed this round (the spill-tree/IVF rows behind the
+#: argpartition + round-before-truncate kernel and the shared IVF search;
+#: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
+#: the 28 remaining round-8-green rows — at the 3-round staleness bound,
+#: they MUST be value-checked this round (round-10 verdict item 1).
+#: Tier 3 fill: 17 of the 46 round-9-green rows, oldest implementations
+#: first (the round-1/2 relational/stats/events/text surface); the
+#: remaining 29 r9 rows sit right behind the boundary and head the
+#: round-12 window. Behind them: the round-10-green cohort (freshest),
+#: then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1: changed this round / new oracles ---------------------------
-    "dedup_delta",  # r10: fps election-delta store in the read path
-    "dedup_index_stats",  # r10: fps count now via the merged union view
-    "ml_knn_spilltree",  # r10: PROMOTED to full value-hash (exact search)
-    "ml_knn_spilltree_classifier",  # r10: PROMOTED (vote over exact hits)
-    "sim_ivf_recall",  # NEW r10: IVF recall@k anchor
-    "ml_est_als_rec_topk",  # NEW r10: recommend-surface anchor
-    "graph_betweenness_overlap",  # NEW r10: sampled-betweenness accuracy
-    "pipeline_global_shuffle",  # NEW r10: reproducible training shuffle
-    "ml_est_logreg_acc",  # r10: zero-guarded band ratio
-    "ml_est_als_mse",  # r10: zero-guarded band ratio
-    # -- tier 2a: round-6-green rows PAST the staleness bound ---------------
-    "ml_linreg_ols",
-    "text_fingerprint",
-    # -- tier 2b: round-7-green rows at the 3-round staleness bound ---------
-    "graph_scc_nation",
-    "text_top_ngrams",
-    "text_lang_rollup",
-    "pipeline_stratified_sample",
-    "pipeline_decontaminate",
-    "graph_edges",
-    "graph_degrees",
-    "q_skew_salted_user_counts",
-    "ml_dbscan",
-    "ml_dbscan_summary",
-    "ml_dbscan_grid_neighbors",
-    "ml_kmeans_lloyd_assign",
-    "ml_kmeans_lloyd_sizes",
-    "pipeline_semantic_dedup",
-    "ml_est_covariance",
-    "ml_est_pearson_rdd",
-    "ml_est_idf",
-    "ml_est_svd_energy",
-    "graph_triangle_count",
-    # -- tier 3 fill: round-8-green cohort, first 19 of 47 ------------------
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q6_forecast_revenue",
-    "q_broadcast_dim_join",
-    "q_anti_join_customers_without_orders",
-    "q_semi_join_suppliers_with_big_lineitems",
-    "stat_covariance_lineitem",
-    "stat_pearson_lineitem",
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "sim_brute_force_topk",
-    "graph_degrees_nation",
-    "graph_weak_cliques",
-    "graph_incremental_pagerank",
-    "ml_simrank",
-    "graph_pagerank",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- the 28 remaining round-8-green rows: round-11 window head ----------
+    # -- tier 1: new oracle / implementation changed this round -------------
+    "pipeline_jsonl_roundtrip",  # NEW r11: JSONL interchange round-trip
+    "ml_knn_spilltree",  # r11: argpartition kernel, round-before-truncate
+    "ml_knn_spilltree_classifier",  # r11: vote over the changed kernel
+    "sim_ivf_recall",  # r11: changed kernel + session-shared IVF search
+    "graph_betweenness_overlap",  # r11: corpus-scaled audit modulus
+    # -- tier 2: round-8-green rows AT the staleness bound ------------------
     "graph_connected_components",
     "graph_mssp",
     "graph_bfs",
@@ -191,15 +139,7 @@ _ORDER: tuple[str, ...] = (
     "ml_est_kmeans_wssse",
     "ml_est_linreg_rmse",
     "pipeline_lm_perplexity",
-    # -- round-9-green cohort (freshest; bound hits round 12) ---------------
-    "text_winnow_fingerprints",
-    "ml_est_clf_acc_anchors",
-    "ml_est_reg_rmse_anchors",
-    "ml_est_lda_ppx",
-    "ml_est_spca_energy",
-    "text_bpe_token_stats",
-    "graph_node2vec_embeddings",
-    "pipeline_training_mix",
+    # -- tier 3 fill: round-9-green cohort, oldest implementations ----------
     "q_union_distinct_nations",
     "q_topk_per_group",
     "q_sort_limit_top_orders",
@@ -210,11 +150,6 @@ _ORDER: tuple[str, ...] = (
     "text_quality_score",
     "text_lang_id",
     "stat_spearman_lineitem",
-    "graph_cycle_detection",
-    "graph_maximal_cliques",
-    "graph_subgraph_matching",
-    "dedup_embedding_cosine_lsh",
-    "sim_lsh_bucket_pairs",
     "q_sql_entry_top_suppliers",
     "q_events_first_per_user",
     "q_events_type_rollup",
@@ -222,6 +157,21 @@ _ORDER: tuple[str, ...] = (
     "ml_idf",
     "ml_prefixspan",
     "ml_est_prefixspan",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- remaining round-9-green rows: round-12 window head -----------------
+    "text_winnow_fingerprints",
+    "ml_est_clf_acc_anchors",
+    "ml_est_reg_rmse_anchors",
+    "ml_est_lda_ppx",
+    "ml_est_spca_energy",
+    "text_bpe_token_stats",
+    "graph_node2vec_embeddings",
+    "pipeline_training_mix",
+    "graph_cycle_detection",
+    "graph_maximal_cliques",
+    "graph_subgraph_matching",
+    "dedup_embedding_cosine_lsh",
+    "sim_lsh_bucket_pairs",
     "ml_knn_classifier",
     "ml_knn_regressor",
     "stream_windowed_counts",
@@ -238,6 +188,53 @@ _ORDER: tuple[str, ...] = (
     "graph_trustrank",
     "graph_ppr_multi",
     "graph_closeness_nation",
+    # -- round-10-green cohort (freshest; bound hits round 13) --------------
+    "dedup_delta",
+    "dedup_index_stats",
+    "ml_est_als_rec_topk",
+    "pipeline_global_shuffle",
+    "ml_est_logreg_acc",
+    "ml_est_als_mse",
+    "ml_linreg_ols",
+    "text_fingerprint",
+    "graph_scc_nation",
+    "text_top_ngrams",
+    "text_lang_rollup",
+    "pipeline_stratified_sample",
+    "pipeline_decontaminate",
+    "graph_edges",
+    "graph_degrees",
+    "q_skew_salted_user_counts",
+    "ml_dbscan",
+    "ml_dbscan_summary",
+    "ml_dbscan_grid_neighbors",
+    "ml_kmeans_lloyd_assign",
+    "ml_kmeans_lloyd_sizes",
+    "pipeline_semantic_dedup",
+    "ml_est_covariance",
+    "ml_est_pearson_rdd",
+    "ml_est_idf",
+    "ml_est_svd_energy",
+    "graph_triangle_count",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "q_broadcast_dim_join",
+    "q_anti_join_customers_without_orders",
+    "q_semi_join_suppliers_with_big_lineitems",
+    "stat_covariance_lineitem",
+    "stat_pearson_lineitem",
+    "dedup_minhash_lsh",
+    "dedup_minhash_groups",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_force_topk",
+    "graph_degrees_nation",
+    "graph_weak_cliques",
+    "graph_incremental_pagerank",
+    "ml_simrank",
+    "graph_pagerank",
     # -- tier 3: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -272,7 +269,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_pagerank", (
+assert _ORDER[DRIVER_WINDOW - 1] == "ml_est_prefixspan", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

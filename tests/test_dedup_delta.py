@@ -510,6 +510,154 @@ def test_env_index_dir_reuses_complete_store(spark, tmp_path, monkeypatch):
     assert idx3.winnow.count() == n1
 
 
+def test_retire_roots_after_compact(spark, tmp_path):
+    """retire_roots deletes exactly the version roots the compacted
+    manifest no longer references; the survivor stays intact and
+    readable, and a refresh chained on top stays exact (round-10 verdict
+    item 5). Remote roots refuse up front, deleting nothing."""
+    import os
+
+    import pytest
+
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(12)], schema
+    )
+    inc1 = spark.createDataFrame([(100, "newone x y z w")], schema)
+    idx = dedup.build_dedup_index(base, str(tmp_path / "v0"))
+    idx = dedup.merge_dedup_index(idx, inc1, str(tmp_path / "v1"))
+    compacted = dedup.compact_dedup_index(idx, str(tmp_path / "compact"))
+
+    # remote root in the manifest → all-or-nothing refusal
+    fake = dedup.DedupIndex.__new__(dedup.DedupIndex)
+    fake.roots = [str(tmp_path / "v0"), "s3a://bucket/store/v1"]
+    with pytest.raises(ValueError, match="local roots"):
+        dedup.retire_roots(fake, compacted)
+    assert os.path.isdir(tmp_path / "v0")  # nothing was deleted
+
+    dead = dedup.retire_roots(idx, compacted)
+    assert sorted(dead) == [str(tmp_path / "v0"), str(tmp_path / "v1")]
+    assert not os.path.exists(tmp_path / "v0")
+    assert not os.path.exists(tmp_path / "v1")
+    assert os.path.isdir(tmp_path / "compact")
+
+    # the survivor is readable and a refresh chain on top stays exact
+    reopened = dedup.DedupIndex(spark, compacted.roots)
+    inc2 = spark.createDataFrame([(200, "newtwo p q r s")], schema)
+    after = dedup.merge_dedup_index(reopened, inc2, str(tmp_path / "v2"))
+    fresh = dedup.build_dedup_index(
+        base.unionByName(inc1).unionByName(inc2), str(tmp_path / "fresh")
+    )
+    assert _store_surfaces(after) == _store_surfaces(fresh)
+    # retiring against itself is a no-op
+    assert dedup.retire_roots(reopened, after) == []
+
+
+def test_publish_store_lock(tmp_path):
+    """_publish_store: adopts a complete competitor store (dropping its
+    own build), replaces an incomplete leftover, steals a stale lock,
+    and waits out a briefly-held live lock (round-10 verdict item 6)."""
+    import os
+    import threading
+    import time
+
+    def mk_store(path, tag):
+        for t in ("fps", "sigs", "winnow", "winnow_df", "winnow_overcap"):
+            os.makedirs(os.path.join(path, t))
+            open(os.path.join(path, t, "_SUCCESS"), "w").close()
+        with open(os.path.join(path, "tag"), "w") as f:
+            f.write(tag)
+
+    def tag_of(path):
+        return open(os.path.join(path, "tag")).read()
+
+    # 1) complete store already at path → ours is dropped, theirs kept
+    path, tmp = str(tmp_path / "a"), str(tmp_path / "a.build-x")
+    mk_store(path, "winner")
+    mk_store(tmp, "loser")
+    dedup._publish_store(tmp, path)
+    assert not os.path.exists(tmp) and tag_of(path) == "winner"
+
+    # 2) incomplete leftover at path → replaced by ours
+    path, tmp = str(tmp_path / "b"), str(tmp_path / "b.build-x")
+    mk_store(path, "half")
+    os.remove(os.path.join(path, "fps", "_SUCCESS"))
+    mk_store(tmp, "ours")
+    dedup._publish_store(tmp, path)
+    assert tag_of(path) == "ours" and not os.path.exists(f"{path}.publish-lock")
+
+    # 3) stale lock (older than the bound) is stolen
+    path, tmp = str(tmp_path / "c"), str(tmp_path / "c.build-x")
+    mk_store(tmp, "ours")
+    lock = f"{path}.publish-lock"
+    os.mkdir(lock)
+    old = time.time() - dedup._PUBLISH_LOCK_STALE_SEC - 5
+    os.utime(lock, (old, old))
+    dedup._publish_store(tmp, path)
+    assert tag_of(path) == "ours" and not os.path.exists(lock)
+
+    # 4) live lock blocks until released, then publish proceeds
+    path, tmp = str(tmp_path / "d"), str(tmp_path / "d.build-x")
+    mk_store(tmp, "ours")
+    lock = f"{path}.publish-lock"
+    os.mkdir(lock)
+    t = threading.Timer(0.3, os.rmdir, args=(lock,))
+    t.start()
+    t0 = time.monotonic()
+    dedup._publish_store(tmp, path)
+    t.join()
+    assert time.monotonic() - t0 >= 0.25  # actually waited for the holder
+    assert tag_of(path) == "ours"
+
+
+def test_same_store_path_local_spellings():
+    """The duplicate-root guard treats anything without '://' as a local
+    path (round-10 ADVICE: urlparse mis-read a ':' first segment as a
+    scheme and stripped '?'/'#' as query/fragment)."""
+    same = dedup._same_store_path
+    assert same("weird:name/store", "weird:name/store")
+    assert same("./x/../store", "store")
+    assert not same("store?v=1", "store")  # '?' is part of a local name
+    assert not same("store#frag", "store")
+    assert same("file:///tmp/store", "/tmp/store")
+    assert same("hdfs://nn:8020/a/b/../b", "hdfs://NN:8020/a/b")
+    assert not same("s3a://bucket/store", "s3a://other/store")
+
+
+def test_gc_shared_stores(tmp_path):
+    """Shared-root housekeeping: orphaned old stores (and stale .build-*
+    leftovers) are deleted; live-fixture keys and young dirs survive
+    regardless of key (round-10 ADVICE)."""
+    import os
+    import time
+
+    root = str(tmp_path / "stores")
+    os.makedirs(root)
+    live_key = dedup._store_cache_key(SF_ORACLE)
+    old = time.time() - 8 * 86400
+
+    def mk(name, aged):
+        p = os.path.join(root, name)
+        os.makedirs(p)
+        if aged:
+            os.utime(p, (old, old))
+        return p
+
+    live_old = mk(live_key, aged=True)  # live fixture key: kept even old
+    live_tmp = mk(f"{live_key}.build-app1", aged=True)  # live key leftover
+    orphan_old = mk("deadbeef0000", aged=True)
+    orphan_tmp = mk("deadbeef0000.build-app2", aged=True)
+    orphan_new = mk("cafebabe0000", aged=False)  # young: maybe publishing
+
+    dead = dedup.gc_shared_stores(root, live_sf_dirs=(SF_ORACLE,))
+    assert sorted(dead) == sorted([orphan_old, orphan_tmp])
+    assert os.path.isdir(live_old) and os.path.isdir(live_tmp)
+    assert os.path.isdir(orphan_new)
+    assert not os.path.exists(orphan_old)
+    # missing root is a no-op
+    assert dedup.gc_shared_stores(str(tmp_path / "nope")) == []
+
+
 def test_delta_near_text_short_doc_is_empty_string(spark):
     """<3-token docs produce '' (not NULL) as the near-dup mutated text —
     the contract the oracle's coalesce mirrors."""

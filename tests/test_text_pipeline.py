@@ -606,3 +606,36 @@ def test_bpe_token_stats_oracle_and_python_re(spark, duck):
             i,
             text,
         )
+
+
+def test_jsonl_roundtrip_driver_row(spark, duck):
+    """The JSONL-interchange driver row: the rollup computed from the
+    staged gzip JSONL export equals the DuckDB twin computed from the
+    parquet ORIGINAL (lossless export/decode/parse), and the staging is
+    idempotent — a second call reuses the export instead of rewriting."""
+    import os
+
+    from spark_ml_algo_lib_master_tongji_spark.operators import text_analysis as ta
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    from tests.compare import assert_match
+    from tests.conftest import SF_ORACLE
+
+    cat = Catalog(spark, SF_ORACLE)
+    df = ta.pipeline_jsonl_roundtrip(cat)
+    assert_match(
+        df, duck, all_oracles()["pipeline_jsonl_roundtrip"], "jsonl_roundtrip"
+    )
+    marker = os.path.join(ta._staged_jsonl_dir(cat), "_SUCCESS")
+    m1 = os.path.getmtime(marker)
+    ta._staged_jsonl_dir(cat)  # second call: cache hit, no rewrite
+    assert os.path.getmtime(marker) == m1
+    # the export really is compressed part files (the non-splittable
+    # production caveat in the docstring applies)
+    parts = [
+        p
+        for p in os.listdir(os.path.dirname(marker))
+        if p.startswith("part-") and p.endswith(".json.gz")
+    ]
+    assert parts
