@@ -434,6 +434,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
 """
 
+    # Persisted-IVF-store roundtrip anchor (operators/knn.py
+    # sim_ivf_delta_search): same query-count numeric; the exact
+    # store-search ≡ fresh-search equality rides in the boolean.
+    o["sim_ivf_delta_search"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS store_ok
+FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+"""
+
     o["ml_idf"] = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token

@@ -17,7 +17,7 @@ the plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
@@ -680,6 +680,86 @@ def dedup_winnow_pairs(cat: Catalog) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .where(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+#: minimum duplicated run length in grams for a reported span
+#: (token length = grams + WINNOW_K − 1; 4 grams = 6 shared tokens —
+#: above the fixture's random-collision runs, well below the 50-token
+#: true re-crawl overlaps)
+SPAN_MIN_GRAMS = 4
+
+
+def dedup_substring_spans(cat: Catalog) -> DataFrame:
+    """Duplicated-substring span extraction — the exact-substring dedup
+    report (Lee et al. 2022, 'Deduplicating Training Data Makes Language
+    Models Better', public paper: find the byte spans shared between
+    documents, not just which documents are near-dups): for every winnow
+    candidate pair, the maximal runs of consecutive matching 3-gram
+    hashes, merged per alignment diagonal → (doc_a, doc_b, a_start,
+    a_end, b_start, b_end, n_tokens), token positions 1-based inclusive,
+    runs ≥ ``SPAN_MIN_GRAMS`` grams.
+
+    The suffix-array pass of the paper re-expressed in joins the engine
+    can shuffle: gram-hash position streams of the two docs join on
+    equal hash, matches fall on alignment diagonals (pa − pb), and a
+    gaps-and-islands window (pa − row_number within the diagonal) merges
+    consecutive matches into maximal runs — consumers splice out
+    [a_start, a_end] to surgically remove the duplicated substring while
+    keeping the unique remainder of both docs.
+
+    Shape at 100 TB: candidate-gated, never corpus². The position join
+    runs only over docs named by ``dedup_winnow_pairs`` (posting-capped
+    inverted index — candidate volume is fingerprint-linear), so matched
+    volume is near-dup-pair-bounded; the islands window shuffles on
+    (pair, diagonal), the same key the join already produced. The gram
+    hash is the winnow sketch's own (md5 → 15-hex → BIGINT), so the SQL
+    twin replays every stage exactly."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+    )
+
+    pairs = dedup_winnow_pairs(cat).select("doc_a", "doc_b")
+    g = TXT.ngram_arrays(
+        spread(_docs_with_recrawl(cat)).select("doc_id", "text"), n=WINNOW_K
+    ).where(F.size("grams") > 0)
+    hs = F.transform(
+        F.col("grams"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+    )
+    gp = (
+        g.select("doc_id", F.posexplode(hs).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    ga = gp.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    gb = gp.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    m = pairs.join(ga, "doc_a").join(gb, ["doc_b", "h"]).select(
+        "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("isl", F.col("pa") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.max("pa").alias("a_end_g"),
+            F.count(F.lit(1)).alias("ng"),
+        )
+        .where(F.col("ng") >= SPAN_MIN_GRAMS)
+    )
+    last = WINNOW_K - 1
+    return runs.select(
+        "doc_a",
+        "doc_b",
+        "a_start",
+        (F.col("a_end_g") + last).alias("a_end"),
+        (F.col("a_start") - F.col("diag")).alias("b_start"),
+        (F.col("a_end_g") - F.col("diag") + last).alias("b_end"),
+        (F.col("ng") + last).alias("n_tokens"),
     )
 
 
@@ -1455,6 +1535,7 @@ QUERIES = (
     "dedup_index_stats",
     "pipeline_chunk_dedup",
     "dedup_winnow_pairs",
+    "dedup_substring_spans",
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "dedup_simhash",

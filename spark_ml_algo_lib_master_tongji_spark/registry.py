@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 124 declared oracles the window cannot hold all of them in one
+check. With 130 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,8 +91,10 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 11 rotation (125 oracles / 153 queries). Tier 1:
-#: the NEW pipeline_jsonl_roundtrip oracle plus the four rows whose
+#: Priority order, round 11 rotation (130 oracles / 158 queries). Tier 1:
+#: the six NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
+#: column profiling, persisted-IVF-store search, stream-stream join,
+#: duplicated-substring spans) plus the four rows whose
 #: implementation changed this round (the spill-tree/IVF rows behind the
 #: argpartition + round-before-truncate kernel and the shared IVF search;
 #: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
@@ -105,11 +107,16 @@ def _module_queries() -> dict[str, QueryFn]:
 #: then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------
+    "text_gopher_rules",  # NEW r11: Gopher-rule quality gate
+    "pipeline_profile_columns",  # NEW r11: Deequ-style column profiling
     "pipeline_jsonl_roundtrip",  # NEW r11: JSONL interchange round-trip
     "ml_knn_spilltree",  # r11: argpartition kernel, round-before-truncate
     "ml_knn_spilltree_classifier",  # r11: vote over the changed kernel
     "sim_ivf_recall",  # r11: changed kernel + session-shared IVF search
+    "sim_ivf_delta_search",  # NEW r11: persisted-IVF-store roundtrip
     "graph_betweenness_overlap",  # r11: corpus-scaled audit modulus
+    "stream_stream_join",  # NEW r11: stream-stream time-bounded join
+    "dedup_substring_spans",  # NEW r11: duplicated-substring span report
     # -- tier 2: round-8-green rows AT the staleness bound ------------------
     "graph_connected_components",
     "graph_mssp",
@@ -152,13 +159,15 @@ _ORDER: tuple[str, ...] = (
     "stat_spearman_lineitem",
     "q_sql_entry_top_suppliers",
     "q_events_first_per_user",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- remaining round-9-green rows: round-12 window head (the IDF and
+    # -- PrefixSpan rows displaced by this session's new tier-1 oracles
+    # -- rotate to the very front of round 12) ------------------------------
     "q_events_type_rollup",
     "q_string_id_dictionary",
     "ml_idf",
     "ml_prefixspan",
     "ml_est_prefixspan",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- remaining round-9-green rows: round-12 window head -----------------
     "text_winnow_fingerprints",
     "ml_est_clf_acc_anchors",
     "ml_est_reg_rmse_anchors",
@@ -269,7 +278,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "ml_est_prefixspan", (
+assert _ORDER[DRIVER_WINDOW - 1] == "q_events_first_per_user", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

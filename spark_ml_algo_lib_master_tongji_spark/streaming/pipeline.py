@@ -239,6 +239,70 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_user_totals_stateful")
 
 
+#: click→purchase attribution bound for the stream-stream join
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range bounds →
+    (click_id, purchase_id, user_id, gap_us): every purchase attributed
+    to each click by the same user within ``ATTRIBUTION_WINDOW`` before
+    it. The last major Structured Streaming operator class the family
+    was missing: BOTH sides are unbounded, so Spark buffers each in
+    state and the two watermarks + the time-range join condition are
+    what let it evict (a click older than the watermark minus the window
+    can never match a future purchase). Output mode append — the only
+    mode stream-stream joins support. Oracle = the identical batch
+    self-join (stream/batch equivalence under availableNow). gap_us is
+    integer µs arithmetic on the normalized (µs-truncated) timestamps —
+    exactly what the DuckDB twin computes with epoch_ns // 1000."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "gap_us"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_stream_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table("stream_stream_join")
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "stream_windowed_counts",
@@ -246,4 +310,5 @@ QUERIES = (
     "stream_sessionization",
     "stream_user_totals_stateful",
     "stream_nation_event_revenue",
+    "stream_stream_join",
 )

@@ -815,3 +815,42 @@ def test_combined_estimator_anchor_rows(spark, duck):
     )
     assert ml_extra.SPCA_MASS_BAND[0] <= mass <= ml_extra.SPCA_MASS_BAND[1]
     assert ml_extra.SPCA_K / ml_extra.SPCA_VOCAB < ml_extra.SPCA_MASS_BAND[0]
+
+
+def test_substring_spans_are_real_and_cover_recrawls(spark):
+    """Every reported span must be a REAL duplicated substring — the token
+    slices [a_start, a_end] of doc_a and [b_start, b_end] of doc_b must be
+    identical text (the md5-gram islands can't fake this) — and every
+    exact re-crawl pair that survives the winnow candidate gate must get
+    a full-document span (a_start = 1, a_end = doc token count)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        _docs_with_recrawl,
+        dedup_substring_spans,
+        dedup_winnow_pairs,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    toks = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in _docs_with_recrawl(cat).collect()
+    }
+    spans = dedup_substring_spans(cat).collect()
+    assert spans
+    for r in spans:
+        a = toks[r["doc_a"]][r["a_start"] - 1 : r["a_end"]]
+        b = toks[r["doc_b"]][r["b_start"] - 1 : r["b_end"]]
+        assert a == b and len(a) == r["n_tokens"], r
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in spans
+        if r["a_start"] == 1 and r["a_end"] == len(toks[r["doc_a"]])
+        and r["b_start"] == 1 and r["b_end"] == len(toks[r["doc_b"]])
+    }
+    recrawl_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_winnow_pairs(cat).collect()
+        if r["doc_b"] == r["doc_a"] + 1_000_000
+    }
+    assert recrawl_pairs and recrawl_pairs <= full

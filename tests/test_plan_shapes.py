@@ -407,3 +407,45 @@ def test_bucketed_store_sink_elides_store_side_exchange(spark, tmp_path):
     assert plain.count("Exchange") == bucketed.count("Exchange") + 1
     assert plain.count("Exchange") >= 1
     assert "SelectedBucketsCount" in bucketed or "Bucketed: true" in bucketed
+
+
+def test_ivf_store_search_prunes_partitions_and_roundtrips(spark):
+    """The persisted-IVF-store search (knn.ivf_search_index) must reach
+    the lists scan with a STATIC leaf filter — PartitionFilters on the
+    leaf-partitioned store, the n_probes/n_pivots read fraction that
+    makes the store pay off at scale — and its results must equal the
+    fresh in-session ivf_search exactly (the sim_ivf_delta_search
+    contract, pinned here on the smoke fixture so the driver row and
+    this test cover two SFs)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import knn
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, SF_SMOKE)
+    store = knn._ivf_store_dir(cat)
+    _, queries = knn._corpus_queries(cat)
+    stored = knn.ivf_search_index(spark, store, queries)
+
+    physical = _full_plan(stored).split("== Physical Plan ==")[-1]
+    import re
+
+    scan_lines = [
+        ln for ln in physical.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any(
+        re.search(r"PartitionFilters: \[.*leaf.*(IN|isnotnull)", ln)
+        for ln in scan_lines
+    ), f"lists scan shows no leaf partition filter:\n{physical[:2000]}"
+
+    corpus, queries2 = knn._corpus_queries(cat)
+    fresh = knn.ivf_search(corpus, queries2)
+    got = {tuple(r) for r in stored.collect()}
+    want = {tuple(r) for r in fresh.collect()}
+    assert got == want and got, "store search diverged from fresh search"
+
+    # idempotent staging: second call reuses the published store
+    import os
+
+    marker = os.path.join(store, "_SUCCESS")
+    m1 = os.path.getmtime(marker)
+    assert knn._ivf_store_dir(cat) == store
+    assert os.path.getmtime(marker) == m1

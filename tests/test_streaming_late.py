@@ -85,3 +85,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     }
     assert got == want, "stream result must equal the on-time subset only"
     assert got != full, "late rows must have been dropped by the watermark"
+
+
+def test_stream_stream_join_matches_batch_self_join(spark):
+    """Stream-stream time-bounded join ≡ the batch self-join on the smoke
+    fixture (the driver row pins sf0.01; this pins sf0.001), and every
+    emitted gap respects the attribution bounds."""
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import load_table
+    from spark_ml_algo_lib_master_tongji_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+        for r in stream_stream_join(spark, SF_SMOKE).collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_us") >= F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + 3_600_000_000),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("p_us") - F.col("c_us")).alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    assert all(0 <= g <= 3_600_000_000 for *_, g in got)

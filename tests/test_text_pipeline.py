@@ -639,3 +639,58 @@ def test_jsonl_roundtrip_driver_row(spark, duck):
         if p.startswith("part-") and p.endswith(".json.gz")
     ]
     assert parts
+
+
+def test_gopher_rules_oracle_parity_and_discrimination(spark, duck):
+    """Gopher-rule gate: exact twin parity at sf0.01, keep == conjunction
+    of the four rule bits, and the fixture-fit thresholds actually
+    discriminate (word-count, stopword, and repetition rules each fire
+    both ways — an all-TRUE or all-FALSE rule would be a dead anchor)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        text_gopher_rules,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    from tests.compare import assert_match
+    from tests.conftest import SF_ORACLE
+
+    cat = Catalog(spark, SF_ORACLE)
+    df = text_gopher_rules(cat)
+    assert_match(df, duck, all_oracles()["text_gopher_rules"], "gopher_rules")
+    rows = df.collect()
+    for r in rows:
+        assert r["keep"] == (
+            r["r_wordcount"]
+            and r["r_meanwordlen"]
+            and r["r_stopwords"]
+            and r["r_repetition"]
+        )
+    for rule in ("r_wordcount", "r_stopwords", "r_repetition"):
+        vals = {r[rule] for r in rows}
+        assert vals == {True, False}, f"{rule} is degenerate on the fixture"
+
+
+def test_profile_columns_oracle_parity_and_pins(spark, duck):
+    """Column profiling: exact twin parity at sf0.01 plus structural pins
+    — one row per profiled column, a single n_rows everywhere, the key
+    column fully distinct, and a null-free fixture profiled as such."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_profile_columns,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    from tests.compare import assert_match
+    from tests.conftest import SF_ORACLE
+
+    cat = Catalog(spark, SF_ORACLE)
+    df = pipeline_profile_columns(cat)
+    assert_match(
+        df, duck, all_oracles()["pipeline_profile_columns"], "profile_columns"
+    )
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert len({r["n_rows"] for r in rows.values()}) == 1
+    assert rows["doc_id"]["n_distinct"] == rows["doc_id"]["n_rows"]
+    assert all(r["n_nulls"] == 0 for r in rows.values())
