@@ -1362,6 +1362,48 @@ DEDUP_ORACLES["dedup_embedding_cosine_lsh"] = (
 """
 )
 
+# As-of join (relational.q_asof_join_click_attribution): the twin runs
+# DuckDB's NATIVE ASOF LEFT JOIN — the Spark union+window composition is
+# verified against the genuine operator's >= semantics, including
+# unmatched-left NULLs and at-timestamp-equality matches.
+RELATIONAL_ORACLES["q_asof_join_click_attribution"] = """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, us, max(event_id) AS click_id
+        FROM e WHERE event_type = 'click' GROUP BY user_id, us
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, us FROM e
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.us AS purchase_us,
+           c.click_id, c.us AS click_us, p.us - c.us AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+"""
+
+
+def _range_join_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        VALUE_TIERS,
+    )
+
+    rows = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS)
+    return f"""
+    WITH tiers(tier, lo, hi) AS (VALUES {rows})
+    SELECT t.tier, e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN tiers t
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier, e.event_type
+"""
+
+
+RELATIONAL_ORACLES["q_range_join_value_tiers"] = _range_join_sql()
+
 RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value
     FROM events GROUP BY user_id

@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 130 declared oracles the window cannot hold all of them in one
+check. With 132 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,10 +91,10 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 11 rotation (130 oracles / 158 queries). Tier 1:
-#: the six NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
+#: Priority order, round 11 rotation (132 oracles / 160 queries). Tier 1:
+#: the eight NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
 #: column profiling, persisted-IVF-store search, stream-stream join,
-#: duplicated-substring spans) plus the four rows whose
+#: duplicated-substring spans, as-of join, range join) plus the four rows whose
 #: implementation changed this round (the spill-tree/IVF rows behind the
 #: argpartition + round-before-truncate kernel and the shared IVF search;
 #: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
@@ -117,6 +117,8 @@ _ORDER: tuple[str, ...] = (
     "graph_betweenness_overlap",  # r11: corpus-scaled audit modulus
     "stream_stream_join",  # NEW r11: stream-stream time-bounded join
     "dedup_substring_spans",  # NEW r11: duplicated-substring span report
+    "q_asof_join_click_attribution",  # NEW r11: as-of join (vs native ASOF)
+    "q_range_join_value_tiers",  # NEW r11: interval/range join
     # -- tier 2: round-8-green rows AT the staleness bound ------------------
     "graph_connected_components",
     "graph_mssp",
@@ -157,12 +159,12 @@ _ORDER: tuple[str, ...] = (
     "text_quality_score",
     "text_lang_id",
     "stat_spearman_lineitem",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- remaining round-9-green rows: round-12 window head (the events/
+    # -- dictionary/IDF/PrefixSpan rows displaced by this session's eight
+    # -- new tier-1 oracles rotate to the very front of round 12) -----------
     "q_sql_entry_top_suppliers",
     "q_events_first_per_user",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- remaining round-9-green rows: round-12 window head (the IDF and
-    # -- PrefixSpan rows displaced by this session's new tier-1 oracles
-    # -- rotate to the very front of round 12) ------------------------------
     "q_events_type_rollup",
     "q_string_id_dictionary",
     "ml_idf",
@@ -278,7 +280,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "q_events_first_per_user", (
+assert _ORDER[DRIVER_WINDOW - 1] == "stat_spearman_lineitem", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

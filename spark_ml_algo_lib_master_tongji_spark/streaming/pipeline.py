@@ -242,6 +242,19 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: click→purchase attribution bound for the stream-stream join
 ATTRIBUTION_WINDOW = "1 hour"
 
+#: state-store parallelism for the stream-stream join: the number of
+#: streaming state partitions equals spark.sql.shuffle.partitions at
+#: query start (and is then baked into the checkpoint), and EACH side of
+#: a stream-stream join keeps one state store per partition — per-store
+#: fixed cost (version files, maintenance, commit) dominates a
+#: single-availableNow-batch run long before data does. Measured at
+#: sf0.1: 7.8s warm at 32 partitions → 2.5s at 8, identical rows; flat
+#: in data size (sf1m ≈ sf0.1), i.e. pure per-store overhead. On a real
+#: cluster this dial is sized to key cardinality × throughput, not CPU
+#: count — 8 is the local-harness setting, the operator itself scales
+#: with whatever the deployment picks.
+STREAM_STATE_PARTITIONS = 8
+
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range bounds →
@@ -255,7 +268,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode stream-stream joins support. Oracle = the identical batch
     self-join (stream/batch equivalence under availableNow). gap_us is
     integer µs arithmetic on the normalized (µs-truncated) timestamps —
-    exactly what the DuckDB twin computes with epoch_ns // 1000."""
+    exactly what the DuckDB twin computes with epoch_ns // 1000.
+
+    Runs in an isolated ``newSession`` (own SQLConf, shared context) so
+    the ``STREAM_STATE_PARTITIONS`` state-store sizing never leaks into
+    the caller's session — the returned DataFrame is same-JVM and
+    collects normally."""
+    spark = spark.newSession()
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
     ev = events_stream(spark, sf_dir)
     clicks = (
         ev.where(F.col("event_type") == "click")

@@ -77,3 +77,15 @@ def test_every_oracle_output_is_driver_sortable(spark):
             if any(k in t for k in ("array", "map", "struct")):
                 offenders.append((name, f.name, t))
     assert not offenders, offenders
+
+
+def test_plan_census_name_lists_track_registry():
+    """tools/plan_census.py's hand-maintained EAGER and KNOWN_CARTESIAN
+    name lists must reference real registry queries — a renamed or
+    removed query would otherwise silently un-skip (census hangs on an
+    eager query) or un-allowlist (false cartesian failure)."""
+    from tools.plan_census import EAGER, KNOWN_CARTESIAN
+
+    names = set(build_registry())
+    assert EAGER <= names, sorted(EAGER - names)
+    assert KNOWN_CARTESIAN <= names, sorted(KNOWN_CARTESIAN - names)
