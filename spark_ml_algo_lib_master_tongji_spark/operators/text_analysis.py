@@ -1096,7 +1096,11 @@ def pipeline_profile_columns(cat: Catalog) -> DataFrame:
     for c in cols:
         s = F.col(c).cast("string")
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            # coalesce: SUM over zero rows is NULL — an empty table has 0
+            # nulls, and the profile must say so (degenerate-input test)
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"{c}_nulls"),
             F.countDistinct(F.col(c)).alias(f"{c}_distinct"),
             F.min(s).alias(f"{c}_min"),
             F.max(s).alias(f"{c}_max"),
@@ -1123,10 +1127,60 @@ def pipeline_profile_columns(cat: Catalog) -> DataFrame:
     )
 
 
+def pipeline_profile_quantiles(cat: Catalog) -> DataFrame:
+    """Quantile profiling of the corpus's numeric signals → one row per
+    signal (signal, p50, p90, p99, min, max) over document char length
+    and token count — the distribution half of the Deequ-style health
+    check (``pipeline_profile_columns`` covers nulls/cardinality; this
+    covers shape: a p99 collapse or explosion is the first symptom of a
+    truncated crawl or a boilerplate flood).
+
+    EXACT percentiles via Spark's ``percentile`` (linear interpolation —
+    bit-identical to DuckDB's ``quantile_cont``, verified on the
+    fixture), computed for both signals in ONE aggregate over one scan.
+    At petabyte scale the production dial is ``approx_percentile``
+    (KLL-style mergeable sketch, no global sort buffer); exact is kept
+    here because the twin must hash-match — the same exact-vs-HLL trade
+    recorded in ``pipeline_profile_columns``."""
+    d = spread(cat.documents)
+    sigs = {
+        "n_chars": F.col("n_chars").cast("double"),
+        "n_tokens": TXT.token_count(F.col("text")).cast("double"),
+    }
+    aggs = []
+    for name, col in sigs.items():
+        aggs += [
+            F.percentile(col, F.lit(0.5)).alias(f"{name}_p50"),
+            F.percentile(col, F.lit(0.9)).alias(f"{name}_p90"),
+            F.percentile(col, F.lit(0.99)).alias(f"{name}_p99"),
+            F.min(col).alias(f"{name}_min"),
+            F.max(col).alias(f"{name}_max"),
+        ]
+    wide = d.agg(*aggs)
+    # shared floor-rounding form (functions/rounding.py) spelled inline —
+    # the stack() string can't call the Python helper, and native round()
+    # would diverge from the twin on decimal-half boundary doubles
+    rnd = "floor(({x}) * 1e4 + 0.5) / 1e4"
+    return wide.select(
+        F.expr(
+            "stack({n}, {args}) as (signal, p50, p90, p99, min_val, max_val)".format(
+                n=len(sigs),
+                args=", ".join(
+                    f"'{s}', {rnd.format(x=f'{s}_p50')}, "
+                    f"{rnd.format(x=f'{s}_p90')}, {rnd.format(x=f'{s}_p99')}, "
+                    f"{s}_min, {s}_max"
+                    for s in sigs
+                ),
+            )
+        )
+    )
+
+
 QUERIES = (
     "pipeline_jsonl_roundtrip",
     "text_gopher_rules",
     "pipeline_profile_columns",
+    "pipeline_profile_quantiles",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

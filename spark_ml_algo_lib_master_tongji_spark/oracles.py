@@ -327,8 +327,8 @@ TEXT_ORACLES: dict[str, str] = {
         f"""
         SELECT '{c}'                                        AS column_name,
                count(*)                                     AS n_rows,
-               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                                                            AS n_nulls,
+               CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)
+                    AS BIGINT)                              AS n_nulls,
                count(DISTINCT {c})                          AS n_distinct,
                min(CAST({c} AS VARCHAR))                    AS min_str,
                max(CAST({c} AS VARCHAR))                    AS max_str,
@@ -337,6 +337,29 @@ TEXT_ORACLES: dict[str, str] = {
         """
         for c in ("doc_id", "text", "lang", "source", "n_chars")
     ),
+    # Quantile profiling (text_analysis.pipeline_profile_quantiles):
+    # DuckDB quantile_cont uses the same linear interpolation as Spark's
+    # exact percentile; both sides round with the shared floor form.
+    "pipeline_profile_quantiles": """
+        WITH m AS (
+            SELECT CAST(n_chars AS DOUBLE) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+            FROM documents
+        )
+        SELECT 'n_chars' AS signal,
+               round(quantile_cont(n_chars, 0.5), 4)  AS p50,
+               round(quantile_cont(n_chars, 0.9), 4)  AS p90,
+               round(quantile_cont(n_chars, 0.99), 4) AS p99,
+               min(n_chars) AS min_val, max(n_chars) AS max_val
+        FROM m
+        UNION ALL
+        SELECT 'n_tokens',
+               round(quantile_cont(n_tokens, 0.5), 4),
+               round(quantile_cont(n_tokens, 0.9), 4),
+               round(quantile_cont(n_tokens, 0.99), 4),
+               min(n_tokens), max(n_tokens)
+        FROM m
+    """,
     "text_fingerprint": f"""
         SELECT doc_id,
                md5({_NORM_TEXT}) AS fingerprint,

@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 132 declared oracles the window cannot hold all of them in one
+check. With 133 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,10 +91,10 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 11 rotation (132 oracles / 160 queries). Tier 1:
-#: the eight NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
-#: column profiling, persisted-IVF-store search, stream-stream join,
-#: duplicated-substring spans, as-of join, range join) plus the four rows whose
+#: Priority order, round 11 rotation (133 oracles / 161 queries). Tier 1:
+#: the nine NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
+#: column + quantile profiling, persisted-IVF-store search, stream-stream
+#: join, duplicated-substring spans, as-of join, range join) plus the four rows whose
 #: implementation changed this round (the spill-tree/IVF rows behind the
 #: argpartition + round-before-truncate kernel and the shared IVF search;
 #: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
@@ -109,6 +109,7 @@ _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------
     "text_gopher_rules",  # NEW r11: Gopher-rule quality gate
     "pipeline_profile_columns",  # NEW r11: Deequ-style column profiling
+    "pipeline_profile_quantiles",  # NEW r11: exact-quantile distribution profile
     "pipeline_jsonl_roundtrip",  # NEW r11: JSONL interchange round-trip
     "ml_knn_spilltree",  # r11: argpartition kernel, round-before-truncate
     "ml_knn_spilltree_classifier",  # r11: vote over the changed kernel
@@ -158,11 +159,11 @@ _ORDER: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "stat_spearman_lineitem",
     # ---------------------------- window boundary (50) ---------------------
     # -- remaining round-9-green rows: round-12 window head (the events/
     # -- dictionary/IDF/PrefixSpan rows displaced by this session's eight
     # -- new tier-1 oracles rotate to the very front of round 12) -----------
+    "stat_spearman_lineitem",
     "q_sql_entry_top_suppliers",
     "q_events_first_per_user",
     "q_events_type_rollup",
@@ -280,7 +281,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "stat_spearman_lineitem", (
+assert _ORDER[DRIVER_WINDOW - 1] == "text_lang_id", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

@@ -257,3 +257,91 @@ def test_delta_decisions_all_new_and_short_docs(spark, tmp_path):
     assert set(rows) == {10, 11, 12}
     for d, r in rows.items():
         assert r["decision"] == "new" and r["keeper_doc_id"] == d
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """A fixture dir whose documents/events/embeddings tables are EMPTY
+    but carry the real schemas — the filtered-to-nothing partition shape
+    of a production run."""
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in ("documents", "events", "embeddings"):
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+def test_text_rows_on_empty_corpus(spark, empty_sf):
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        text_gopher_rules,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, empty_sf)
+    assert text_gopher_rules(cat).count() == 0
+    assert dedup_substring_spans(cat).count() == 0
+
+
+def test_profiles_on_empty_corpus(spark, empty_sf):
+    """Profiling an empty table must report the emptiness, not crash:
+    one row per column/signal with zero counts and NULL extrema."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_profile_columns,
+        pipeline_profile_quantiles,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, empty_sf)
+    cols = pipeline_profile_columns(cat).collect()
+    assert len(cols) == 5
+    for r in cols:
+        assert r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
+        assert r["min_str"] is None and r["max_str"] is None
+    quants = pipeline_profile_quantiles(cat).collect()
+    assert len(quants) == 2
+    for r in quants:
+        assert r["p50"] is None and r["p99"] is None and r["max_val"] is None
+
+
+def test_joins_on_empty_events(spark, empty_sf):
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        q_asof_join_click_attribution,
+        q_range_join_value_tiers,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, empty_sf)
+    assert q_asof_join_click_attribution(cat).count() == 0
+    assert q_range_join_value_tiers(cat).count() == 0
+
+
+def test_asof_with_no_clicks_yields_all_null_matches(spark, tmp_path):
+    """Purchases with ZERO clicks anywhere: every purchase must survive
+    with NULL click columns (left as-of), not be dropped."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        q_asof_join_click_attribution,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    base.where(F.col("event_type") != "click").write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0).write.parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    cat = Catalog(spark, str(tmp_path))
+    out = q_asof_join_click_attribution(cat).collect()
+    n_purch = base.where(F.col("event_type") == "purchase").count()
+    assert len(out) == n_purch > 0
+    assert all(
+        r["click_id"] is None and r["gap_us"] is None for r in out
+    )

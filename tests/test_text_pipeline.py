@@ -694,3 +694,29 @@ def test_profile_columns_oracle_parity_and_pins(spark, duck):
     assert len({r["n_rows"] for r in rows.values()}) == 1
     assert rows["doc_id"]["n_distinct"] == rows["doc_id"]["n_rows"]
     assert all(r["n_nulls"] == 0 for r in rows.values())
+
+
+def test_profile_quantiles_oracle_parity_and_ordering(spark, duck):
+    """Quantile profile: exact twin parity at sf0.01 (Spark percentile vs
+    DuckDB quantile_cont — same linear interpolation) plus the ordering
+    invariant min <= p50 <= p90 <= p99 <= max per signal."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.text_analysis import (
+        pipeline_profile_quantiles,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    from tests.compare import assert_match
+    from tests.conftest import SF_ORACLE
+
+    cat = Catalog(spark, SF_ORACLE)
+    df = pipeline_profile_quantiles(cat)
+    assert_match(
+        df, duck, all_oracles()["pipeline_profile_quantiles"], "profile_quant"
+    )
+    rows = {r["signal"]: r for r in df.collect()}
+    assert set(rows) == {"n_chars", "n_tokens"}
+    for r in rows.values():
+        assert (
+            r["min_val"] <= r["p50"] <= r["p90"] <= r["p99"] <= r["max_val"]
+        ), r
