@@ -1320,7 +1320,7 @@ def _store_complete(path: str) -> bool:
 _PUBLISH_LOCK_STALE_SEC = 60.0
 
 
-def _publish_store(tmp: str, path: str) -> None:
+def _publish_store(tmp: str, path: str, complete=None) -> None:
     """Atomically install a fully-built store dir at the shared path.
 
     A mkdir-as-lock serializes the complete-check → leftover-rmtree →
@@ -1332,11 +1332,18 @@ def _publish_store(tmp: str, path: str) -> None:
     sibling dir. A COMPLETE store at the path is still NEVER removed
     (its readers may hold files); the loser adopts it and drops its own
     build. A lock dir older than ``_PUBLISH_LOCK_STALE_SEC`` belongs to
-    a publisher that died inside the locked window and is stolen."""
+    a publisher that died inside the locked window and is stolen.
+
+    ``complete`` is the store-completeness predicate (default: this
+    module's marker check); other store families (knn's IVF index) pass
+    their own so the SAME locked sequence — and this pytest coverage —
+    serves every shared-store publish in the repo."""
     import os
     import shutil
     import time
 
+    if complete is None:
+        complete = _store_complete
     lock = f"{path}.publish-lock"
     deadline = time.monotonic() + 2 * _PUBLISH_LOCK_STALE_SEC
     while True:
@@ -1357,7 +1364,7 @@ def _publish_store(tmp: str, path: str) -> None:
                 )
             time.sleep(0.05)
     try:
-        if _store_complete(path):
+        if complete(path):
             # another provisioner won while we built: adopt theirs
             shutil.rmtree(tmp, ignore_errors=True)
             return

@@ -439,26 +439,60 @@ def _ivf_recall(cat: Catalog) -> tuple[int, float]:
 # pruning (tests/test_plan_shapes.py pins PartitionFilters in the scan).
 
 
+def _ivf_store_key(cat: Catalog) -> str:
+    """Cache key of the persisted IVF store: every constant baked into
+    the pivots/lists (geometry, seed, query split) plus the fixture's
+    byte identity (mtime_ns + size — an in-place rewrite that keeps the
+    coarse mtime still misses). A constant bump or fixture change mints
+    a key mismatch and forces a rebuild instead of silently reusing a
+    store routed by the OLD quantizer (the dedup store learned this in
+    round 9 — ``_store_cache_seed``)."""
+    from pathlib import Path
+
+    st = (Path(cat.sf_dir) / "embeddings.parquet").stat()
+    return (
+        f"v1 pivots={N_PIVOTS} seed={SEED} sample={SAMPLE_N} "
+        f"mod={KNN_QUERY_MOD} src={st.st_mtime_ns}:{st.st_size}"
+    )
+
+
+def _ivf_store_complete(path: str, key: str) -> bool:
+    """A store is adoptable only if fully written AND built under the
+    CURRENT key — a complete-but-stale store must be replaced."""
+    from pathlib import Path
+
+    p = Path(path)
+    try:
+        return (p / "_SUCCESS").exists() and (
+            p / "_KEY"
+        ).read_text() == key
+    except OSError:
+        return False
+
+
 def _ivf_store_dir(cat: Catalog) -> str:
-    """Stage the IVF index store once per SF under the shared cache root
-    (fixtures are read-only). Rebuilt only when the fixture is newer than
-    the store's _SUCCESS marker; built in a session-private tmp dir and
-    renamed into place so a concurrent session never reads a half-written
-    store (same publish discipline as the JSONL export and the dedup
-    store)."""
-    import os
+    """Stage the IVF index store once per (SF fixture, index constants)
+    under the shared cache root (fixtures are read-only). Built in a
+    session-private tmp dir, then installed through the dedup store's
+    mkdir-locked publish (``dedup._publish_store``) so a competitor's
+    just-published store is adopted, never clobbered mid-read, and a
+    half-written leftover is replaced — the same locked
+    check → rmtree → rename sequence, same pytest-covered code path."""
     import shutil
     from pathlib import Path
 
-    src = Path(cat.sf_dir) / "embeddings.parquet"
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        _publish_store,
+    )
+
+    key = _ivf_store_key(cat)
     dst = (
         Path(__file__).resolve().parents[2]
         / ".stream_cache"
         / Path(cat.sf_dir).name
         / "ivf_index"
     )
-    marker = dst / "_SUCCESS"
-    if marker.exists() and marker.stat().st_mtime >= src.stat().st_mtime:
+    if _ivf_store_complete(str(dst), key):
         return str(dst)
     from spark_ml_algo_lib_master_tongji_spark import benchlib
 
@@ -478,14 +512,11 @@ def _ivf_store_dir(cat: Catalog) -> str:
         _assign_leaf_nearest(corpus, piv).write.partitionBy("leaf").parquet(
             str(tmp / "lists")
         )
+        (tmp / "_KEY").write_text(key)
         (tmp / "_SUCCESS").touch()
-    shutil.rmtree(dst, ignore_errors=True)
-    try:
-        os.rename(tmp, dst)
-    except OSError:  # concurrent session renamed first: adopt theirs
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not marker.exists():
-            raise
+    _publish_store(
+        str(tmp), str(dst), complete=lambda p: _ivf_store_complete(p, key)
+    )
     return str(dst)
 
 
@@ -503,15 +534,21 @@ def ivf_search_index(
     probed leaves — collected so the probe set reaches the scan as a
     STATIC ``IN`` filter, turning n_probes/n_pivots into real partition
     pruning instead of a post-scan filter)."""
+    from pyspark import StorageLevel
+
     pv = spark.read.parquet(f"{store}/pivots").orderBy("leaf").collect()
     pivots = np.stack([np.asarray(r["pv"]) for r in pv])
     local_topk = _local_topk_factory(k)
     qd = _pivot_dists(queries, pivots)
     wq = Window.partitionBy("id").orderBy(F.col("pd2").asc(), F.col("leaf").asc())
+    # persist the routing: the probed-leaf collect below materializes it
+    # once and the cogroup reuses it — without this the full
+    # (query × pivot) distance pass + window ran twice (review finding)
     q = (
         qd.withColumn("rnk", F.row_number().over(wq))
         .where(F.col("rnk") <= n_probes)
         .select("id", "v", "leaf")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     probed = sorted(r["leaf"] for r in q.select("leaf").distinct().collect())
     lists = (
@@ -546,7 +583,12 @@ def sim_ivf_delta_search(cat: Catalog) -> DataFrame:
     twin asserts TRUE, so a store regression flips the value hash — the
     same store-roundtrip-verification shape as ``pipeline_jsonl_roundtrip``
     and the reference's raw-vs-opt A/B gate (``Utils.scala:176-253``)."""
+    from pyspark import StorageLevel
+
     _, queries = _corpus_queries(cat)
+    # one materialized query split serves the routing inside
+    # ivf_search_index AND the n_queries count — not two embeddings scans
+    queries = queries.persist(StorageLevel.MEMORY_AND_DISK)
     stored = ivf_search_index(cat.spark, _ivf_store_dir(cat), queries)
     fresh = _ivf_hits_derived(cat)
     bad = (
@@ -560,6 +602,7 @@ def sim_ivf_delta_search(cat: Catalog) -> DataFrame:
         .count()
     )
     nq = queries.count()
+    queries.unpersist(blocking=False)  # both actions done — scalars below
     return cat.spark.createDataFrame(
         [(nq, bool(bad == 0))], "n_queries long, store_ok boolean"
     )

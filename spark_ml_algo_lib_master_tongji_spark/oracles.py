@@ -1480,24 +1480,6 @@ SQL_ENTRY_ORACLES: dict[str, str] = {
 # Streaming results are checked against their BATCH equivalents —
 # stream/batch equivalence is the streaming correctness property.
 STREAM_ORACLES: dict[str, str] = {
-    # Stream-stream join (streaming/pipeline.stream_stream_join): the
-    # batch self-join on µs-truncated event times — integer µs bounds and
-    # gap, no fp timestamp math on either engine.
-    "stream_stream_join": """
-        WITH e AS (
-            SELECT event_id, user_id, event_type,
-                   epoch_ns(ts) // 1000 AS us
-            FROM events
-        )
-        SELECT c.event_id AS click_id,
-               p.event_id AS purchase_id,
-               c.user_id  AS user_id,
-               p.us - c.us AS gap_us
-        FROM e c JOIN e p
-          ON c.user_id = p.user_id
-         AND c.event_type = 'click' AND p.event_type = 'purchase'
-         AND p.us >= c.us AND p.us <= c.us + 3600000000
-    """,
     "stream_windowed_counts": """
         SELECT CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000))
                     AS TIMESTAMP) AS window_start,
@@ -1548,6 +1530,36 @@ STREAM_ORACLES: dict[str, str] = {
         FROM s GROUP BY user_id, sid
     """,
 }
+
+
+# Stream-stream join (streaming/pipeline.stream_stream_join): the batch
+# self-join on µs-truncated event times — integer µs bounds and gap, no
+# fp timestamp math on either engine. The attribution bound is the Spark
+# side's own ATTRIBUTION_WINDOW_US, interpolated at import (never
+# re-typed — the round-8 ADVICE rule for shared constants).
+def _stream_stream_join_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.streaming.pipeline import (
+        ATTRIBUTION_WINDOW_US,
+    )
+
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000 AS us
+            FROM events
+        )
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id  AS user_id,
+               p.us - c.us AS gap_us
+        FROM e c JOIN e p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.us >= c.us AND p.us <= c.us + {ATTRIBUTION_WINDOW_US}
+    """
+
+
+STREAM_ORACLES["stream_stream_join"] = _stream_stream_join_sql()
 
 # Multimodal payloads are deterministic UTF-8 encodings of documents.text
 # (ASCII fixtures ⇒ byte ops == char ops), so the binary pipeline is

@@ -100,10 +100,11 @@ def _module_queries() -> dict[str, QueryFn]:
 #: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
 #: the 28 remaining round-8-green rows — at the 3-round staleness bound,
 #: they MUST be value-checked this round (round-10 verdict item 1).
-#: Tier 3 fill: 17 of the 46 round-9-green rows, oldest implementations
-#: first (the round-1/2 relational/stats/events/text surface); the
-#: remaining 29 r9 rows sit right behind the boundary and head the
-#: round-12 window. Behind them: the round-10-green cohort (freshest),
+#: Tier 3 fill: 9 of the 46 round-9-green rows, oldest implementations
+#: first (the round-1/2 relational/stats/text surface); the remaining 37
+#: r9 rows sit right behind the boundary — 8 of them displaced from this
+#: window by the new tier-1 oracles — and head the round-12 window
+#: (37 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
 #: then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------

@@ -239,8 +239,12 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_user_totals_stateful")
 
 
-#: click→purchase attribution bound for the stream-stream join
-ATTRIBUTION_WINDOW = "1 hour"
+#: click→purchase attribution bound for the stream-stream join, in
+#: integer µs — the SINGLE definition both the Spark interval literal
+#: and the DuckDB twin interpolate (review finding: a hand-typed
+#: 3600000000 in oracles.py would silently diverge on a bound change)
+ATTRIBUTION_WINDOW_US = 3_600_000_000  # 1 hour
+ATTRIBUTION_WINDOW = f"{ATTRIBUTION_WINDOW_US} microseconds"
 
 #: state-store parallelism for the stream-stream join: the number of
 #: streaming state partitions equals spark.sql.shuffle.partitions at

@@ -449,3 +449,27 @@ def test_ivf_store_search_prunes_partitions_and_roundtrips(spark):
     m1 = os.path.getmtime(marker)
     assert knn._ivf_store_dir(cat) == store
     assert os.path.getmtime(marker) == m1
+
+
+def test_ivf_store_rebuilds_on_key_mismatch(spark):
+    """A complete-but-stale store (constants or fixture changed since it
+    was built — simulated by corrupting _KEY) must be REBUILT through
+    the locked publish, not silently adopted; a current store is reused
+    without a rewrite."""
+    import os
+
+    from spark_ml_algo_lib_master_tongji_spark.operators import knn
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, SF_SMOKE)
+    store = knn._ivf_store_dir(cat)
+    key_file = os.path.join(store, "_KEY")
+    good = open(key_file).read()
+    m1 = os.path.getmtime(os.path.join(store, "_SUCCESS"))
+    assert knn._ivf_store_dir(cat) == store  # current key: reuse
+    assert os.path.getmtime(os.path.join(store, "_SUCCESS")) == m1
+    with open(key_file, "w") as f:
+        f.write("built-under-old-constants")
+    assert knn._ivf_store_dir(cat) == store  # stale key: rebuild
+    assert open(key_file).read() == good
+    assert os.path.getmtime(os.path.join(store, "_SUCCESS")) > m1
