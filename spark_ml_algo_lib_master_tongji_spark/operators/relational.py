@@ -323,7 +323,10 @@ def q_asof_join_click_attribution(cat: Catalog) -> DataFrame:
     """As-of join — for every purchase event, the most recent click by
     the same user at or before it → (purchase_id, user_id, purchase_us,
     click_id, click_us, gap_us), unmatched purchases kept with NULLs
-    (left as-of). The time-series join Spark has no native operator for,
+    (left as-of). Lookback is UNBOUNDED — true as-of semantics (and
+    DuckDB ASOF's): the latest prior match however old; a bounded
+    attribution window is ``stream_stream_join``'s contract, not this
+    operator's. The time-series join Spark has no native operator for,
     re-expressed as the canonical distributed composition: tag both
     sides, UNION, then one window per key carrying the last non-null
     left-side value (``last(..., ignorenulls=True)`` over rows unbounded

@@ -207,3 +207,62 @@ def test_winnow_oracle_listops_match_python(con, toks):
         [text],
     ).fetchone()[0]
     assert list(got) == want, text
+
+
+# The substring-span twin's trickiest stage is the gaps-and-islands merge:
+# matched gram positions (pa, pb) collapse into maximal consecutive runs
+# per alignment diagonal via pa - row_number(). A bug here would be
+# silently shared by the Spark side (same window shape), so this property
+# pins the SQL formulation against an independent Python reference on
+# random match sets — including duplicate diagonals, singleton islands,
+# and adjacent-but-different-diagonal matches.
+_match_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+    ),
+    min_size=0,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(pairs=_match_pairs)
+def test_span_islands_sql_matches_python(con, pairs):
+    def python_islands(ps):
+        by_diag = {}
+        for pa, pb in ps:
+            by_diag.setdefault(pa - pb, set()).add(pa)
+        runs = []
+        for diag, pas in by_diag.items():
+            for pa in sorted(pas):
+                if pa - 1 in pas:
+                    continue  # not a run start
+                end = pa
+                while end + 1 in pas:
+                    end += 1
+                runs.append((diag, pa, end, end - pa + 1))
+        return sorted(runs)
+
+    want = python_islands(set(pairs))
+    if not pairs:
+        assert want == []
+        return
+    values = ", ".join(f"({pa}, {pb})" for pa, pb in pairs)
+    got = con.execute(
+        f"""
+        WITH m(pa, pb) AS (VALUES {values}),
+        isl AS (
+            SELECT pa, pa - pb AS diag,
+                   pa - row_number() OVER (
+                       PARTITION BY pa - pb ORDER BY pa) AS isl
+            FROM m
+        )
+        SELECT diag, min(pa) AS a_start, max(pa) AS a_end,
+               count(*) AS n
+        FROM isl GROUP BY diag, isl
+        ORDER BY diag, a_start
+        """
+    ).fetchall()
+    assert [tuple(r) for r in got] == want, pairs

@@ -92,3 +92,78 @@ def test_range_join_tiers_partition_the_domain(spark, duck):
     cat = Catalog(spark, SF_SMOKE)
     rolled = q_range_join_value_tiers(cat).collect()
     assert sum(r["n_events"] for r in rolled) == cat.events.count()
+
+
+def test_asof_tie_and_shadow_semantics_all_three_arms(spark, tmp_path):
+    """Crafted events exercising what the fixture never does — a click at
+    EXACTLY the purchase timestamp (must match: ts-equality counts as
+    prior), a later click shadowing an earlier one, and interleaved
+    users — compared across all three arms: the Spark union+window
+    composition, DuckDB's native ASOF LEFT JOIN, and a pure-Python
+    brute force."""
+    from datetime import datetime
+
+    import duckdb
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        q_asof_join_click_attribution,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    rows = [
+        # user 1: click at the exact purchase ts -> matches (gap 0)
+        (1, "2024-01-01 00:00:10", 1, "click", 0.0, ""),
+        (2, "2024-01-01 00:00:10", 1, "purchase", 1.0, ""),
+        # user 2: two clicks, later one shadows; purchase after both
+        (3, "2024-01-01 00:00:01", 2, "click", 0.0, ""),
+        (4, "2024-01-01 00:00:05", 2, "click", 0.0, ""),
+        (5, "2024-01-01 00:00:09", 2, "purchase", 1.0, ""),
+        # user 3: click AFTER the purchase -> no match
+        (6, "2024-01-01 00:00:20", 3, "purchase", 1.0, ""),
+        (7, "2024-01-01 00:00:30", 3, "click", 0.0, ""),
+        # users 4/5: long lookbacks — as-of is latest-prior with NO upper
+        # bound (unlike stream_stream_join's attribution window), so an
+        # hour-old and an hour-plus-1us-old click both match
+        (8, "2024-01-01 00:00:00", 4, "click", 0.0, ""),
+        (9, "2024-01-01 01:00:00", 4, "purchase", 1.0, ""),
+        (10, "2024-01-01 00:00:00.000000", 5, "click", 0.0, ""),
+        (11, "2024-01-01 01:00:00.000001", 5, "purchase", 1.0, ""),
+    ]
+    def _ts(s: str) -> datetime:
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
+        return datetime.strptime(s, fmt)
+
+    ev = spark.createDataFrame(
+        [(i, _ts(ts), u, t, v, p) for i, ts, u, t, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_us"])
+        for r in q_asof_join_click_attribution(
+            Catalog(spark, str(tmp_path))
+        ).collect()
+    }
+    want = {
+        2: (1, 0),
+        5: (4, 4_000_000),
+        6: (None, None),
+        9: (8, 3_600_000_000),
+        11: (10, 3_600_000_001),
+    }
+    assert got == want, got
+
+    con = duckdb.connect()
+    glob = str(tmp_path / "events.parquet") + "/*.parquet"
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')"
+    )
+    duck = {
+        pid: (cid, gap)
+        for pid, _, _, cid, _, gap in con.execute(
+            all_oracles()["q_asof_join_click_attribution"]
+        ).fetchall()
+    }
+    assert duck == want, duck
