@@ -763,6 +763,56 @@ def dedup_substring_spans(cat: Catalog) -> DataFrame:
     )
 
 
+def pipeline_span_removal(cat: Catalog) -> DataFrame:
+    """Duplicated-span REMOVAL — the consumer step of
+    ``dedup_substring_spans`` (Lee et al. 2022 removes the duplicated
+    bytes, it doesn't just report them): for every doc that shares spans
+    with a smaller-id partner, splice out the tokens covered by ANY of
+    its spans (the smaller-id copy is the keeper and stays whole) →
+    (doc_id, n_tokens_before, n_tokens_removed, clean_text).
+
+    Row-local splice: the doc's spans are collected into one array
+    column (order-irrelevant — only membership tests), and a position
+    filter keeps tokens outside every span. Overlapping spans from
+    multiple partners union naturally. Shape at 100 TB: the span report
+    is near-dup-pair-bounded; the splice itself is one projection over
+    the affected docs (a semi-join-sized subset of the corpus) — the
+    groupBy on doc_b is the only shuffle this step adds."""
+    spans = dedup_substring_spans(cat)
+    per_doc = spans.groupBy("doc_b").agg(
+        F.collect_list(F.struct("b_start", "b_end")).alias("sp")
+    )
+    docs = _docs_with_recrawl(cat).join(
+        per_doc, F.col("doc_id") == F.col("doc_b")
+    )
+    toks = TXT.tokens(F.col("text"))
+    # covered positions flattened into one int array, then a plain
+    # array_contains per position — a flat-int membership scan instead of
+    # two struct-field comparisons per span per position (the nested
+    # exists form is equivalent and also works; this shape is cheaper)
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("sp"), lambda s: F.sequence(s["b_start"], s["b_end"])
+            )
+        )
+    )
+    docs = docs.withColumn("cov", cov)
+    keep_pos = F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda p: ~F.array_contains(F.col("cov"), p),
+    )
+    clean = F.concat_ws(
+        " ", F.transform(keep_pos, lambda p: F.element_at(toks, p))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_before"),
+        (F.size(toks) - F.size(keep_pos)).alias("n_tokens_removed"),
+        clean.alias("clean_text"),
+    )
+
+
 # ---- delta dedup against a persisted keeper index --------------------------
 #
 # The production re-crawl path: a 100 TB pipeline dedups an INCREMENT
@@ -1543,6 +1593,7 @@ QUERIES = (
     "pipeline_chunk_dedup",
     "dedup_winnow_pairs",
     "dedup_substring_spans",
+    "pipeline_span_removal",
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "dedup_simhash",

@@ -1012,6 +1012,47 @@ def _substring_spans_sql() -> str:
 
 DEDUP_ORACLES["dedup_substring_spans"] = _substring_spans_sql()
 
+
+# Span removal (dedup.pipeline_span_removal): splice the spans back out —
+# the spans CTE is the FULL spans query (interpolated); the splice is the
+# same position-filter shape the Spark side runs row-locally.
+DEDUP_ORACLES["pipeline_span_removal"] = f"""
+    WITH spans AS ({DEDUP_ORACLES["dedup_substring_spans"]}),
+    per_doc AS (
+        SELECT doc_b AS doc_id,
+               list(struct_pack(b_start := b_start, b_end := b_end)) AS sp
+        FROM spans GROUP BY doc_b
+    ),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    spliced AS (
+        SELECT d.doc_id,
+               string_split(d.text, ' ') AS t,
+               p.sp AS sp
+        FROM docs d JOIN per_doc p USING (doc_id)
+    ),
+    kept AS (
+        SELECT doc_id, t,
+               list_filter(range(1, len(t) + 1),
+                   p -> len(list_filter(sp,
+                       s -> p >= s.b_start AND p <= s.b_end)) = 0) AS keep_pos
+        FROM spliced
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INT)                 AS n_tokens_before,
+           CAST(len(t) - len(keep_pos) AS INT) AS n_tokens_removed,
+           coalesce(array_to_string(
+               list_transform(keep_pos, p -> t[CAST(p AS INT)]), ' '), '')
+                                               AS clean_text
+               -- fully-removed doc: [] stringifies to NULL in DuckDB,
+               -- Spark's concat_ws gives '' — pin the engines together
+               -- (same rule as the delta-docs near-dup slice)
+    FROM kept
+"""
+
 DEDUP_ORACLES["dedup_minhash_groups"] = f"""
     WITH RECURSIVE pairs AS ({DEDUP_ORACLES["dedup_minhash_lsh"]}),
     sympairs AS (

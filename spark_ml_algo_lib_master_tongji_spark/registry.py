@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 133 declared oracles the window cannot hold all of them in one
+check. With 134 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,20 +91,21 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 11 rotation (133 oracles / 161 queries). Tier 1:
-#: the nine NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
+#: Priority order, round 11 rotation (134 oracles / 162 queries). Tier 1:
+#: the ten NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
 #: column + quantile profiling, persisted-IVF-store search, stream-stream
-#: join, duplicated-substring spans, as-of join, range join) plus the four rows whose
+#: join, duplicated-substring spans + span removal, as-of join, range
+#: join) plus the four rows whose
 #: implementation changed this round (the spill-tree/IVF rows behind the
 #: argpartition + round-before-truncate kernel and the shared IVF search;
 #: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
 #: the 28 remaining round-8-green rows — at the 3-round staleness bound,
 #: they MUST be value-checked this round (round-10 verdict item 1).
-#: Tier 3 fill: 9 of the 46 round-9-green rows, oldest implementations
-#: first (the round-1/2 relational/stats/text surface); the remaining 37
-#: r9 rows sit right behind the boundary — 8 of them displaced from this
+#: Tier 3 fill: 8 of the 46 round-9-green rows, oldest implementations
+#: first (the round-1/2 relational/stats/text surface); the remaining 38
+#: r9 rows sit right behind the boundary — 9 of them displaced from this
 #: window by the new tier-1 oracles — and head the round-12 window
-#: (37 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
+#: (38 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
 #: then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------
@@ -119,6 +120,7 @@ _ORDER: tuple[str, ...] = (
     "graph_betweenness_overlap",  # r11: corpus-scaled audit modulus
     "stream_stream_join",  # NEW r11: stream-stream time-bounded join
     "dedup_substring_spans",  # NEW r11: duplicated-substring span report
+    "pipeline_span_removal",  # NEW r11: splice the duplicated spans out
     "q_asof_join_click_attribution",  # NEW r11: as-of join (vs native ASOF)
     "q_range_join_value_tiers",  # NEW r11: interval/range join
     # -- tier 2: round-8-green rows AT the staleness bound ------------------
@@ -159,11 +161,11 @@ _ORDER: tuple[str, ...] = (
     "stat_summary_lineitem",
     "text_token_stats",
     "text_quality_score",
-    "text_lang_id",
     # ---------------------------- window boundary (50) ---------------------
     # -- remaining round-9-green rows: round-12 window head (the events/
-    # -- dictionary/IDF/PrefixSpan rows displaced by this session's eight
+    # -- dictionary/IDF/PrefixSpan rows displaced by this session's nine
     # -- new tier-1 oracles rotate to the very front of round 12) -----------
+    "text_lang_id",
     "stat_spearman_lineitem",
     "q_sql_entry_top_suppliers",
     "q_events_first_per_user",
@@ -282,7 +284,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "text_lang_id", (
+assert _ORDER[DRIVER_WINDOW - 1] == "text_quality_score", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

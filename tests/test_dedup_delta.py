@@ -854,3 +854,46 @@ def test_substring_spans_are_real_and_cover_recrawls(spark):
         if r["doc_b"] == r["doc_a"] + 1_000_000
     }
     assert recrawl_pairs and recrawl_pairs <= full
+
+
+def test_span_removal_splices_real_duplicates_and_keeps_the_rest(spark):
+    """Span removal must (a) keep the keeper copies whole (no recrawl
+    ORIGINAL appears in the output — only larger-id victims), (b) remove
+    exactly the span-covered positions: re-splicing each victim's kept
+    tokens from the raw text must reproduce clean_text, and (c) fully
+    blank every exact re-crawl copy (its span covers the whole doc)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
+        _docs_with_recrawl,
+        dedup_substring_spans,
+        pipeline_span_removal,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    toks = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in _docs_with_recrawl(cat).collect()
+    }
+    spans = {}
+    for r in dedup_substring_spans(cat).collect():
+        spans.setdefault(r["doc_b"], []).append((r["b_start"], r["b_end"]))
+    out = {r["doc_id"]: r for r in pipeline_span_removal(cat).collect()}
+    assert set(out) == set(spans)
+    for doc_id, r in out.items():
+        t = toks[doc_id]
+        covered = set()
+        for s, e in spans[doc_id]:
+            covered.update(range(s, e + 1))
+        want_clean = " ".join(
+            tok for i, tok in enumerate(t, start=1) if i not in covered
+        )
+        assert r["clean_text"] == want_clean, doc_id
+        assert r["n_tokens_before"] == len(t)
+        assert r["n_tokens_removed"] == len(covered)
+    recrawl_victims = [d for d in out if d >= 1_000_000]
+    assert recrawl_victims
+    for d in recrawl_victims:
+        assert out[d]["clean_text"] == "" and out[d]["n_tokens_removed"] == len(
+            toks[d]
+        )
