@@ -430,6 +430,151 @@ def q_range_join_value_tiers(cat: Catalog) -> DataFrame:
     )
 
 
+def q_rollup_revenue(cat: Catalog) -> DataFrame:
+    """ROLLUP grouping sets — customer revenue at (region, nation),
+    (region, ALL), and (ALL, ALL) granularities in ONE pass → the
+    subtotal/grand-total cube every BI layer asks for. Catalyst plans
+    grouping sets as a single Expand feeding one hash aggregate (×3 row
+    multiplier here) — one scan, one shuffle, never three separate
+    aggregations unioned. NULL group markers are coalesced to 'ALL' so
+    the driver's sort-based compare never sees NULL keys.
+
+    Revenue sums as DECIMAL(18,2): fp64 SUM is non-associative, and the
+    grand-total row aggregates the WHOLE orders table — at the 10×
+    fixture the double-sum drifted 1e-2 between engines (different
+    reduction trees over 1.5M addends), flipping the value hash on a
+    correct result. Cents-exact decimal accumulation is associative, so
+    any partial-aggregation tree produces the identical total; ONE
+    decimal→double conversion at the end is deterministic on both
+    engines. The rule for money columns at 100 TB generally."""
+    rev = (
+        cat.customer.join(
+            cat.orders, F.col("c_custkey") == F.col("o_custkey")
+        )
+        .join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_c"),
+        )
+    )
+    return (
+        rev.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_c").cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+#: fixed pivot column list — a deterministic output schema (dynamic pivot
+#: would re-scan to discover values and make the schema data-dependent)
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_pivot_event_types(cat: Catalog) -> DataFrame:
+    """Pivot — per-user event counts spread into one column per event
+    type. The reshape every feature table needs; with the value list
+    fixed (EVENT_TYPES) Spark plans ONE pass (pivot_first partial aggs),
+    no discovery scan, and the schema is deployment-stable. Empty cells
+    are 0, not NULL (the twin's sum(CASE) arithmetic)."""
+    counts = (
+        cat.events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return counts.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+def q_resample_gapfill(cat: Catalog) -> DataFrame:
+    """Time-series resample + gap fill — per-user DAILY event counts with
+    missing days zero-filled between that user's first and last active
+    day (the hypertable/continuous-aggregate shape: downstream models
+    need a dense series, not one with holes). Spark: per-user day bounds
+    → ``sequence(first_day, last_day)`` exploded row-locally → left join
+    the observed daily counts → zero-fill. ONE shuffle for the daily
+    rollup, one for the bounds agg on the same key (AQE-coalesced); the
+    calendar explode is generate-side, no driver loop."""
+    daily = (
+        cat.events.select(
+            "user_id", F.to_date(F.col("ts")).alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def q_funnel_conversion(cat: Catalog) -> DataFrame:
+    """Ordered funnel — click → view-after-click → purchase-after-view
+    per user, rolled up to one row (n_users, n_click, n_click_view,
+    n_full_funnel). The product-analytics workhorse: each stage's
+    timestamp is the earliest event of that type AFTER the previous
+    stage's timestamp, so out-of-order events don't count. Three
+    conditional min-aggregations on the same user key — Catalyst plans
+    the chain as successive aggregates over one exchange-partitioned
+    stream; no self-join explosion."""
+    ev = cat.events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("us").alias("t_click")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .where(F.col("us") >= F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("us").alias("t_view"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    n_users = ev.select("user_id").distinct().count()
+    return cat.spark.createDataFrame(
+        [(n_users, t1.count(), t2.count(), t3.count())],
+        "n_users long, n_click long, n_click_view long, n_full_funnel long",
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "q1_pricing_summary",
@@ -449,4 +594,8 @@ QUERIES = (
     "q_string_id_dictionary",
     "q_asof_join_click_attribution",
     "q_range_join_value_tiers",
+    "q_rollup_revenue",
+    "q_pivot_event_types",
+    "q_resample_gapfill",
+    "q_funnel_conversion",
 )

@@ -1468,6 +1468,98 @@ def _range_join_sql() -> str:
 
 RELATIONAL_ORACLES["q_range_join_value_tiers"] = _range_join_sql()
 
+# ROLLUP grouping sets (relational.q_rollup_revenue): DuckDB's ROLLUP
+# emits the identical subtotal rows; NULL markers coalesced the same way.
+# Revenue sums as DECIMAL(18,2) — exact associative cents (fp64 SUM
+# drifted 1e-2 between engines on the grand-total row at the 10×
+# fixture); the fixture's prices are cents-exact doubles so the cast is
+# unambiguous on both engines.
+RELATIONAL_ORACLES["q_rollup_revenue"] = """
+    WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price_c
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_orders,
+           CAST(sum(price_c) AS DOUBLE) AS revenue
+    FROM rev GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def _pivot_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        EVENT_TYPES,
+    )
+
+    cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+"""
+
+
+RELATIONAL_ORACLES["q_pivot_event_types"] = _pivot_sql()
+
+# Resample + gap fill (relational.q_resample_gapfill): generate_series
+# densifies each user's [first, last] day range; observed days join back.
+RELATIONAL_ORACLES["q_resample_gapfill"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    calendar AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM bounds
+    )
+    SELECT c.user_id, c.day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+    FROM calendar c LEFT JOIN daily d USING (user_id, day)
+"""
+
+# Ordered funnel (relational.q_funnel_conversion): each stage's earliest
+# timestamp AFTER the previous stage; µs-truncated times both engines.
+RELATIONAL_ORACLES["q_funnel_conversion"] = """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    t1 AS (
+        SELECT user_id, min(us) AS t_click FROM e
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, t1.t_click, min(e.us) AS t_view
+        FROM e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.us >= t1.t_click
+        GROUP BY e.user_id, t1.t_click
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.us) AS t_purchase
+        FROM e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us >= t2.t_view
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM e)  AS n_users,
+           (SELECT count(*) FROM t1)                AS n_click,
+           (SELECT count(*) FROM t2)                AS n_click_view,
+           (SELECT count(*) FROM t3)                AS n_full_funnel
+"""
+
 RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value
     FROM events GROUP BY user_id

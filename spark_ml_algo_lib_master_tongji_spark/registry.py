@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 134 declared oracles the window cannot hold all of them in one
+check. With 138 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,21 +91,22 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 11 rotation (134 oracles / 162 queries). Tier 1:
-#: the ten NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
+#: Priority order, round 11 rotation (138 oracles / 166 queries). Tier 1:
+#: the fourteen NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
 #: column + quantile profiling, persisted-IVF-store search, stream-stream
 #: join, duplicated-substring spans + span removal, as-of join, range
-#: join) plus the four rows whose
+#: join, ROLLUP grouping sets, pivot, resample+gapfill, ordered funnel)
+#: plus the four rows whose
 #: implementation changed this round (the spill-tree/IVF rows behind the
 #: argpartition + round-before-truncate kernel and the shared IVF search;
 #: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
 #: the 28 remaining round-8-green rows — at the 3-round staleness bound,
 #: they MUST be value-checked this round (round-10 verdict item 1).
-#: Tier 3 fill: 8 of the 46 round-9-green rows, oldest implementations
-#: first (the round-1/2 relational/stats/text surface); the remaining 38
-#: r9 rows sit right behind the boundary — 9 of them displaced from this
+#: Tier 3 fill: 4 of the 46 round-9-green rows, oldest implementations
+#: first (the round-1/2 relational surface); the remaining 42
+#: r9 rows sit right behind the boundary — 13 of them displaced from this
 #: window by the new tier-1 oracles — and head the round-12 window
-#: (38 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
+#: (42 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
 #: then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------
@@ -123,6 +124,10 @@ _ORDER: tuple[str, ...] = (
     "pipeline_span_removal",  # NEW r11: splice the duplicated spans out
     "q_asof_join_click_attribution",  # NEW r11: as-of join (vs native ASOF)
     "q_range_join_value_tiers",  # NEW r11: interval/range join
+    "q_rollup_revenue",  # NEW r11: ROLLUP grouping sets
+    "q_pivot_event_types",  # NEW r11: fixed-list pivot
+    "q_resample_gapfill",  # NEW r11: time-series resample + gap fill
+    "q_funnel_conversion",  # NEW r11: ordered funnel
     # -- tier 2: round-8-green rows AT the staleness bound ------------------
     "graph_connected_components",
     "graph_mssp",
@@ -157,14 +162,14 @@ _ORDER: tuple[str, ...] = (
     "q_topk_per_group",
     "q_sort_limit_top_orders",
     "q_case_conditional_agg",
+    # ---------------------------- window boundary (50) ---------------------
+    # -- remaining round-9-green rows: round-12 window head (the events/
+    # -- dictionary/IDF/PrefixSpan rows displaced by this session's 13
+    # -- new tier-1 oracles rotate to the very front of round 12) -----------
     "q_grouped_having",
     "stat_summary_lineitem",
     "text_token_stats",
     "text_quality_score",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- remaining round-9-green rows: round-12 window head (the events/
-    # -- dictionary/IDF/PrefixSpan rows displaced by this session's nine
-    # -- new tier-1 oracles rotate to the very front of round 12) -----------
     "text_lang_id",
     "stat_spearman_lineitem",
     "q_sql_entry_top_suppliers",
@@ -284,7 +289,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "text_quality_score", (
+assert _ORDER[DRIVER_WINDOW - 1] == "q_case_conditional_agg", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

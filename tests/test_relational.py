@@ -167,3 +167,70 @@ def test_asof_tie_and_shadow_semantics_all_three_arms(spark, tmp_path):
         ).fetchall()
     }
     assert duck == want, duck
+
+
+def test_analytics_surface_semantic_pins(spark):
+    """Structural invariants of the four analytics operators beyond their
+    twins: the rollup's ALL/ALL row equals the grand total and each
+    region's ALL row equals the sum of its nations; pivot row sums equal
+    each user's event count; the gap-filled series is hole-free and
+    dense per user; the funnel is monotone non-increasing."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        q_funnel_conversion,
+        q_pivot_event_types,
+        q_resample_gapfill,
+        q_rollup_revenue,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+
+    roll = q_rollup_revenue(cat).collect()
+    total = {
+        (r["region"], r["nation"]): (r["n_orders"], r["revenue"])
+        for r in roll
+    }
+    grand = total[("ALL", "ALL")]
+    regions = {r for r, n in total if r != "ALL" and n == "ALL"}
+    assert grand[0] == sum(total[(r, "ALL")][0] for r in regions)
+    for r in regions:
+        nations = [
+            k for k in total if k[0] == r and k[1] != "ALL"
+        ]
+        assert total[(r, "ALL")][0] == sum(total[k][0] for k in nations)
+
+    piv = q_pivot_event_types(cat).collect()
+    per_user = {
+        r["user_id"]: r["cnt"]
+        for r in cat.events.groupBy("user_id").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    assert len(piv) == len(per_user)
+    for r in piv:
+        row_sum = sum(
+            r[c] for c in r.asDict() if c.startswith("n_")
+        )
+        assert row_sum == per_user[r["user_id"]]
+
+    series = {}
+    for r in q_resample_gapfill(cat).collect():
+        series.setdefault(r["user_id"], []).append((r["day"], r["n_events"]))
+    from datetime import timedelta
+
+    for days in series.values():
+        days.sort()
+        for (d0, _), (d1, _) in zip(days, days[1:]):
+            assert d1 - d0 == timedelta(days=1), "hole or duplicate day"
+        assert days[0][1] > 0 and days[-1][1] > 0  # bounds are observed days
+
+    f = q_funnel_conversion(cat).first()
+    assert (
+        f["n_users"]
+        >= f["n_click"]
+        >= f["n_click_view"]
+        >= f["n_full_funnel"]
+        >= 0
+    )
+    assert f["n_click"] > 0 and f["n_full_funnel"] > 0
