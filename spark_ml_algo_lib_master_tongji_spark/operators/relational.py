@@ -575,6 +575,45 @@ def q_funnel_conversion(cat: Catalog) -> DataFrame:
     )
 
 
+#: trailing window width (observed days) for the moving average
+MA_DAYS = 7
+
+
+def q_moving_average(cat: Catalog) -> DataFrame:
+    """Rolling-window aggregate — 7-day trailing mean of daily event
+    value → (day, daily_value, ma7). The ROWS-frame window class
+    (trailing N observed rows) the registry's other windows (row_number
+    top-k) don't exercise; the frame is ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW over the day-ordered daily rollup, identical in both
+    engines. One shuffle for the daily rollup; the window runs over the
+    already-tiny day series. Money sums as DECIMAL (the
+    ``q_rollup_revenue`` rule) and the mean divides ONCE at the end —
+    fp-deterministic on both sides."""
+    daily = (
+        cat.events.select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("dv"))
+    )
+    w = (
+        Window.orderBy("day").rowsBetween(-(MA_DAYS - 1), Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        F.col("dv").cast("double").alias("daily_value"),
+        # decimal window-sum (exact) → ONE double conversion → ONE fp64
+        # division; decimal/decimal division scale rules differ between
+        # engines, double math after the exact sum does not
+        round_half_up(
+            F.sum("dv").over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("ma7"),
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "q1_pricing_summary",
@@ -598,4 +637,5 @@ QUERIES = (
     "q_pivot_event_types",
     "q_resample_gapfill",
     "q_funnel_conversion",
+    "q_moving_average",
 )

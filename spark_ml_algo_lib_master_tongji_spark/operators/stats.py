@@ -168,10 +168,57 @@ def stat_summary_lineitem(cat: Catalog) -> DataFrame:
     return summary_stats(cat.lineitem, LINEITEM_NUMERIC)
 
 
+#: HLL sketch precision + accuracy floor. rsd = 0.01 (not the 0.05
+#: default: at the 10× fixture's 1M-id regime the default sketch
+#: measured 7.4% error — beyond its own rsd and the floor; the 0.01
+#: sketch measures 0.2–0.7% across 150 / 15k / 10k / 100k / 1M
+#: cardinalities). Floor 0.05 keeps ≥ 7× margin everywhere measured
+#: while failing loudly on a real sketch regression.
+HLL_RSD = 0.01
+HLL_REL_ERR_MAX = 0.05
+
+
+def stat_hll_accuracy(cat: Catalog) -> DataFrame:
+    """Mergeable-sketch anchor — HyperLogLog (approx_count_distinct)
+    versus exact distinct for two cardinality regimes (users and event
+    ids — 150 / 10k at sf0.01, 15k / 1M at the 10× fixture) in one row (exact_users, exact_events, hll_users_ok,
+    hll_events_ok). THE cardinality estimator of a 100 TB pipeline:
+    HLL registers merge associatively across partitions (one pass, no
+    Expand, no shuffle of distinct values — contrast
+    ``pipeline_profile_columns``'s exact-distinct Expand, whose docstring
+    names this sketch as the petabyte dial). The exact counts are
+    SQL-recomputable; the measured relative error rides in the booleans
+    (≤ ``HLL_REL_ERR_MAX`` = the sketch's own default rsd), the same
+    measured-floor anchor shape as ``sim_ivf_recall``."""
+    row = cat.events.agg(
+        F.countDistinct("user_id").alias("eu"),
+        F.countDistinct("event_id").alias("ee"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("au"),
+        F.approx_count_distinct("event_id", HLL_RSD).alias("ae"),
+    ).first()
+
+    def ok(approx: int, exact: int) -> bool:
+        return abs(approx - exact) <= HLL_REL_ERR_MAX * exact
+
+    return cat.spark.createDataFrame(
+        [
+            (
+                row["eu"],
+                row["ee"],
+                ok(row["au"], row["eu"]),
+                ok(row["ae"], row["ee"]),
+            )
+        ],
+        "exact_users long, exact_events long, "
+        "hll_users_ok boolean, hll_events_ok boolean",
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "stat_pearson_lineitem",
     "stat_spearman_lineitem",
     "stat_covariance_lineitem",
     "stat_summary_lineitem",
+    "stat_hll_accuracy",
 )

@@ -1560,6 +1560,40 @@ RELATIONAL_ORACLES["q_funnel_conversion"] = """
            (SELECT count(*) FROM t3)                AS n_full_funnel
 """
 
+# Rolling mean (relational.q_moving_average): identical ROWS-frame
+# window; decimal-exact daily sums, one double conversion, one division.
+# Frame width interpolates the Spark side's MA_DAYS (never re-typed).
+def _moving_average_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        MA_DAYS,
+    )
+
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(18,2))) AS dv
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day,
+           CAST(dv AS DOUBLE) AS daily_value,
+           round(CAST(sum(dv) OVER w AS DOUBLE)
+                 / count(*) OVER w, 4) AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN {MA_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+RELATIONAL_ORACLES["q_moving_average"] = _moving_average_sql()
+
+# HLL anchor (stats.stat_hll_accuracy): exact counts + TRUE booleans.
+STATS_ORACLES["stat_hll_accuracy"] = """
+    SELECT count(DISTINCT user_id)  AS exact_users,
+           count(DISTINCT event_id) AS exact_events,
+           TRUE AS hll_users_ok, TRUE AS hll_events_ok
+    FROM events
+"""
+
 RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value
     FROM events GROUP BY user_id

@@ -8,7 +8,7 @@ Ordering contract
 -----------------
 The round driver value-checks only the FIRST ``DRIVER_WINDOW`` (50) registry
 entries against their DuckDB oracles; later entries get at most a rows-only
-check. With 138 declared oracles the window cannot hold all of them in one
+check. With 140 declared oracles the window cannot hold all of them in one
 round, so the order below is a priority queue, not an accident:
 
 1. oracles that have never received a driver CORRECTNESS row (round-1
@@ -91,22 +91,22 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 11 rotation (138 oracles / 166 queries). Tier 1:
-#: the fourteen NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
+#: Priority order, round 11 rotation (140 oracles / 168 queries). Tier 1:
+#: the sixteen NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
 #: column + quantile profiling, persisted-IVF-store search, stream-stream
 #: join, duplicated-substring spans + span removal, as-of join, range
-#: join, ROLLUP grouping sets, pivot, resample+gapfill, ordered funnel)
-#: plus the four rows whose
+#: join, ROLLUP grouping sets, pivot, resample+gapfill, ordered funnel,
+#: rolling mean, HLL sketch anchor) plus the four rows whose
 #: implementation changed this round (the spill-tree/IVF rows behind the
 #: argpartition + round-before-truncate kernel and the shared IVF search;
 #: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
 #: the 28 remaining round-8-green rows — at the 3-round staleness bound,
 #: they MUST be value-checked this round (round-10 verdict item 1).
-#: Tier 3 fill: 4 of the 46 round-9-green rows, oldest implementations
-#: first (the round-1/2 relational surface); the remaining 42
-#: r9 rows sit right behind the boundary — 13 of them displaced from this
+#: Tier 3 fill: 2 of the 46 round-9-green rows, oldest implementations
+#: first (the round-1/2 relational surface); the remaining 44
+#: r9 rows sit right behind the boundary — 15 of them displaced from this
 #: window by the new tier-1 oracles — and head the round-12 window
-#: (42 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
+#: (44 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
 #: then the no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------
@@ -128,6 +128,8 @@ _ORDER: tuple[str, ...] = (
     "q_pivot_event_types",  # NEW r11: fixed-list pivot
     "q_resample_gapfill",  # NEW r11: time-series resample + gap fill
     "q_funnel_conversion",  # NEW r11: ordered funnel
+    "q_moving_average",  # NEW r11: ROWS-frame rolling mean
+    "stat_hll_accuracy",  # NEW r11: mergeable-sketch (HLL) anchor
     # -- tier 2: round-8-green rows AT the staleness bound ------------------
     "graph_connected_components",
     "graph_mssp",
@@ -160,12 +162,12 @@ _ORDER: tuple[str, ...] = (
     # -- tier 3 fill: round-9-green cohort, oldest implementations ----------
     "q_union_distinct_nations",
     "q_topk_per_group",
-    "q_sort_limit_top_orders",
-    "q_case_conditional_agg",
     # ---------------------------- window boundary (50) ---------------------
     # -- remaining round-9-green rows: round-12 window head (the events/
-    # -- dictionary/IDF/PrefixSpan rows displaced by this session's 13
+    # -- dictionary/IDF/PrefixSpan rows displaced by this session's 15
     # -- new tier-1 oracles rotate to the very front of round 12) -----------
+    "q_sort_limit_top_orders",
+    "q_case_conditional_agg",
     "q_grouped_having",
     "stat_summary_lineitem",
     "text_token_stats",
@@ -289,7 +291,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "q_case_conditional_agg", (
+assert _ORDER[DRIVER_WINDOW - 1] == "q_topk_per_group", (
     "tier-1/2/3 prefix no longer ends at the driver window boundary"
 )
 

@@ -234,3 +234,46 @@ def test_analytics_surface_semantic_pins(spark):
         >= 0
     )
     assert f["n_click"] > 0 and f["n_full_funnel"] > 0
+
+
+def test_moving_average_recompute_and_hll_anchor(spark):
+    """ma7 re-derived in pure Python from the daily sums must match to
+    the rounding grain, and the HLL anchor's measured errors must sit
+    WELL inside the floor (a floor the measurement brushes against is a
+    flaky anchor)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        MA_DAYS,
+        q_moving_average,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        HLL_REL_ERR_MAX,
+        HLL_RSD,
+        stat_hll_accuracy,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    rows = sorted(
+        (r["day"], r["daily_value"], r["ma7"])
+        for r in q_moving_average(cat).collect()
+    )
+    daily = [v for _, v, _ in rows]
+    for i, (_, _, ma7) in enumerate(rows):
+        win = daily[max(0, i - (MA_DAYS - 1)) : i + 1]
+        assert abs(ma7 - sum(win) / len(win)) < 1e-4, i
+
+    a = stat_hll_accuracy(cat).first()
+    assert a["hll_users_ok"] and a["hll_events_ok"]
+    from pyspark.sql import functions as F
+
+    m = cat.events.agg(
+        F.approx_count_distinct("user_id", HLL_RSD).alias("au"),
+        F.approx_count_distinct("event_id", HLL_RSD).alias("ae"),
+    ).first()
+    assert abs(m["au"] - a["exact_users"]) <= 0.5 * HLL_REL_ERR_MAX * a[
+        "exact_users"
+    ]
+    assert abs(m["ae"] - a["exact_events"]) <= 0.5 * HLL_REL_ERR_MAX * a[
+        "exact_events"
+    ]
