@@ -1387,7 +1387,20 @@ def _publish_store(tmp: str, path: str, complete=None) -> None:
     ``complete`` is the store-completeness predicate (default: this
     module's marker check); other store families (knn's IVF index) pass
     their own so the SAME locked sequence — and this pytest coverage —
-    serves every shared-store publish in the repo."""
+    serves every shared-store publish in the repo.
+
+    CAVEAT (round-11 ADVICE item 3): a KEY-AWARE ``complete`` predicate
+    (knn's, which checks the store's ``_KEY`` against the current
+    fixture/constants) weakens the never-remove invariant above — a
+    fully-written but stale-KEY store at the path IS rmtree'd inside the
+    lock, so a concurrent session still reading a store built against
+    OLD constants/fixtures can have files deleted under it. Acceptable
+    for the single-fixture CI this repo runs (constants only change with
+    a code change, i.e. between sessions); a deployment sharing one
+    store root across mixed code versions must publish key-versioned
+    paths instead (e.g. ``ivf_index-<keyhash>``, retired via
+    ``retire_roots``/``gc_shared_stores``) so replacement never deletes
+    a directory another session has open."""
     import os
     import shutil
     import time

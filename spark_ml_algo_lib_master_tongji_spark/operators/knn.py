@@ -526,6 +526,7 @@ def ivf_search_index(
     queries: DataFrame,
     k: int = KNN_TOPK,
     n_probes: int = 3,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """``ivf_search`` against a persisted store instead of a live corpus:
     route queries with the stored coarse quantizer, then cogroup ONLY the
@@ -533,7 +534,17 @@ def ivf_search_index(
     geometry, never the data (n_pivots pivot rows; ≤ n_pivots distinct
     probed leaves — collected so the probe set reaches the scan as a
     STATIC ``IN`` filter, turning n_probes/n_pivots into real partition
-    pruning instead of a post-scan filter)."""
+    pruning instead of a post-scan filter).
+
+    ``caches``: the routed-query frame is persisted so the probed-leaf
+    collect materializes it once and the cogroup reuses it — but this
+    function returns before the cogroup runs, so it cannot unpersist its
+    own cache. Callers that want the reuse pass a list; the persisted
+    frame is appended and the CALLER unpersists after materializing the
+    result (round-11 ADVICE item 2 — the old unconditional persist leaked
+    a cached block per call for the session lifetime). With
+    ``caches=None`` nothing is persisted: the routing pass runs twice,
+    correct but slower — the safe default for external callers."""
     from pyspark import StorageLevel
 
     pv = spark.read.parquet(f"{store}/pivots").orderBy("leaf").collect()
@@ -541,15 +552,14 @@ def ivf_search_index(
     local_topk = _local_topk_factory(k)
     qd = _pivot_dists(queries, pivots)
     wq = Window.partitionBy("id").orderBy(F.col("pd2").asc(), F.col("leaf").asc())
-    # persist the routing: the probed-leaf collect below materializes it
-    # once and the cogroup reuses it — without this the full
-    # (query × pivot) distance pass + window ran twice (review finding)
     q = (
         qd.withColumn("rnk", F.row_number().over(wq))
         .where(F.col("rnk") <= n_probes)
         .select("id", "v", "leaf")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if caches is not None:
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(q)
     probed = sorted(r["leaf"] for r in q.select("leaf").distinct().collect())
     lists = (
         spark.read.parquet(f"{store}/lists")
@@ -589,7 +599,10 @@ def sim_ivf_delta_search(cat: Catalog) -> DataFrame:
     # one materialized query split serves the routing inside
     # ivf_search_index AND the n_queries count — not two embeddings scans
     queries = queries.persist(StorageLevel.MEMORY_AND_DISK)
-    stored = ivf_search_index(cat.spark, _ivf_store_dir(cat), queries)
+    caches: list[DataFrame] = []
+    stored = ivf_search_index(
+        cat.spark, _ivf_store_dir(cat), queries, caches=caches
+    )
     fresh = _ivf_hits_derived(cat)
     bad = (
         fresh.withColumn("_f", F.lit(1))
@@ -603,6 +616,8 @@ def sim_ivf_delta_search(cat: Catalog) -> DataFrame:
     )
     nq = queries.count()
     queries.unpersist(blocking=False)  # both actions done — scalars below
+    for c in caches:  # the routed-query cache inside ivf_search_index
+        c.unpersist(blocking=False)
     return cat.spark.createDataFrame(
         [(nq, bool(bad == 0))], "n_queries long, store_ok boolean"
     )

@@ -544,34 +544,72 @@ def q_funnel_conversion(cat: Catalog) -> DataFrame:
     per user, rolled up to one row (n_users, n_click, n_click_view,
     n_full_funnel). The product-analytics workhorse: each stage's
     timestamp is the earliest event of that type AFTER the previous
-    stage's timestamp, so out-of-order events don't count. Three
-    conditional min-aggregations on the same user key — Catalyst plans
-    the chain as successive aggregates over one exchange-partitioned
-    stream; no self-join explosion."""
+    stage's timestamp, so out-of-order events don't count.
+
+    ONE Spark action (round-11 verdict item: the first cut ran four
+    driver actions whose subtrees recomputed each other — ~7 aggregate
+    evaluations of the same scan). The three stage timestamps are
+    chained whole-partition window minimums over the SAME ``user_id``
+    partitioning: each stage's conditional min can see the previous
+    stage's value (already a column), so no self-joins, no AQE
+    broadcast-vs-reuse ambiguity, and Catalyst plans exactly one hash
+    exchange feeding three Window operators. That exchange carries only
+    the three stage event types — the ``isin`` reaches the parquet scan
+    as a pushed IN filter, so off-funnel traffic (at 100 TB usually the
+    bulk) never shuffles; a whole-partition window has no map-side
+    combine, making the filter the volume control. The per-user rollup
+    after the windows groups on the partitioning key (no added
+    exchange). The denominator (distinct users over ALL events) is a
+    separate partial+final aggregate on its own pruned scan, and the two
+    one-row frames meet in a trivially-broadcast single-row cross join.
+    Lazy end-to-end — census-visible, no persist, no leaked blocks."""
     ev = cat.events.select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    t1 = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
-        F.min("us").alias("t_click")
+    n_users_df = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.where(
+            F.col("event_type").isin("click", "view", "purchase")
+        ).withColumn(
+            "t_click",
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_view",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("us") >= F.col("t_click")),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t_view")),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
     )
-    t2 = (
-        ev.where(F.col("event_type") == "view")
-        .join(t1, "user_id")
-        .where(F.col("us") >= F.col("t_click"))
-        .groupBy("user_id", "t_click")
-        .agg(F.min("us").alias("t_view"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_click").alias("t_click"),
+        F.max("t_view").alias("t_view"),
+        F.max("t_purchase").alias("t_purchase"),
     )
-    t3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .where(F.col("us") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t_purchase"))
+    counts = per_user.agg(
+        F.count("t_click").alias("n_click"),
+        F.count("t_view").alias("n_click_view"),
+        F.count("t_purchase").alias("n_full_funnel"),
     )
-    n_users = ev.select("user_id").distinct().count()
-    return cat.spark.createDataFrame(
-        [(n_users, t1.count(), t2.count(), t3.count())],
-        "n_users long, n_click long, n_click_view long, n_full_funnel long",
+    return n_users_df.crossJoin(counts).select(
+        "n_users", "n_click", "n_click_view", "n_full_funnel"
     )
 
 
@@ -614,6 +652,48 @@ def q_moving_average(cat: Catalog) -> DataFrame:
     )
 
 
+def q_events_retention_cohorts(cat: Catalog) -> DataFrame:
+    """Cohort retention matrix — users bucketed by first-active week
+    (cohort_week = Monday of the week of their first event), counted per
+    (cohort_week, week_offset) where week_offset is whole weeks since
+    the cohort week → (cohort_week, week_offset, n_users). The growth /
+    retention workhorse the funnel and pivot rows don't cover: reading
+    along a cohort row shows how that signup class decays.
+
+    Shape at scale: (user, week) pairs dedup in one hash aggregate (the
+    data-sized shuffle — volume drops to active-user-weeks); the cohort
+    frame is a per-user min over that already-deduped frame (second,
+    much smaller shuffle on the same key, so AQE coalesces it); the join
+    back is user-keyed on two user-sized frames; the final rollup is a
+    tiny (weeks × offsets) aggregate. No window over a global order, no
+    per-user collect. Both engines truncate weeks to Monday
+    (``date_trunc('week', …)``), so offsets are exact multiples of 7
+    days and the int cast is lossless."""
+    weekly = (
+        cat.events.select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = weekly.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week")
+    )
+    return (
+        weekly.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        # (user, wk) is distinct, so each user contributes at most one
+        # row per (cohort, offset) cell — plain count IS distinct users
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "q1_pricing_summary",
@@ -638,4 +718,5 @@ QUERIES = (
     "q_resample_gapfill",
     "q_funnel_conversion",
     "q_moving_average",
+    "q_events_retention_cohorts",
 )

@@ -940,8 +940,11 @@ DEDUP_ORACLES: dict[str, str] = {
 # Duplicated-substring spans (dedup.dedup_substring_spans): candidate
 # pairs are the FULL winnow-pairs query (interpolated, never re-typed);
 # matching gram-hash positions join per pair, islands merge on the
-# alignment diagonal. Constants (WINNOW_K tail, SPAN_MIN_GRAMS) are
-# interpolated from the Spark side at import.
+# alignment diagonal. ALL constants — the gram width (the whole
+# K-token gram expression and its range bound), the tail offset, and
+# SPAN_MIN_GRAMS — are generated from the Spark side at import, so a
+# WINNOW_K bump re-derives the twin instead of silently desyncing it
+# (round-11 ADVICE item 1).
 def _substring_spans_sql() -> str:
     from spark_ml_algo_lib_master_tongji_spark.operators.dedup import (
         SPAN_MIN_GRAMS,
@@ -951,6 +954,10 @@ def _substring_spans_sql() -> str:
     )
 
     last = WINNOW_K - 1
+    gram = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(WINNOW_K)
+    )
+    gram_range = f"range(1, len(t) - {WINNOW_K - 2})"
     return f"""
         WITH pairs AS (
             SELECT doc_a, doc_b FROM ({DEDUP_ORACLES["dedup_winnow_pairs"]})
@@ -963,8 +970,8 @@ def _substring_spans_sql() -> str:
         g AS (
             SELECT doc_id,
                    CASE WHEN len(t) >= {WINNOW_K} THEN
-                       list_transform(range(1, len(t) - 1),
-                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       list_transform({gram_range},
+                                      i -> {gram})
                    ELSE []::VARCHAR[] END AS grams
             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
         ),
@@ -1593,6 +1600,113 @@ STATS_ORACLES["stat_hll_accuracy"] = """
            TRUE AS hll_users_ok, TRUE AS hll_events_ok
     FROM events
 """
+
+# Cohort retention (relational.q_events_retention_cohorts): both engines
+# truncate weeks to Monday, so offsets are exact multiples of 7 days.
+RELATIONAL_ORACLES["q_events_retention_cohorts"] = """
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(wk) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.wk) / 7 AS INT)
+               AS week_offset,
+           count(*) AS n_users
+    FROM weekly w JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+# approx_percentile anchor (stats.stat_approx_quantile_accuracy): exact
+# percentiles (quantile_cont ≡ Spark's percentile, proven by
+# pipeline_profile_quantiles) + TRUE — the sketch audit rides in the
+# boolean on the Spark side. Probabilities interpolate the Spark
+# constants (never re-typed).
+def _approx_quantile_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        APPROX_PCTL_PS,
+    )
+
+    cols = ", ".join(
+        f"round(quantile_cont(CAST(l_extendedprice AS DOUBLE), {p}), 6) "
+        f"AS p{int(p * 100)}"
+        for p in APPROX_PCTL_PS
+    )
+    return f"SELECT {cols}, TRUE AS approx_ok FROM lineitem"
+
+
+STATS_ORACLES["stat_approx_quantile_accuracy"] = _approx_quantile_sql()
+
+# Welch t-test (stats.stat_welch_ttest): identical moment formulas and
+# rounding; group constants interpolated from the Spark side.
+def _welch_ttest_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        TTEST_GROUP_A,
+        TTEST_GROUP_B,
+    )
+
+    return f"""
+    WITH m AS (
+        SELECT
+            count(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN value END)
+                AS n_a,
+            avg(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN value END)
+                AS m_a,
+            var_samp(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN value END)
+                AS v_a,
+            count(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN value END)
+                AS n_b,
+            avg(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN value END)
+                AS m_b,
+            var_samp(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN value END)
+                AS v_b
+        FROM events
+    )
+    SELECT n_a, n_b,
+           round(m_a - m_b, 6) AS mean_diff,
+           round((m_a - m_b)
+                 / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+           round(((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b))
+                 / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                    + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 2)
+               AS df_welch
+    FROM m
+"""
+
+
+STATS_ORACLES["stat_welch_ttest"] = _welch_ttest_sql()
+
+# Equal-width histogram (stats.stat_value_histogram): the bucket id is
+# the same IEEE expression tree in both engines; NB interpolated.
+def _value_histogram_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        HIST_NBUCKETS,
+    )
+
+    nb = HIST_NBUCKETS
+    return f"""
+    WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    x AS (
+        SELECT CAST(CASE WHEN b.vmax = b.vmin THEN 0
+                    ELSE least(floor((e.value - b.vmin)
+                                     / ((b.vmax - b.vmin) / {nb}.0)),
+                               {nb - 1})
+                    END AS INT) AS bucket,
+               e.value, b.vmin, b.vmax
+        FROM events e CROSS JOIN b
+    )
+    SELECT bucket,
+           round(vmin + bucket * ((vmax - vmin) / {nb}.0), 6) AS bucket_lo,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM x GROUP BY bucket, vmin, vmax
+"""
+
+
+STATS_ORACLES["stat_value_histogram"] = _value_histogram_sql()
 
 RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value

@@ -91,81 +91,28 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 11 rotation (140 oracles / 168 queries). Tier 1:
-#: the sixteen NEW round-11 oracles (JSONL round-trip, Gopher-rule gate,
-#: column + quantile profiling, persisted-IVF-store search, stream-stream
-#: join, duplicated-substring spans + span removal, as-of join, range
-#: join, ROLLUP grouping sets, pivot, resample+gapfill, ordered funnel,
-#: rolling mean, HLL sketch anchor) plus the four rows whose
-#: implementation changed this round (the spill-tree/IVF rows behind the
-#: argpartition + round-before-truncate kernel and the shared IVF search;
-#: the overlap anchor behind the corpus-scaled audit modulus). Tier 2:
-#: the 28 remaining round-8-green rows — at the 3-round staleness bound,
-#: they MUST be value-checked this round (round-10 verdict item 1).
-#: Tier 3 fill: 2 of the 46 round-9-green rows, oldest implementations
-#: first (the round-1/2 relational surface); the remaining 44
-#: r9 rows sit right behind the boundary — 15 of them displaced from this
-#: window by the new tier-1 oracles — and head the round-12 window
-#: (44 ≤ 50, fits). Behind them: the round-10-green cohort (freshest),
-#: then the no-oracle workloads (pytest-verified only).
+#: Priority order, round 12 rotation (144 oracles / 172 queries). Tier 1:
+#: the four NEW round-12 oracles (cohort retention matrix, the
+#: approx_percentile rank-error anchor, Welch's t-test, the equal-width
+#: value histogram) plus the two rows whose implementation changed this
+#: round (the funnel, rebuilt as ONE lazy job from four driver actions —
+#: round-11 verdict item; the persisted-IVF-store search behind the new
+#: caller-owned routing-cache lifecycle). Tier 2: the 44 round-9-green
+#: rows — at the 3-round staleness bound, they MUST be value-checked
+#: this round (round-11 verdict item 1). 6 + 44 fills the window
+#: exactly. Behind the boundary: the round-10-green cohort (bound hits
+#: round 13 — it heads the round-13 window, 46 + 4 slack ≤ 50, fits),
+#: then the round-11-green cohort (bound hits round 14), then the
+#: no-oracle workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------
-    "text_gopher_rules",  # NEW r11: Gopher-rule quality gate
-    "pipeline_profile_columns",  # NEW r11: Deequ-style column profiling
-    "pipeline_profile_quantiles",  # NEW r11: exact-quantile distribution profile
-    "pipeline_jsonl_roundtrip",  # NEW r11: JSONL interchange round-trip
-    "ml_knn_spilltree",  # r11: argpartition kernel, round-before-truncate
-    "ml_knn_spilltree_classifier",  # r11: vote over the changed kernel
-    "sim_ivf_recall",  # r11: changed kernel + session-shared IVF search
-    "sim_ivf_delta_search",  # NEW r11: persisted-IVF-store roundtrip
-    "graph_betweenness_overlap",  # r11: corpus-scaled audit modulus
-    "stream_stream_join",  # NEW r11: stream-stream time-bounded join
-    "dedup_substring_spans",  # NEW r11: duplicated-substring span report
-    "pipeline_span_removal",  # NEW r11: splice the duplicated spans out
-    "q_asof_join_click_attribution",  # NEW r11: as-of join (vs native ASOF)
-    "q_range_join_value_tiers",  # NEW r11: interval/range join
-    "q_rollup_revenue",  # NEW r11: ROLLUP grouping sets
-    "q_pivot_event_types",  # NEW r11: fixed-list pivot
-    "q_resample_gapfill",  # NEW r11: time-series resample + gap fill
-    "q_funnel_conversion",  # NEW r11: ordered funnel
-    "q_moving_average",  # NEW r11: ROWS-frame rolling mean
-    "stat_hll_accuracy",  # NEW r11: mergeable-sketch (HLL) anchor
-    # -- tier 2: round-8-green rows AT the staleness bound ------------------
-    "graph_connected_components",
-    "graph_mssp",
-    "graph_bfs",
-    "graph_sssp",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_pagerank_personalized",
-    "graph_pagerank_weighted",
-    "dedup_embedding_cosine",
-    "graph_clustering_coefficient",
-    "graph_betweenness",
-    "graph_louvain",
-    "graph_modularity",
-    "dedup_exact",
-    "pipeline_sequence_pack",
-    "pipeline_doc_chunks",
-    "text_repetition_3gram",
-    "pipeline_domain_mix",
-    "text_tfidf_top_terms",
-    "pipeline_vocab_prune",
-    "pipeline_quality_filter",
-    "pipeline_pii_scrub",
-    "ml_est_pca_energy",
-    "pipeline_chunk_dedup",
-    "dedup_winnow_pairs",
-    "ml_est_kmeans_wssse",
-    "ml_est_linreg_rmse",
-    "pipeline_lm_perplexity",
-    # -- tier 3 fill: round-9-green cohort, oldest implementations ----------
-    "q_union_distinct_nations",
-    "q_topk_per_group",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- remaining round-9-green rows: round-12 window head (the events/
-    # -- dictionary/IDF/PrefixSpan rows displaced by this session's 15
-    # -- new tier-1 oracles rotate to the very front of round 12) -----------
+    "q_events_retention_cohorts",  # NEW r12: cohort retention matrix
+    "stat_approx_quantile_accuracy",  # NEW r12: approx_percentile anchor
+    "stat_welch_ttest",  # NEW r12: Welch's unequal-variance t-test
+    "stat_value_histogram",  # NEW r12: equal-width histogram profile
+    "q_funnel_conversion",  # r12: rebuilt as ONE lazy job (was 4 actions)
+    "sim_ivf_delta_search",  # r12: caller-owned routing-cache lifecycle
+    # -- tier 2: round-9-green rows AT the staleness bound ------------------
     "q_sort_limit_top_orders",
     "q_case_conditional_agg",
     "q_grouped_having",
@@ -210,7 +157,9 @@ _ORDER: tuple[str, ...] = (
     "graph_trustrank",
     "graph_ppr_multi",
     "graph_closeness_nation",
-    # -- round-10-green cohort (freshest; bound hits round 13) --------------
+    # ---------------------------- window boundary (50) ---------------------
+    # -- round-10-green cohort (bound hits round 13: these 46 head the
+    # -- round-13 window with 4 slack slots) ---------------------------------
     "dedup_delta",
     "dedup_index_stats",
     "ml_est_als_rec_topk",
@@ -257,6 +206,55 @@ _ORDER: tuple[str, ...] = (
     "graph_incremental_pagerank",
     "ml_simrank",
     "graph_pagerank",
+    # -- round-11-green cohort (bound hits round 14) -------------------------
+    "text_gopher_rules",
+    "pipeline_profile_columns",
+    "pipeline_profile_quantiles",
+    "pipeline_jsonl_roundtrip",
+    "ml_knn_spilltree",
+    "ml_knn_spilltree_classifier",
+    "sim_ivf_recall",
+    "graph_betweenness_overlap",
+    "stream_stream_join",
+    "dedup_substring_spans",
+    "pipeline_span_removal",
+    "q_asof_join_click_attribution",
+    "q_range_join_value_tiers",
+    "q_rollup_revenue",
+    "q_pivot_event_types",
+    "q_resample_gapfill",
+    "q_moving_average",
+    "stat_hll_accuracy",
+    "graph_connected_components",
+    "graph_mssp",
+    "graph_bfs",
+    "graph_sssp",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "dedup_embedding_cosine",
+    "graph_clustering_coefficient",
+    "graph_betweenness",
+    "graph_louvain",
+    "graph_modularity",
+    "dedup_exact",
+    "pipeline_sequence_pack",
+    "pipeline_doc_chunks",
+    "text_repetition_3gram",
+    "pipeline_domain_mix",
+    "text_tfidf_top_terms",
+    "pipeline_vocab_prune",
+    "pipeline_quality_filter",
+    "pipeline_pii_scrub",
+    "ml_est_pca_energy",
+    "pipeline_chunk_dedup",
+    "dedup_winnow_pairs",
+    "ml_est_kmeans_wssse",
+    "ml_est_linreg_rmse",
+    "pipeline_lm_perplexity",
+    "q_union_distinct_nations",
+    "q_topk_per_group",
     # -- tier 3: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -291,8 +289,8 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "q_topk_per_group", (
-    "tier-1/2/3 prefix no longer ends at the driver window boundary"
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_closeness_nation", (
+    "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 
 

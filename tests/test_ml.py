@@ -454,3 +454,43 @@ def test_kmeans_ivf_assign_low_probe_budget_quality(cat):
     assert set(b.values()) <= set(cids)
     agree = sum(1 for k in a if a[k] == b[k]) / len(a)
     assert agree >= 0.5, agree  # 1-of-⌈√k⌉ cells on isotropic data
+
+
+def test_anchor_fits_are_shared_with_rows_only_twins(spark):
+    """Round-11 verdict item 5 (anchor-load sharing audit): the
+    clf/reg anchor rows fit each estimator family ONCE per session via
+    the shared derivation stores; their rows-only twins must consume the
+    SAME cached fits — running the twins after the anchors may add ZERO
+    new derivations (a second fit would register a new cache key and a
+    second load_timer entry in bench's loads table)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators import graph, ml_estimators as m
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    m.ml_est_clf_acc_anchors(cat).collect()
+    m.ml_est_reg_rmse_anchors(cat).collect()
+    keys_after_anchors = (
+        set(graph._DERIV_CACHE)
+        | set(graph._SCALAR_CACHE)
+        | set(graph._OBJ_CACHE)
+    )
+    for twin in (
+        m.ml_est_dt_classifier,
+        m.ml_est_rf_classifier,
+        m.ml_est_gbt_classifier,
+        m.ml_est_gbt_pipeline,
+        m.ml_est_svc,
+        m.ml_est_logreg_bounded,
+        m.ml_est_dt_regressor,
+        m.ml_est_rf_regressor,
+        m.ml_est_gbt_regressor,
+    ):
+        twin(cat).collect()
+    keys_after_twins = (
+        set(graph._DERIV_CACHE)
+        | set(graph._SCALAR_CACHE)
+        | set(graph._OBJ_CACHE)
+    )
+    fresh = sorted(k[2] for k in keys_after_twins - keys_after_anchors)
+    assert not fresh, f"rows-only twins re-derived after anchors: {fresh}"

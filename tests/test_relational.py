@@ -277,3 +277,163 @@ def test_moving_average_recompute_and_hll_anchor(spark):
     assert abs(m["ae"] - a["exact_events"]) <= 0.5 * HLL_REL_ERR_MAX * a[
         "exact_events"
     ]
+
+
+def test_funnel_matches_bruteforce_and_is_monotone(spark):
+    """The chained-window funnel re-derived in pure Python on the smoke
+    fixture: per user, t_click = min click; t_view = min view ≥ t_click;
+    t_purchase = min purchase ≥ t_view — plus the structural monotone
+    staircase every funnel must satisfy."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        q_funnel_conversion,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    ev = [
+        (r["user_id"], r["event_type"], r["us"])
+        for r in cat.events.selectExpr(
+            "user_id", "event_type", "unix_micros(ts) AS us"
+        ).collect()
+    ]
+    users = {u for u, _, _ in ev}
+
+    def stage_min(typ, prev):
+        out = {}
+        for u, t, us in ev:
+            if t == typ and prev.get(u) is not None and us >= prev[u]:
+                out[u] = min(out.get(u, us), us)
+        return out
+
+    t1 = stage_min("click", {u: float("-inf") for u in users})
+    t2 = stage_min("view", t1)
+    t3 = stage_min("purchase", t2)
+
+    row = q_funnel_conversion(cat).first()
+    assert (
+        row["n_users"],
+        row["n_click"],
+        row["n_click_view"],
+        row["n_full_funnel"],
+    ) == (len(users), len(t1), len(t2), len(t3))
+    assert (
+        row["n_users"]
+        >= row["n_click"]
+        >= row["n_click_view"]
+        >= row["n_full_funnel"]
+        >= 0
+    )
+
+
+def test_retention_cohort_invariants(spark):
+    """Offset 0 is every cohort's own week, so the offset-0 cell equals
+    the cohort size, later cells never exceed it, and offset-0 cells sum
+    to the distinct-user total (each user lives in exactly one cohort)."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        q_events_retention_cohorts,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    cells = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in q_events_retention_cohorts(cat).collect()
+    }
+    assert cells and all(off >= 0 for _, off in cells)
+    base = {cw: n for (cw, off), n in cells.items() if off == 0}
+    assert set(base) == {cw for cw, _ in cells}  # every cohort has offset 0
+    for (cw, off), n in cells.items():
+        assert n <= base[cw], (cw, off)
+    total = cat.events.agg(F.countDistinct("user_id")).first()[0]
+    assert sum(base.values()) == total
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """The one-pass conditional-moment t-test vs a numpy recompute on
+    collected smoke-fixture values, to the query's own rounding grain."""
+    import numpy as np
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        TTEST_GROUP_A,
+        TTEST_GROUP_B,
+        stat_welch_ttest,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    vals = {
+        t: np.array(
+            [
+                r["value"]
+                for r in cat.events.where(
+                    f"event_type = '{t}'"
+                ).collect()
+            ]
+        )
+        for t in (TTEST_GROUP_A, TTEST_GROUP_B)
+    }
+    a, b = vals[TTEST_GROUP_A], vals[TTEST_GROUP_B]
+    sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t_np = (a.mean() - b.mean()) / np.sqrt(sa + sb)
+    df_np = (sa + sb) ** 2 / (
+        sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1)
+    )
+
+    row = stat_welch_ttest(cat).first()
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["mean_diff"] - (a.mean() - b.mean())) < 1e-6
+    assert abs(row["t_stat"] - t_np) < 1e-3
+    assert abs(row["df_welch"] - df_np) < 0.05
+
+
+def test_value_histogram_partitions_the_rows(spark):
+    """Bucket counts sum to the row total, ids stay in [0, NB), lower
+    edges rise monotonically, and min/max land in the first/last
+    occupied buckets — the equal-width histogram is a partition of the
+    value column, not a sample."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        HIST_NBUCKETS,
+        stat_value_histogram,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    rows = sorted(
+        (r["bucket"], r["bucket_lo"], r["n"], r["sum_value"])
+        for r in stat_value_histogram(cat).collect()
+    )
+    assert all(0 <= b < HIST_NBUCKETS for b, *_ in rows)
+    lows = [lo for _, lo, _, _ in rows]
+    assert lows == sorted(lows)
+    stats = cat.events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).first()
+    assert sum(n for _, _, n, _ in rows) == stats["n"]
+    width = (stats["vmax"] - stats["vmin"]) / HIST_NBUCKETS
+    assert rows[0][1] <= stats["vmin"] <= rows[0][1] + width + 1e-6
+    assert rows[-1][1] <= stats["vmax"]
+
+
+def test_approx_quantile_anchor_holds_on_smoke(spark):
+    """The rank-error audit must hold at a second SF (the driver checks
+    sf0.01; this pins sf0.001), and the exact percentiles must be
+    ordered p50 ≤ p90 ≤ p99."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        stat_approx_quantile_accuracy,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    row = stat_approx_quantile_accuracy(Catalog(spark, SF_SMOKE)).first()
+    assert row["approx_ok"]
+    assert row["p50"] <= row["p90"] <= row["p99"]

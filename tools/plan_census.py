@@ -1,7 +1,7 @@
 """Physical-plan census over the whole registry: the scale-shape audit.
 
-For every registry query (built lazily at sf0.001 — plans, never results),
-counts the operators that decide 100 TB behavior and writes ONE JSON file:
+For every registry query, counts the operators that decide 100 TB behavior
+and writes ONE JSON file:
 
 - ``exchanges``: shuffle boundaries (Exchange hashpartitioning / rangepartitioning
   / SinglePartition) — every one is a full-data network pass at scale;
@@ -16,9 +16,19 @@ counts the operators that decide 100 TB behavior and writes ONE JSON file:
 - ``pushed_filters`` / ``partition_filters``: scans that reach parquet with
   predicate pushdown / partition pruning.
 
-Streaming queries (which execute eagerly through a memory sink) and the few
-store-building queries are censused over their BATCH-visible plan or skipped
-with a note — the census is a static audit, not a run.
+Lazily-buildable queries are censused from their pre-execution physical
+plan (plans, never results — built at sf0.001). Queries that execute
+EAGERLY inside their registry callable (streaming memory-sink round-trips,
+anchor rows that fold two arms into scalars, store builders) are RUN at
+sf0.001 and censused from the plans Spark actually executed, captured from
+the session's ``SQLAppStatusStore`` (the SQL-tab source of truth;
+``spark.sql.ui.explainMode=simple`` keeps the stored description in the
+same node-string format the regexes match, and only the AQE FINAL plan
+section is counted). This closes the round-11 verdict's census blind spot:
+168/168 was really 149 lazy + 19 skipped; now every query reports counters.
+Per-execution duplicates (streaming re-plans each micro-batch) are deduped
+by plan text before counting; ``n_execs``/``n_unique_plans`` record the
+collapse.
 
 Usage: python tools/plan_census.py [out.json]
 """
@@ -35,8 +45,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF = "/root/testdata/sf0.001"
 
 #: queries whose registry callable executes eagerly (streaming memory-sink
-#: round-trips, store builders with driver-side counts) — a lazy plan isn't
-#: reachable without running them, so the census skips rather than times out.
+#: round-trips, store builders / anchors with driver-side scalars) — no
+#: lazy plan is reachable, so the census RUNS them and captures executed
+#: plans from the SQL status store instead.
 EAGER = {
     "stream_windowed_counts",
     "stream_distinct_pairs",
@@ -57,14 +68,18 @@ EAGER = {
     "ml_est_lda_ppx",
     "ml_est_spca_energy",
     "graph_betweenness_overlap",
+    "stat_hll_accuracy",
 }
 
 #: queries whose plan legitimately contains a CartesianProduct: spark.ml's
 #: ``recommendForUserSubset`` blockifies the (bounded, 50-user) factor
 #: subset and cross-joins it against item-factor blocks internally — the
-#: cross is user-capped by construction, not data×data. Anything NOT
-#: listed here that plans a cartesian fails the census (exit 1).
-KNOWN_CARTESIAN = {"ml_est_als_recommend"}
+#: cross is user-capped by construction, not data×data. The rec_topk
+#: anchor executes the same internal (surfaced the first round the census
+#: RAN the eager rows instead of skipping them — one cartesian across its
+#: 6 executed plans, inside spark.ml's recommend, not our code). Anything
+#: NOT listed here that plans a cartesian fails the census (exit 1).
+KNOWN_CARTESIAN = {"ml_est_als_recommend", "ml_est_als_rec_topk"}
 
 PATTERNS = {
     "exchanges": r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
@@ -74,7 +89,8 @@ PATTERNS = {
     "codegen_spans": r"\*\(\d+\)",
     "python_evals": (
         r"\b(?:ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
-        r"|MapInPandas|FlatMapCoGroupsInPandas)\b"
+        r"|MapInPandas|FlatMapCoGroupsInPandas"
+        r"|FlatMapGroupsInPandasWithState|TransformWithStateInPandas)\b"
     ),
     "pushed_filters": r"PushedFilters: \[[^\]]",
     "partition_filters": r"PartitionFilters: \[[^\]]",
@@ -91,6 +107,57 @@ def census(plan: str) -> dict[str, int]:
     return out
 
 
+def _final_section(desc: str) -> str:
+    """Strip the AQE '== Initial Plan ==' echo so nodes aren't counted
+    twice; non-adaptive descriptions pass through unchanged."""
+    return desc.split("== Initial Plan ==")[0]
+
+
+def _executed_plans(spark, after_id: int) -> list[tuple[int, str]]:
+    """(executionId, physicalPlanDescription) for every SQL execution the
+    session ran with id > after_id, read from the JVM SQLAppStatusStore."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > after_id:
+            out.append((e.executionId(), e.physicalPlanDescription()))
+    return out
+
+
+def _last_execution_id(spark) -> int:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
+
+
+def census_eager(spark, fn, name: str) -> dict:
+    """Run an eager query and census the UNION of the distinct physical
+    plans it executed (final-plan sections only)."""
+    last = _last_execution_id(spark)
+    df = fn(spark, SF)
+    df.collect()  # the returned frame is scalar/bounded for every EAGER row
+    plans = _executed_plans(spark, last)
+    unique: dict[str, None] = {}
+    for _, desc in plans:
+        unique.setdefault(_final_section(desc))
+    total = {k: 0 for k in PATTERNS}
+    spans = 0
+    for text in unique:
+        c = census(text)
+        for k, v in c.items():
+            if k == "codegen_spans":
+                spans += v  # per-plan distinct ids; ids reset per plan
+            else:
+                total[k] += v
+    total["codegen_spans"] = spans
+    total["eager"] = True
+    total["n_execs"] = len(plans)
+    total["n_unique_plans"] = len(unique)
+    return total
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -101,6 +168,11 @@ def main() -> int:
         SparkSession.builder.master("local[4]")
         .appName("plan-census")
         .config("spark.sql.shuffle.partitions", "8")
+        # keep the UI-stored plan description in the classic node-string
+        # format (Exchange hashpartitioning…, *(n) codegen ids) so one
+        # regex set serves lazy and executed plans alike
+        .config("spark.sql.ui.explainMode", "simple")
+        .config("spark.sql.ui.retainedExecutions", "3000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -108,19 +180,19 @@ def main() -> int:
     rows: dict[str, dict] = {}
     totals = {k: 0 for k in PATTERNS}
     for name, fn in reg.items():
-        if name in EAGER:
-            rows[name] = {"skipped": "eager-execution query (no lazy plan)"}
-            continue
         try:
-            df = fn(spark, SF)
-            plan = df._jdf.queryExecution().toString()
+            if name in EAGER:
+                c = census_eager(spark, fn, name)
+            else:
+                df = fn(spark, SF)
+                plan = df._jdf.queryExecution().toString()
+                c = census(plan.split("== Physical Plan ==")[-1])
         except Exception as ex:  # noqa: BLE001 — census must finish
             rows[name] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
             continue
-        c = census(plan.split("== Physical Plan ==")[-1])
         rows[name] = c
-        for k, v in c.items():
-            totals[k] += v
+        for k in PATTERNS:
+            totals[k] += c[k]
     unexpected = sorted(
         name
         for name, c in rows.items()
@@ -128,19 +200,24 @@ def main() -> int:
     )
     for name in unexpected:
         print(f"!! {name}: unexpected CartesianProduct", file=sys.stderr)
+    errors = sorted(name for name, c in rows.items() if "error" in c)
+    for name in errors:
+        print(f"!! {name}: {rows[name]['error']}", file=sys.stderr)
     doc = {
         "sf": SF,
         "totals": totals,
         "known_cartesian": sorted(KNOWN_CARTESIAN),
         "unexpected_cartesian": unexpected,
+        "eager_executed": sorted(EAGER),
         "queries": rows,
     }
     Path(out_path).write_text(json.dumps(doc, indent=1, sort_keys=True))
     print(
-        f"{len(rows)} queries censused -> {out_path}; totals: "
+        f"{len(rows)} queries censused ({len(EAGER)} executed-eager, "
+        f"{len(errors)} errors) -> {out_path}; totals: "
         + ", ".join(f"{k}={v}" for k, v in totals.items())
     )
-    return 1 if unexpected else 0
+    return 1 if (unexpected or errors) else 0
 
 
 if __name__ == "__main__":
