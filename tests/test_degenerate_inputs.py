@@ -267,7 +267,7 @@ def empty_sf(spark, tmp_path_factory):
     from tests.conftest import SF_SMOKE
 
     d = tmp_path_factory.mktemp("empty_sf")
-    for t in ("documents", "events", "embeddings"):
+    for t in ("documents", "events", "embeddings", "lineitem"):
         spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0).write.parquet(
             str(d / f"{t}.parquet")
         )
@@ -345,3 +345,55 @@ def test_asof_with_no_clicks_yields_all_null_matches(spark, tmp_path):
     assert all(
         r["click_id"] is None and r["gap_us"] is None for r in out
     )
+
+
+def test_round12_rows_on_empty_tables(spark, empty_sf):
+    """The round-12 analytics rows on filtered-to-nothing partitions:
+    the funnel still emits its one rollup row (all zeros), the t-test
+    emits one row with zero counts and NULL moments, the quantile
+    anchor emits NULLs (never a crash), and the per-group outputs
+    (retention, histogram) are simply empty."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        q_events_retention_cohorts,
+        q_funnel_conversion,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        stat_approx_quantile_accuracy,
+        stat_value_histogram,
+        stat_welch_ttest,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, empty_sf)
+    f = q_funnel_conversion(cat).collect()
+    assert [tuple(r) for r in f] == [(0, 0, 0, 0)]
+    assert q_events_retention_cohorts(cat).count() == 0
+    assert stat_value_histogram(cat).count() == 0
+    t = stat_welch_ttest(cat).first()
+    assert t["n_a"] == 0 and t["n_b"] == 0 and t["mean_diff"] is None
+    q = stat_approx_quantile_accuracy(cat).first()
+    assert q["p50"] is None and q["approx_ok"] is None
+
+
+def test_histogram_on_constant_values(spark, tmp_path):
+    """All-equal values ⇒ width 0: every row pins to bucket 0 with
+    bucket_lo = the value (the explicit degenerate branch, not a
+    division by zero)."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        stat_value_histogram,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "const_sf"
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "value", F.lit(5.0)
+    )
+    n = ev.count()
+    ev.write.parquet(str(d / "events.parquet"))
+    rows = stat_value_histogram(Catalog(spark, str(d))).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bucket"] == 0 and r["n"] == n
+    assert abs(r["bucket_lo"] - 5.0) < 1e-9
+    assert abs(r["sum_value"] - 5.0 * n) < 1e-6
