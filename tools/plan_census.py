@@ -23,8 +23,10 @@ anchor rows that fold two arms into scalars, store builders) are RUN at
 sf0.001 and censused from the plans Spark actually executed, captured from
 the session's ``SQLAppStatusStore`` (the SQL-tab source of truth;
 ``spark.sql.ui.explainMode=simple`` keeps the stored description in the
-same node-string format the regexes match, and only the AQE FINAL plan
-section is counted). This closes the round-11 verdict's census blind spot:
+same node-string format the regexes match; adaptive descriptions count
+as the per-pattern MAX of the final and initial sections — see
+``_census_adaptive`` for why neither section alone is honest). This
+closes the round-11 verdict's census blind spot:
 168/168 was really 149 lazy + 19 skipped; now every query reports counters.
 Per-execution duplicates (streaming re-plans each micro-batch) are deduped
 by plan text before counting; ``n_execs``/``n_unique_plans`` record the
@@ -107,10 +109,28 @@ def census(plan: str) -> dict[str, int]:
     return out
 
 
-def _final_section(desc: str) -> str:
-    """Strip the AQE '== Initial Plan ==' echo so nodes aren't counted
-    twice; non-adaptive descriptions pass through unchanged."""
-    return desc.split("== Initial Plan ==")[0]
+def _census_adaptive(desc: str) -> dict[str, int]:
+    """Census an executed (possibly AQE) plan description without double
+    counting: an adaptive description prints '== Final Plan ==' followed
+    by an '== Initial Plan ==' echo of the SAME tree, so summing over the
+    whole text counts every node twice — but the final section is also
+    INCOMPLETE: already-materialized query stages print as bare
+    'ShuffleQueryStage n' references whose subtrees (scans, their
+    PushedFilters/PartitionFilters) appear only in the initial section.
+    The honest count is the per-pattern MAX across the sections: complete
+    tree from an initial section, AQE outcomes (broadcast conversions,
+    reused exchanges) from the final, nothing doubled. A description can
+    hold SEVERAL final/initial pairs (each adaptive subquery prints its
+    own), so the max runs over every '== Initial Plan ==' -delimited
+    chunk, not just the first two. Max-over-chunks can UNDERcount a
+    metric split across disjoint subquery trees but never doubles, and
+    presence-gated checks (the cartesian/bnlj alarms) are exact: any
+    occurrence in any chunk survives the max."""
+    counts = {k: 0 for k in PATTERNS}
+    for part in desc.split("== Initial Plan =="):
+        for key, v in census(part).items():
+            counts[key] = max(counts[key], v)
+    return counts
 
 
 def _executed_plans(spark, after_id: int) -> list[tuple[int, str]]:
@@ -141,11 +161,11 @@ def census_eager(spark, fn, name: str) -> dict:
     plans = _executed_plans(spark, last)
     unique: dict[str, None] = {}
     for _, desc in plans:
-        unique.setdefault(_final_section(desc))
+        unique.setdefault(desc)
     total = {k: 0 for k in PATTERNS}
     spans = 0
     for text in unique:
-        c = census(text)
+        c = _census_adaptive(text)
         for k, v in c.items():
             if k == "codegen_spans":
                 spans += v  # per-plan distinct ids; ids reset per plan
