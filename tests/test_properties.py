@@ -266,3 +266,147 @@ def test_span_islands_sql_matches_python(con, pairs):
         """
     ).fetchall()
     assert [tuple(r) for r in got] == want, pairs
+
+
+# ---- round-12 oracle models: the DuckDB twins vs independent pure-Python
+# models over RANDOMIZED inputs. The Spark sides are value-hash-matched to
+# these twins on four fixtures (+ the partitioning sweep); these tests
+# close the other half of the differential: the twin itself must agree
+# with a from-scratch model on inputs no fixture contains.
+
+import datetime as _dt
+
+
+def _events_duck(con, rows):
+    """Register generated (event_id, user_id, event_type, ts_us, value)
+    rows as the `events` table the oracles read."""
+    con.execute("DROP TABLE IF EXISTS events")
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, make_timestamp(?), ?)",
+        [(i, u, t, us, v) for i, (u, t, us, v) in enumerate(rows)],
+    )
+
+
+_TYPES = ("click", "view", "purchase", "signup", "error")
+
+# microseconds over a ~5-week window starting 2024-01-01
+_us_range = st.integers(min_value=0, max_value=35 * 86_400_000_000)
+# values as multiples of 1/64 — exact in binary, so the model's Python sum
+# and DuckDB's own summation order can never disagree at the rounding grain
+_val64 = st.integers(min_value=0, max_value=640_000).map(lambda i: i / 64.0)
+_EPOCH_US = int(
+    _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+)
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user
+        st.sampled_from(_TYPES),
+        _us_range.map(lambda d: _EPOCH_US + d),
+        _val64,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=_event_rows)
+def test_funnel_oracle_matches_python_model(con, rows):
+    """q_funnel_conversion's twin vs a from-scratch funnel state machine:
+    t_click = min click; t_view = min view ≥ t_click; t_purchase =
+    min purchase ≥ t_view; counts roll up per user."""
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+
+    _events_duck(con, rows)
+    got = con.execute(all_oracles()["q_funnel_conversion"]).fetchone()
+
+    users = {u for u, _, _, _ in rows}
+    t1, t2, t3 = {}, {}, {}
+    for u, t, us, _ in rows:
+        if t == "click":
+            t1[u] = min(t1.get(u, us), us)
+    for u, t, us, _ in rows:
+        if t == "view" and u in t1 and us >= t1[u]:
+            t2[u] = min(t2.get(u, us), us)
+    for u, t, us, _ in rows:
+        if t == "purchase" and u in t2 and us >= t2[u]:
+            t3[u] = min(t3.get(u, us), us)
+    assert tuple(got) == (len(users), len(t1), len(t2), len(t3))
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=_event_rows)
+def test_retention_oracle_matches_python_model(con, rows):
+    """q_events_retention_cohorts' twin vs a from-scratch cohort matrix
+    (Monday-truncated weeks, whole-week offsets, distinct users/cell)."""
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+
+    _events_duck(con, rows)
+    got = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            all_oracles()["q_events_retention_cohorts"]
+        ).fetchall()
+    }
+
+    def monday(us):
+        d = _dt.datetime.fromtimestamp(
+            us / 1_000_000, tz=_dt.timezone.utc
+        ).date()
+        return d - _dt.timedelta(days=d.weekday())
+
+    weekly = {(u, monday(us)) for u, _, us, _ in rows}
+    cohort = {}
+    for u, wk in weekly:
+        cohort[u] = min(cohort.get(u, wk), wk)
+    want: dict[tuple, int] = {}
+    for u, wk in weekly:
+        key = (cohort[u], (wk - cohort[u]).days // 7)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=_event_rows)
+def test_histogram_oracle_matches_python_model(con, rows):
+    """stat_value_histogram's twin vs a from-scratch equal-width binning
+    with the same IEEE expression order (vmax==vmin pins bucket 0)."""
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        round_half_up_f,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        HIST_NBUCKETS,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+
+    _events_duck(con, rows)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(all_oracles()["stat_value_histogram"]).fetchall()
+    }
+
+    vals = [v for _, _, _, v in rows]
+    vmin, vmax = min(vals), max(vals)
+    w = (vmax - vmin) / float(HIST_NBUCKETS)
+    buckets: dict[int, list] = {}
+    for v in vals:
+        b = (
+            0
+            if vmax == vmin
+            else min(int(math.floor((v - vmin) / w)), HIST_NBUCKETS - 1)
+        )
+        buckets.setdefault(b, []).append(v)
+    want = {
+        b: (
+            round_half_up_f(vmin + b * w, 6),
+            len(vs),
+            round_half_up_f(math.fsum(vs), 4),
+        )
+        for b, vs in buckets.items()
+    }
+    assert {b: (lo, n, s) for b, (lo, n, s) in got.items()} == want
