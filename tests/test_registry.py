@@ -89,3 +89,24 @@ def test_plan_census_name_lists_track_registry():
     names = set(build_registry())
     assert EAGER <= names, sorted(EAGER - names)
     assert KNOWN_CARTESIAN <= names, sorted(KNOWN_CARTESIAN - names)
+
+
+def test_window_covers_every_staleness_obligation():
+    """Mechanized rotation contract (the check round judges recompute by
+    hand from the CORRECTNESS artifacts): the driver window must contain
+    every oracle that has NEVER been driver-green and every oracle whose
+    freshest green sits exactly at the 3-round staleness bound, and no
+    oracle may already be stale. Runs off committed CORRECTNESS_r*.json
+    — no Spark session."""
+    from tools.rotation_audit import audit
+
+    a = audit()
+    assert not a["already_stale"], (
+        f"oracles missed their staleness bound: {a['already_stale']}"
+    )
+    assert not a["missing_from_window"], (
+        f"window omits obligated oracles: {a['missing_from_window']}"
+    )
+    # the NEXT round must also be satisfiable: its inherited bound cohort
+    # has to fit the window with the obligated new/changed rows on top
+    assert a["next_round_cohort_size"] <= a["window_size"], a
