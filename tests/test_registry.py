@@ -110,3 +110,37 @@ def test_window_covers_every_staleness_obligation():
     # the NEXT round must also be satisfiable: its inherited bound cohort
     # has to fit the window with the obligated new/changed rows on top
     assert a["next_round_cohort_size"] <= a["window_size"], a
+
+
+def test_rotation_audit_detects_staleness(tmp_path):
+    """The audit must actually FIRE: synthesize CORRECTNESS artifacts
+    where one real oracle was last green 4 rounds before the upcoming
+    round (stale) and another exactly 3 back but outside the window
+    (missed obligation) — both must be flagged."""
+    import json
+
+    from spark_ml_algo_lib_master_tongji_spark.registry import (
+        DRIVER_WINDOW,
+        _ORDER,
+    )
+    from tools.rotation_audit import audit
+
+    in_window = _ORDER[0]
+    outside = next(
+        n for n in _ORDER[DRIVER_WINDOW:] if not n.startswith("ml_est_")
+    )
+    green = {"hash_match": True}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({in_window: green, outside: green})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({outside: green})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({}))
+    a = audit(tmp_path)
+    # upcoming round = 6: r01 green is stale (1 < 6-3); r03 green sits
+    # exactly AT the bound (3 == 6-3) but `outside` is not in the window
+    assert a["upcoming_round"] == 6
+    assert in_window in a["already_stale"]
+    assert outside in a["at_bound"]
+    assert outside in a["missing_from_window"]

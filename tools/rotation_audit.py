@@ -31,12 +31,12 @@ REPO = Path(__file__).resolve().parent.parent
 STALE_AFTER = 3  # rounds without a green row
 
 
-def freshest_green() -> tuple[dict[str, int], int]:
+def freshest_green(repo: Path = REPO) -> tuple[dict[str, int], int]:
     """oracle → latest round with a hash_match row; plus the upcoming
     round number (max committed CORRECTNESS round + 1)."""
     latest: dict[str, int] = {}
     rounds = []
-    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
         if not m:
             continue
@@ -52,14 +52,14 @@ def freshest_green() -> tuple[dict[str, int], int]:
     return latest, (max(rounds) + 1 if rounds else 1)
 
 
-def audit() -> dict:
+def audit(repo: Path = REPO) -> dict:
     from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
     from spark_ml_algo_lib_master_tongji_spark.registry import (
         DRIVER_WINDOW,
         _ORDER,
     )
 
-    latest, upcoming = freshest_green()
+    latest, upcoming = freshest_green(repo)
     oracles = set(all_oracles())
     window = set(_ORDER[:DRIVER_WINDOW])
 
