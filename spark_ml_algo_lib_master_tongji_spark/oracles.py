@@ -1593,12 +1593,58 @@ def _moving_average_sql() -> str:
 
 RELATIONAL_ORACLES["q_moving_average"] = _moving_average_sql()
 
-# HLL anchor (stats.stat_hll_accuracy): exact counts + TRUE booleans.
+# HLL anchor (stats.stat_hll_accuracy): exact users count + TRUE boolean.
+# The event-id regime (1M+ ids at the 10× fixture) moved to the
+# once-per-round pytest (round-12 verdict item 2) — its exact arm was
+# the suite's one measured scale-killer.
 STATS_ORACLES["stat_hll_accuracy"] = """
-    SELECT count(DISTINCT user_id)  AS exact_users,
-           count(DISTINCT event_id) AS exact_events,
-           TRUE AS hll_users_ok, TRUE AS hll_events_ok
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_users_ok
     FROM events
+"""
+
+# Per-group HLL rollup (stats.stat_group_distinct): exact per-group
+# counts + TRUE audit boolean; Monday week truncation in both engines.
+STATS_ORACLES["stat_group_distinct"] = """
+    SELECT event_type,
+           CAST(date_trunc('week', ts) AS DATE) AS week,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events
+    GROUP BY 1, 2
+"""
+
+# Chi-square independence (stats.stat_chi_square): identical contingency
+# arithmetic — totals carried as DOUBLE like the Spark side (ra·cb would
+# overflow int64 at scale), observed counts exact integers. DuckDB's
+# dayofweek counts Sunday as 0 where Spark counts 1; +1 aligns levels.
+STATS_ORACLES["stat_chi_square"] = """
+    WITH ct AS (
+        SELECT event_type AS a, dayofweek(ts) + 1 AS b, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ra FROM ct GROUP BY a),
+    cl AS (SELECT b, CAST(sum(o) AS DOUBLE) AS cb FROM ct GROUP BY b),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(sum(o) AS DOUBLE) AS nd,
+                 count(DISTINCT a) AS r,
+                 count(DISTINCT b) AS c
+          FROM ct),
+    cells AS (
+        SELECT min(t.n) AS n, min(t.nd) AS nd, min(t.r) AS r,
+               min(t.c) AS c,
+               sum((ct.o - rt.ra * cl.cb / t.nd)
+                   * (ct.o - rt.ra * cl.cb / t.nd)
+                   / (rt.ra * cl.cb / t.nd)) AS chi2_raw
+        FROM ct JOIN rt USING (a) JOIN cl USING (b) CROSS JOIN t
+    )
+    SELECT n, r AS r_levels, c AS c_levels,
+           round(chi2_raw, 4) AS chi2,
+           (r - 1) * (c - 1) AS df_chi,
+           round(sqrt(chi2_raw / (nd * least(r - 1, c - 1))), 6)
+               AS cramers_v
+    FROM cells
 """
 
 # Cohort retention (relational.q_events_retention_cohorts): both engines
@@ -1680,7 +1726,10 @@ def _welch_ttest_sql() -> str:
 STATS_ORACLES["stat_welch_ttest"] = _welch_ttest_sql()
 
 # Equal-width histogram (stats.stat_value_histogram): the bucket id is
-# the same IEEE expression tree in both engines; NB interpolated.
+# the same IEEE expression tree in both engines; NB interpolated. NULL
+# values are excluded before bucketing on BOTH sides (round-12 ADVICE
+# item 1: unfiltered NULLs fell through least/floor into bucket NB−1 in
+# both engines, so the hash agreed on the wrong answer).
 def _value_histogram_sql() -> str:
     from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
         HIST_NBUCKETS,
@@ -1688,7 +1737,8 @@ def _value_histogram_sql() -> str:
 
     nb = HIST_NBUCKETS
     return f"""
-    WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM v),
     x AS (
         SELECT CAST(CASE WHEN b.vmax = b.vmin THEN 0
                     ELSE least(floor((e.value - b.vmin)
@@ -1696,7 +1746,7 @@ def _value_histogram_sql() -> str:
                                {nb - 1})
                     END AS INT) AS bucket,
                e.value, b.vmin, b.vmax
-        FROM events e CROSS JOIN b
+        FROM v e CROSS JOIN b
     )
     SELECT bucket,
            round(vmin + bucket * ((vmax - vmin) / {nb}.0), 6) AS bucket_lo,

@@ -91,75 +91,26 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 12 rotation (144 oracles / 172 queries). Tier 1:
-#: the four NEW round-12 oracles (cohort retention matrix, the
-#: approx_percentile rank-error anchor, Welch's t-test, the equal-width
-#: value histogram) plus the two rows whose implementation changed this
-#: round (the funnel, rebuilt as ONE lazy job from four driver actions —
-#: round-11 verdict item; the persisted-IVF-store search behind the new
-#: caller-owned routing-cache lifecycle). Tier 2: the 44 round-9-green
-#: rows — at the 3-round staleness bound, they MUST be value-checked
-#: this round (round-11 verdict item 1). 6 + 44 fills the window
-#: exactly. Behind the boundary: the round-10-green cohort (bound hits
-#: round 13 — it heads the round-13 window, 46 + 4 slack ≤ 50, fits),
-#: then the round-11-green cohort (bound hits round 14), then the
-#: no-oracle workloads (pytest-verified only).
+#: Priority order, round 13 rotation (144 oracles / 172 queries). Tier 1
+#: (4 slots — rotation-capped): the two rows whose implementation changes
+#: this round (the HLL anchor with its exact event-regime arm moved to the
+#: 10×-fixture pytest — round-12 verdict item 2; the value histogram with
+#: NULL values excluded before bucketing on both engines — round-12 ADVICE
+#: item 1) plus two NEW analytics oracles (per-group approx-distinct rollup
+#: vs exact twin; chi-square independence test). Tier 2: the 46
+#: round-10-green rows — at the 3-round staleness bound, they MUST be
+#: value-checked this round (round-12 verdict item 1). 4 + 46 fills the
+#: window exactly. Behind the boundary: the round-11-green cohort (bound
+#: hits round 14 — it heads the round-14 window), then the round-12-green
+#: cohort (bound hits round 15), then the no-oracle workloads
+#: (pytest-verified only).
 _ORDER: tuple[str, ...] = (
     # -- tier 1: new oracle / implementation changed this round -------------
-    "q_events_retention_cohorts",  # NEW r12: cohort retention matrix
-    "stat_approx_quantile_accuracy",  # NEW r12: approx_percentile anchor
-    "stat_welch_ttest",  # NEW r12: Welch's unequal-variance t-test
-    "stat_value_histogram",  # NEW r12: equal-width histogram profile
-    "q_funnel_conversion",  # r12: rebuilt as ONE lazy job (was 4 actions)
-    "sim_ivf_delta_search",  # r12: caller-owned routing-cache lifecycle
-    # -- tier 2: round-9-green rows AT the staleness bound ------------------
-    "q_sort_limit_top_orders",
-    "q_case_conditional_agg",
-    "q_grouped_having",
-    "stat_summary_lineitem",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "stat_spearman_lineitem",
-    "q_sql_entry_top_suppliers",
-    "q_events_first_per_user",
-    "q_events_type_rollup",
-    "q_string_id_dictionary",
-    "ml_idf",
-    "ml_prefixspan",
-    "ml_est_prefixspan",
-    "text_winnow_fingerprints",
-    "ml_est_clf_acc_anchors",
-    "ml_est_reg_rmse_anchors",
-    "ml_est_lda_ppx",
-    "ml_est_spca_energy",
-    "text_bpe_token_stats",
-    "graph_node2vec_embeddings",
-    "pipeline_training_mix",
-    "graph_cycle_detection",
-    "graph_maximal_cliques",
-    "graph_subgraph_matching",
-    "dedup_embedding_cosine_lsh",
-    "sim_lsh_bucket_pairs",
-    "ml_knn_classifier",
-    "ml_knn_regressor",
-    "stream_windowed_counts",
-    "stream_distinct_pairs",
-    "stream_sessionization",
-    "stream_user_totals_stateful",
-    "stream_nation_event_revenue",
-    "mm_manifest",
-    "mm_frame_sample",
-    "mm_byte_features",
-    "mm_fake_decode",
-    "graph_node2vec_walks",
-    "graph_node2vec_biased_walks",
-    "graph_trustrank",
-    "graph_ppr_multi",
-    "graph_closeness_nation",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- round-10-green cohort (bound hits round 13: these 46 head the
-    # -- round-13 window with 4 slack slots) ---------------------------------
+    "stat_hll_accuracy",  # r13: exact event-regime arm de-fanged (verdict 2)
+    "stat_value_histogram",  # r13: NULLs excluded before bucketing (ADVICE 1)
+    "stat_group_distinct",  # NEW r13: per-group approx-distinct rollup
+    "stat_chi_square",  # NEW r13: chi-square independence test
+    # -- tier 2: round-10-green rows AT the staleness bound ------------------
     "dedup_delta",
     "dedup_index_stats",
     "ml_est_als_rec_topk",
@@ -206,7 +157,9 @@ _ORDER: tuple[str, ...] = (
     "graph_incremental_pagerank",
     "ml_simrank",
     "graph_pagerank",
-    # -- round-11-green cohort (bound hits round 14) -------------------------
+    # ---------------------------- window boundary (50) ---------------------
+    # -- round-11-green cohort (bound hits round 14: these head the
+    # -- round-14 window) -----------------------------------------------------
     "text_gopher_rules",
     "pipeline_profile_columns",
     "pipeline_profile_quantiles",
@@ -224,7 +177,6 @@ _ORDER: tuple[str, ...] = (
     "q_pivot_event_types",
     "q_resample_gapfill",
     "q_moving_average",
-    "stat_hll_accuracy",
     "graph_connected_components",
     "graph_mssp",
     "graph_bfs",
@@ -255,6 +207,56 @@ _ORDER: tuple[str, ...] = (
     "pipeline_lm_perplexity",
     "q_union_distinct_nations",
     "q_topk_per_group",
+    # -- round-12-green cohort (bound hits round 15) -------------------------
+    "q_events_retention_cohorts",
+    "stat_approx_quantile_accuracy",
+    "stat_welch_ttest",
+    "q_funnel_conversion",
+    "sim_ivf_delta_search",
+    "q_sort_limit_top_orders",
+    "q_case_conditional_agg",
+    "q_grouped_having",
+    "stat_summary_lineitem",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "stat_spearman_lineitem",
+    "q_sql_entry_top_suppliers",
+    "q_events_first_per_user",
+    "q_events_type_rollup",
+    "q_string_id_dictionary",
+    "ml_idf",
+    "ml_prefixspan",
+    "ml_est_prefixspan",
+    "text_winnow_fingerprints",
+    "ml_est_clf_acc_anchors",
+    "ml_est_reg_rmse_anchors",
+    "ml_est_lda_ppx",
+    "ml_est_spca_energy",
+    "text_bpe_token_stats",
+    "graph_node2vec_embeddings",
+    "pipeline_training_mix",
+    "graph_cycle_detection",
+    "graph_maximal_cliques",
+    "graph_subgraph_matching",
+    "dedup_embedding_cosine_lsh",
+    "sim_lsh_bucket_pairs",
+    "ml_knn_classifier",
+    "ml_knn_regressor",
+    "stream_windowed_counts",
+    "stream_distinct_pairs",
+    "stream_sessionization",
+    "stream_user_totals_stateful",
+    "stream_nation_event_revenue",
+    "mm_manifest",
+    "mm_frame_sample",
+    "mm_byte_features",
+    "mm_fake_decode",
+    "graph_node2vec_walks",
+    "graph_node2vec_biased_walks",
+    "graph_trustrank",
+    "graph_ppr_multi",
+    "graph_closeness_nation",
     # -- tier 3: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -289,7 +291,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_closeness_nation", (
+assert _ORDER[DRIVER_WINDOW - 1] == "graph_pagerank", (
     "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 

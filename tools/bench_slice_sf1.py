@@ -41,7 +41,16 @@ def run_subset(spark, names: list[str], sf_dir: str) -> dict[str, dict]:
 
     reg = build_registry()
     out: dict[str, dict] = {}
-    for name in (n for n in reg if n in set(names)):  # registry order
+    wanted = set(names)
+    unknown = wanted - set(reg)
+    if unknown:  # a stale artifact name would otherwise vanish silently
+        print(
+            f"# WARNING: {len(unknown)} requested names not in the "
+            f"registry (renamed/removed since the source artifact?): "
+            f"{sorted(unknown)}",
+            file=sys.stderr,
+        )
+    for name in (n for n in reg if n in wanted):  # registry order
         load0 = benchlib.load_seconds()
         t0 = time.perf_counter()
         try:

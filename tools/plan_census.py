@@ -70,7 +70,8 @@ EAGER = {
     "ml_est_lda_ppx",
     "ml_est_spca_energy",
     "graph_betweenness_overlap",
-    "stat_hll_accuracy",
+    # stat_hll_accuracy left this set in round 13: its exact event-id arm
+    # (the driver-side .first()) was de-fanged to one lazy aggregate.
 }
 
 #: queries whose plan legitimately contains a CartesianProduct: spark.ml's
@@ -154,7 +155,10 @@ def _last_execution_id(spark) -> int:
 
 def census_eager(spark, fn, name: str) -> dict:
     """Run an eager query and census the UNION of the distinct physical
-    plans it executed (final-plan sections only)."""
+    plans it executed. Each plan text goes through ``_census_adaptive``,
+    i.e. the per-pattern MAX across its '== Initial Plan =='-delimited
+    sections (NOT final-plan-only — see that helper's undercount caveat
+    for metrics split across disjoint adaptive-subquery chunks)."""
     last = _last_execution_id(spark)
     df = fn(spark, SF)
     df.collect()  # the returned frame is scalar/bounded for every EAGER row
