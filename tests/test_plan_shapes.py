@@ -473,3 +473,26 @@ def test_ivf_store_rebuilds_on_key_mismatch(spark):
     assert knn._ivf_store_dir(cat) == store  # stale key: rebuild
     assert open(key_file).read() == good
     assert os.path.getmtime(os.path.join(store, "_SUCCESS")) > m1
+
+
+def test_group_distinct_sketch_never_keyed_per_user(cat):
+    """`stat_group_distinct` must stage the HLL sketch AFTER the
+    (group, user) dedup level: Catalyst's RewriteDistinctAggregates
+    would otherwise evaluate partial_approx_count_distinct at the
+    data-sized (event_type, week, user_id) aggregate — one 16 KB
+    rsd-0.01 register array per distinct user key (~5.8 GB shuffled at
+    the 10× fixture, measured 36s vs 0.6s). Pin: every HashAggregate
+    that computes approx_count_distinct keys on the two group columns
+    only, never on user_id."""
+    import re
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        stat_group_distinct,
+    )
+
+    plan = stat_group_distinct(cat)._jdf.queryExecution().executedPlan().toString()
+    agg_nodes = re.findall(r"HashAggregate\(keys=\[([^\]]*)\][^)]*functions=\[([^\]]*)\]", plan)
+    assert agg_nodes, plan
+    for keys, fns in agg_nodes:
+        if "approx_count_distinct" in fns:
+            assert "user_id" not in keys, (keys, fns)

@@ -105,11 +105,21 @@ def main() -> None:
     spark.read.parquet(f"{args.sf01}/lineitem.parquet").count()
     spark.read.parquet(f"{args.sf1}/lineitem.parquet").count()
 
+    def loadavg() -> list[float]:
+        # EXTERNAL host load skews even same-session ratios (round-13
+        # observation: a co-tenant load spike turned unchanged rows'
+        # decade ratios 1.3× → 7.5× between back-to-back runs) — record
+        # conditions so a contaminated artifact is recognizable.
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+
+    load_start = loadavg()
     at01 = run_subset(spark, top, args.sf01)
     # drop the sf0.1 arm's pinned derivation caches before the 10× arm:
     # each arm's loads are timed separately anyway, and JVM/JIT warmth —
     # the thing same-session exists for — survives a storage clear
     spark.catalog.clearCache()
+    load_mid = loadavg()
     at1 = run_subset(spark, top, args.sf1)
 
     queries = {}
@@ -133,6 +143,16 @@ def main() -> None:
         "total_cost_sf1": round(
             sum(v.get("cost", 0.0) for v in at1.values()), 2
         ),
+        "host_loadavg": {
+            "at_start": load_start,
+            "mid": load_mid,
+            "at_end": loadavg(),
+            "note": (
+                "co-tenant load (1/5/15-min averages; this suite uses up "
+                "to 32 cpus itself mid-arm) — ratios from a run whose "
+                "start/end load differs by several cores are suspect"
+            ),
+        },
     }
     Path(args.out).write_text(json.dumps(doc, indent=1, sort_keys=True))
     ratios = [
