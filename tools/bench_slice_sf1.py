@@ -17,8 +17,8 @@ number that actually predicts 100 TB behavior. This tool:
    decade ratio (sf1/sf0.1 at 10× data — ~1× fixed-overhead, ~10× linear,
    >10× needs a named cause in PLANS.md).
 
-Usage: python tools/bench_slice_sf1.py [--top 20] [--sf01 DIR] [--sf1 DIR]
-       [--from BENCH_LOCAL_LAST.json] [--out BENCH_SF1_SLICE.json]
+Usage: python tools/bench_slice_sf1.py [--top 20] [--reps 2] [--sf01 DIR]
+       [--sf1 DIR] [--from BENCH_LOCAL_LAST.json] [--out BENCH_SF1_SLICE.json]
 """
 
 from __future__ import annotations
@@ -34,8 +34,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_subset(spark, names: list[str], sf_dir: str) -> dict[str, dict]:
-    """Time the named queries at sf_dir with bench.py's cost/load split."""
+def run_subset(
+    spark, names: list[str], sf_dir: str, reps: int = 2
+) -> dict[str, dict]:
+    """Time the named queries at sf_dir with bench.py's cost/load split.
+
+    ``reps`` > 1 keeps the MIN-cost repetition (round-13 change): the
+    min is the noise-robust timing estimator — a co-tenant load spike
+    inflates a rep, never deflates it — and it also sheds the one-time
+    codegen/JIT cost that does not scale with data, which is what a
+    decade RATIO should exclude. Session-shared derivations are charged
+    to whichever rep first touches them and subtracted as load either
+    way, so rep choice does not move cost attribution. All reps are
+    recorded (``cost_reps``) so the spread stays visible."""
     from spark_ml_algo_lib_master_tongji_spark import benchlib
     from spark_ml_algo_lib_master_tongji_spark.registry import build_registry
 
@@ -51,25 +62,39 @@ def run_subset(spark, names: list[str], sf_dir: str) -> dict[str, dict]:
             file=sys.stderr,
         )
     for name in (n for n in reg if n in wanted):  # registry order
-        load0 = benchlib.load_seconds()
-        t0 = time.perf_counter()
-        try:
-            n_rows = benchlib.materialize(reg[name](spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001 — one bad query, one entry
-            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        attempts: list[dict] = []
+        for _ in range(max(reps, 1)):
+            load0 = benchlib.load_seconds()
+            t0 = time.perf_counter()
+            try:
+                n_rows = benchlib.materialize(reg[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — one bad query, one entry
+                attempts = [{"error": f"{type(exc).__name__}: {exc}"[:200]}]
+                break
+            wall = time.perf_counter() - t0
+            load = benchlib.load_seconds() - load0
+            attempts.append(
+                {
+                    "wall": round(wall, 2),
+                    "load": round(load, 2),
+                    "cost": round(wall - load, 2),
+                    "rows": n_rows,
+                }
+            )
+        if "error" in attempts[0]:
+            out[name] = attempts[0]
             print(f"# {name}@{sf_dir}: ERROR {out[name]['error']}", file=sys.stderr)
             continue
-        wall = time.perf_counter() - t0
-        load = benchlib.load_seconds() - load0
-        out[name] = {
-            "wall": round(wall, 2),
-            "load": round(load, 2),
-            "cost": round(wall - load, 2),
-            "rows": n_rows,
-        }
+        best = min(attempts, key=lambda a: a["cost"])
+        if len(attempts) > 1:
+            best = {**best, "cost_reps": [a["cost"] for a in attempts]}
+        out[name] = best
+        reps_note = (
+            f", reps {best['cost_reps']}" if "cost_reps" in best else ""
+        )
         print(
-            f"# {name}@{Path(sf_dir).name}: cost {wall - load:.2f}s "
-            f"(load {load:.2f}s)",
+            f"# {name}@{Path(sf_dir).name}: cost {best['cost']:.2f}s "
+            f"(load {best['load']:.2f}s{reps_note})",
             file=sys.stderr,
         )
     return out
@@ -78,6 +103,7 @@ def run_subset(spark, names: list[str], sf_dir: str) -> dict[str, dict]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1", default=str(REPO / "testdata_sf1m"))
     ap.add_argument("--from", dest="src", default=str(REPO / "BENCH_LOCAL_LAST.json"))
@@ -114,13 +140,13 @@ def main() -> None:
             return [float(x) for x in fh.read().split()[:3]]
 
     load_start = loadavg()
-    at01 = run_subset(spark, top, args.sf01)
+    at01 = run_subset(spark, top, args.sf01, reps=args.reps)
     # drop the sf0.1 arm's pinned derivation caches before the 10× arm:
     # each arm's loads are timed separately anyway, and JVM/JIT warmth —
     # the thing same-session exists for — survives a storage clear
     spark.catalog.clearCache()
     load_mid = loadavg()
-    at1 = run_subset(spark, top, args.sf1)
+    at1 = run_subset(spark, top, args.sf1, reps=args.reps)
 
     queries = {}
     for name in top:
@@ -132,8 +158,11 @@ def main() -> None:
     doc = {
         "protocol": (
             "same-session sf0.1 vs sf1 (10x rows); cost = wall - first-touch "
-            "derivation load; decade_ratio = sf1_cost / sf0.1_cost"
+            "derivation load, MIN over reps per query (noise-robust, sheds "
+            "one-time codegen; all reps in cost_reps); "
+            "decade_ratio = sf1_cost / sf0.1_cost"
         ),
+        "reps": args.reps,
         "source_artifact": str(args.src),
         "top_n": args.top,
         "queries": queries,
