@@ -206,6 +206,18 @@ def main() -> None:
     from spark_ml_algo_lib_master_tongji_spark.registry import build_registry
     from spark_ml_algo_lib_master_tongji_spark.session import get_session
 
+    def _la1() -> float:
+        # 1-min host load at measurement boundaries: co-tenant load skews
+        # wall times ±30-40% (round-13: up to 5×) — recording conditions
+        # in the artifact lets a round-over-round diff discount a noisy
+        # run instead of flagging phantom regressions.
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except OSError:
+            return -1.0
+
+    la_start = _la1()
     spark = get_session(app_name="bench")
     # Warm up the JVM + parquet footer cache so per-query times measure the
     # plan, not session startup.
@@ -314,6 +326,9 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "loads": {k: loads[k] for k in reversed(loads)},
             "evaluation": evaluation,
+            # 1-min loadavg at start/end (includes this run's own threads
+            # at the end boundary); late in the line for tail survival
+            "host_la": [la_start, _la1()],
             "value": round(total, 2),
         },
         separators=(",", ":"),

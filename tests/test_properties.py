@@ -410,3 +410,104 @@ def test_histogram_oracle_matches_python_model(con, rows):
         for b, vs in buckets.items()
     }
     assert {b: (lo, n, s) for b, (lo, n, s) in got.items()} == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=_event_rows)
+def test_chi_square_oracle_matches_python_model(con, rows):
+    """stat_chi_square's twin vs a from-scratch chi-square on the
+    (event_type × day-of-week) contingency: observed counts, expected
+    = row·col/n, χ² sum, df, Cramér's V. Level alignment is part of
+    the property (DuckDB dayofweek+1 = Spark dayofweek = python
+    (weekday+1)%7+1). Degenerate single-level factors must yield df 0,
+    χ² 0, and NULL effect size (DuckDB float x/0 is NULL, the same
+    contract Spark's try_divide gives the query side)."""
+    import datetime as dt
+
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+
+    _events_duck(con, rows)
+    got = con.execute(all_oracles()["stat_chi_square"]).fetchone()
+    n, r_levels, c_levels, chi2, df_chi, cramers_v = got
+
+    epoch = dt.datetime(1970, 1, 1)
+    obs: dict[tuple, int] = {}
+    for _, (u, t, us, v) in enumerate(rows):
+        wd = (epoch + dt.timedelta(microseconds=us)).weekday()
+        key = (t, (wd + 1) % 7 + 1)  # Spark dayofweek: Sunday=1 … Sat=7
+        obs[key] = obs.get(key, 0) + 1
+    ra: dict[str, int] = {}
+    cb: dict[int, int] = {}
+    for (a, b), o in obs.items():
+        ra[a] = ra.get(a, 0) + o
+        cb[b] = cb.get(b, 0) + o
+    total = len(rows)
+    chi2_model = math.fsum(
+        (o - ra[a] * cb[b] / total) ** 2 / (ra[a] * cb[b] / total)
+        for (a, b), o in obs.items()
+    )
+    assert (n, r_levels, c_levels) == (total, len(ra), len(cb))
+    assert df_chi == (len(ra) - 1) * (len(cb) - 1)
+    assert abs(chi2 - chi2_model) <= 5e-4
+    denom = total * min(len(ra) - 1, len(cb) - 1)
+    if denom == 0:
+        assert cramers_v is None and chi2 == 0.0
+    else:
+        assert abs(cramers_v - math.sqrt(chi2_model / denom)) <= 1e-5
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=_event_rows)
+def test_group_distinct_oracle_matches_python_model(con, rows):
+    """stat_group_distinct's twin vs a from-scratch per-(event_type,
+    Monday-week) rollup: group row counts partition the events and the
+    exact distinct-user counts match; the audit boolean is constant
+    TRUE on the twin by construction."""
+    import datetime as dt
+
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+
+    _events_duck(con, rows)
+    got = {
+        (t, wk): (ne, eu, ok)
+        for t, wk, ne, eu, ok in con.execute(
+            all_oracles()["stat_group_distinct"]
+        ).fetchall()
+    }
+
+    epoch = dt.datetime(1970, 1, 1)
+    model: dict[tuple, tuple[int, set]] = {}
+    for u, t, us, v in rows:
+        d = (epoch + dt.timedelta(microseconds=us)).date()
+        monday = d - dt.timedelta(days=d.weekday())
+        ne, users = model.get((t, monday), (0, set()))
+        users.add(u)
+        model[(t, monday)] = (ne + 1, users)
+    assert got == {
+        k: (ne, len(users), True) for k, (ne, users) in model.items()
+    }
+    assert sum(ne for ne, _, _ in got.values()) == len(rows)
+
+
+def test_value_histogram_oracle_excludes_nulls(con):
+    """The twin-side half of the round-12 ADVICE NULL fix: on a
+    NULL-bearing events table the oracle's bucket counts must cover
+    exactly the non-NULL rows (pre-fix, both engines agreed on binning
+    NULLs into bucket NB−1, which the hash could not catch)."""
+    from spark_ml_algo_lib_master_tongji_spark.oracles import all_oracles
+
+    con.execute("DROP TABLE IF EXISTS events")
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, 0, 'click', "
+        "TIMESTAMP '2024-01-01 00:00:00', ?)",
+        [(i, v) for i, v in enumerate([0.0, None, 10.0, None, 5.0, 10.0])],
+    )
+    rows = con.execute(all_oracles()["stat_value_histogram"]).fetchall()
+    assert sum(n for _, _, n, _ in rows) == 4  # NULLs excluded
+    assert abs(sum(s for _, _, _, s in rows) - 25.0) < 1e-9
+    by_bucket = {b: n for b, _, n, _ in rows}
+    assert by_bucket[max(by_bucket)] == 2  # only the vmax rows
