@@ -803,9 +803,28 @@ TEXT_ORACLES["pipeline_pii_scrub"] = f"""
     FROM r
 """
 
-_MINHASH_SIG_SQL = (
+# MinHash signature, mirroring the Spark ``dedup._perm_cols`` scheme
+# EXACTLY (four 8-hex chunks of md5(s) + four of md5('1:'||s)) so the LSH
+# candidate sets — not just the verified pairs — are engine-identical.
+# Round-13 fix: the original twin used a DIFFERENT hash family
+# (md5('p:'||x) full-hex per permutation). Verified-pairs output masked
+# it at sf0.01 — both band families caught every >=0.2-jaccard pair on
+# 1k docs — but the first full 10x-fixture sweep caught it: at 20k docs
+# the two candidate sets recall different above-threshold pairs
+# (16572 vs 16545 verified rows). An oracle must mirror the mechanism,
+# not just coincide on small outputs.
+_MINHASH_SIG_CHUNKED_SQL = (
     "["
-    + ", ".join(f"list_min(list_transform(s, x -> md5('{p}:' || x)))" for p in range(8))
+    + ", ".join(
+        [
+            f"list_min(list_transform(s, x -> substr(md5(x), {c * 8 + 1}, 8)))"
+            for c in range(4)
+        ]
+        + [
+            f"list_min(list_transform(s, x -> substr(md5('1:' || x), {c * 8 + 1}, 8)))"
+            for c in range(4)
+        ]
+    )
     + "]"
 )
 
@@ -893,7 +912,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
         sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-        sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM sh2),
+        sigs AS (SELECT doc_id, {_MINHASH_SIG_CHUNKED_SQL} AS sig FROM sh2),
         bands AS (
             SELECT doc_id, b.band_idx,
                    sig[b.band_idx*2 + 1] || '|' || sig[b.band_idx*2 + 2] AS band_key
@@ -1092,24 +1111,9 @@ DEDUP_ORACLES["pipeline_training_mix"] = f"""
     WHERE l.pred_lang = 'en' AND q.quality >= 0.3
 """
 
-# Delta dedup twins. The minhash signature here mirrors the Spark
-# ``dedup._perm_cols`` scheme EXACTLY (four 8-hex chunks of md5(s) + four
-# of md5('1:'||s)) so the candidate sets — not just the verified pairs —
-# are engine-identical.
-_MINHASH_SIG_CHUNKED_SQL = (
-    "["
-    + ", ".join(
-        [
-            f"list_min(list_transform(s, x -> substr(md5(x), {c * 8 + 1}, 8)))"
-            for c in range(4)
-        ]
-        + [
-            f"list_min(list_transform(s, x -> substr(md5('1:' || x), {c * 8 + 1}, 8)))"
-            for c in range(4)
-        ]
-    )
-    + "]"
-)
+# Delta dedup twins use the same engine-identical chunked minhash
+# signature (_MINHASH_SIG_CHUNKED_SQL, defined with the dedup oracles
+# above — since round 13 the single definition serves both families).
 
 _NORM_FP_SQL = (
     "md5(trim(regexp_replace(regexp_replace(lower(text), "
