@@ -891,8 +891,14 @@ def pipeline_lm_perplexity(cat: Catalog) -> DataFrame:
     join of doc-bigrams against the stats table (bucket both by gram in
     production and it's co-located) + one per-doc aggregate. Per-gram
     ln() is rounded at 6 before the mean (the ml_est_idf ln-portability
-    discipline), the mean at 4 — summation-order noise sits ~1e-13
-    below the grain."""
+    discipline) and carried as an exact INTEGER of 1e-6 units, so the
+    per-doc sum is order-independent and the mean is ONE identical fp64
+    division on both engines (round-13 fix: the earlier avg-of-rounded-
+    DOUBLES left ~1e-13 summation-order noise under the 1e-4 output
+    grain — harmless per value, but with 20k doc-means the 10×-fixture
+    sweep caught 6 docs landing exactly on a round-half-up boundary,
+    where the engines flipped the 4th decimal in opposite directions;
+    an averaged rounded quantity must be summed in exact units)."""
     docs = spread(cat.documents.select("doc_id", "text"))
     g = TXT.ngram_arrays(docs, n=2).select(
         "doc_id", F.explode("grams").alias("gram")
@@ -905,8 +911,11 @@ def pipeline_lm_perplexity(cat: Catalog) -> DataFrame:
         docs.select(F.explode(TXT.tokens(F.col("text"))).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
     )
-    lp = round_half_up(
-        F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+    # round_half_up(ln, 6) kept in integer micro-units: floor(x*1e6 + 0.5)
+    lp_micro = F.floor(
+        F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+        * F.lit(1e6)
+        + F.lit(0.5)
     )
     per = (
         g.join(stats, "gram")
@@ -914,7 +923,14 @@ def pipeline_lm_perplexity(cat: Catalog) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            round_half_up(F.avg(lp), 4).alias("avg_logprob"),
+            F.sum(lp_micro).alias("s_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round_half_up(
+                F.col("s_micro") / (F.lit(1e6) * F.col("n_bigrams")), 4
+            ).alias("avg_logprob"),
         )
     )
     return (

@@ -420,12 +420,18 @@ TEXT_ORACLES["pipeline_lm_perplexity"] = """
         FROM c2 JOIN c1 ON split_part(c2.gram, ' ', 1) = c1.w1
     ),
     lp AS (
+        -- round_half_up(ln, 6) in exact integer micro-units (floor form),
+        -- so the per-doc sum is order-independent cross-engine (round-13:
+        -- avg-of-rounded-doubles flipped 6 boundary docs at the 10x sweep)
         SELECT doc_id,
-               round(ln((c2 + 1.0) / (c1 + (SELECT v FROM vocab))), 6) AS l
+               CAST(floor(ln((c2 + 1.0) / (c1 + (SELECT v FROM vocab)))
+                          * 1000000 + 0.5) AS BIGINT) AS li
         FROM g JOIN stats USING (gram)
     ),
     per AS (
-        SELECT doc_id, count(*) AS n_bigrams, round(avg(l), 4) AS avg_logprob
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(li) AS DOUBLE)
+                     / (1000000.0 * count(*)), 4) AS avg_logprob
         FROM lp GROUP BY doc_id
     )
     SELECT d.doc_id,
