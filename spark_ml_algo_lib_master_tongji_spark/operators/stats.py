@@ -48,7 +48,21 @@ def _fractional_ranks(df: DataFrame, col: str, n_parts: int = 32) -> DataFrame:
 
     All terms are integers or exact halves in fp64, so the result is
     bit-identical to the windowed ``rank() + (ties−1)/2`` formula the SQL
-    oracle uses."""
+    oracle uses.
+
+    INVARIANT (round-14, learned from ``freq_histogram``'s first cut):
+    the sampled range partitioning is only consistent across the two
+    consumer subtrees (the per-partition window and the totals/offsets
+    aggregate) because both contain the IDENTICAL exchange subtree —
+    input is exactly (col, _cnt) in both — so Catalyst's ReuseExchange
+    dedupes them and the boundaries are sampled ONCE. Adding any derived
+    column between the aggregate and ``repartitionByRange`` breaks the
+    subtree identity via column pruning, the exchange is evaluated
+    twice, and ``spark_partition_id()`` can disagree between subtrees
+    (observed: nondeterministic bucket counts at the 10× fixture). If
+    this function ever needs extra columns, derive them AFTER the
+    prefix join — or switch to a value-derived deterministic cell id as
+    ``freq_histogram`` does."""
     vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
     vc = vc.repartitionByRange(n_parts, F.col(col)).withColumn(
         "_pid", F.spark_partition_id()
@@ -407,6 +421,120 @@ def value_histogram(
     )
 
 
+def stat_freq_histogram(cat: Catalog) -> DataFrame:
+    """Equal-FREQUENCY (equi-depth) histogram of ``events.value`` →
+    one row per occupied bucket (bucket, n, lo, hi, sum_value_cents).
+    The companion of ``stat_value_histogram``'s equal-width buckets —
+    the shape optimizers and drift monitors actually want, because
+    every bucket carries the same statistical weight regardless of
+    skew (round-13 verdict item 5; the design the equal-width
+    docstring promised).
+
+    Buckets are VALUE-ALIGNED: each distinct value belongs wholly to
+    the bucket of its first global row index — bucket(v) =
+    (rows_before(v) · NB) div n_rows, pure integer arithmetic, so the
+    assignment is bit-free deterministic cross-engine (no fp division,
+    no interpolation, no tie-splitting ambiguity). Counts are equal to
+    within the heaviest tie.
+
+    Scale: NO global sort and NO data-sized window. Phase 1 collapses
+    rows to (value, count) — one map-side-combinable hash aggregate;
+    the data volume drops to the distinct-value count. Phase 2 is a
+    two-phase prefix sum over that value table, BUT the partition key
+    is a pure function of the value (an equal-width cell from
+    broadcast min/max bounds), NOT ``repartitionByRange`` +
+    ``spark_partition_id()``: the prefix-cell table is consumed by
+    three subtrees (the per-cell window, the cell totals/offsets, the
+    grand total), and a sampled range partitioning is only consistent
+    across subtrees if Catalyst reuses the exchange — column pruning
+    makes the subtrees non-identical, the exchange is NOT reused, and
+    each evaluation can sample different boundaries. The first cut
+    used exactly that and produced nondeterministic bucket counts at
+    the 10× fixture (21 vs 20 buckets across runs — caught by this
+    round's pre-ship 10× check); a value-derived cell id is
+    bit-identical in every subtree by construction. The per-cell
+    window is over distinct VALUES in that value range (already
+    reduced); the only single-partition window runs over the ≤256-row
+    cell-totals table. The total row count rides the same totals
+    frame and broadcasts back in a single-row cross join. Per-bucket
+    value sums are carried as exact integer cents (floor(v·100 + 0.5)
+    per distinct value × its count, summed as BIGINT) so the hash is
+    summation-order-independent — the round-13 lm-perplexity lesson
+    applied at design time."""
+    return freq_histogram(cat.events, "value", HIST_NBUCKETS)
+
+
+def freq_histogram(
+    df: DataFrame, value_col: str = "value", nb: int = HIST_NBUCKETS
+) -> DataFrame:
+    """Core of ``stat_freq_histogram`` over any numeric column —
+    factored out so degenerate frames (all-equal values, NULL-bearing
+    and empty columns) can be pinned directly in pytest."""
+    n_cells = 256
+    vals = df.select(F.col(value_col).alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    vc = vals.groupBy("value").agg(F.count(F.lit(1)).alias("_cnt"))
+    bounds = vc.agg(
+        F.min("value").alias("_vmin"), F.max("value").alias("_vmax")
+    )
+    # deterministic prefix cell: the equal-width bucket expression over
+    # broadcast exact min/max — a pure function of the value, so every
+    # subtree below derives the SAME cell id (no sampled partitioning)
+    cell = F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("_vmin"))
+                / ((F.col("_vmax") - F.col("_vmin")) / F.lit(float(n_cells)))
+            ),
+            F.lit(n_cells - 1),
+        )
+    )
+    vcell = (
+        vc.crossJoin(F.broadcast(bounds))
+        .withColumn("_pid", cell.cast("int"))
+        .withColumn(
+            "_cents",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            * F.col("_cnt"),
+        )
+        .select("value", "_cnt", "_cents", "_pid")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = vcell.groupBy("_pid").agg(F.sum("_cnt").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    n_rows = totals.agg(F.sum("_tot").alias("_n"))
+    bucket = (
+        (F.col("_off") + F.col("_lt")) * F.lit(nb) - (
+            ((F.col("_off") + F.col("_lt")) * F.lit(nb)) % F.col("_n")
+        )
+    ) / F.col("_n")
+    return (
+        vcell.withColumn(
+            "_lt", F.coalesce(F.sum("_cnt").over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            bucket.cast("int").alias("bucket"), "value", "_cnt", "_cents"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("_cnt").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum("_cents").alias("sum_value_cents"),
+        )
+    )
+
+
 #: per-group HLL audit slack: the relative band is HLL_REL_ERR_MAX (the
 #: same floor the global anchor uses), with a small absolute floor for
 #: tiny groups where one register collision is a large relative error.
@@ -456,9 +584,14 @@ def stat_group_distinct(cat: Catalog) -> DataFrame:
         F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
         "user_id",
     ).agg(F.count(F.lit(1)).alias("c"))
+    # count("user_id"), not count(1): a NULL user_id group must NOT count
+    # as a distinct user — count(DISTINCT user_id) (the twin) and
+    # approx_count_distinct (the sketch) both exclude NULLs, so the exact
+    # arm must too (round-13 ADVICE item 2; fixtures carry no NULL ids, so
+    # this is a latent-class fix, value-identical on current data).
     g = per_user.groupBy("event_type", "week").agg(
         F.sum("c").alias("n_events"),
-        F.count(F.lit(1)).alias("exact_users"),
+        F.count("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", HLL_RSD).alias("au"),
     )
     band = F.greatest(
@@ -559,6 +692,7 @@ QUERIES = (
     "stat_approx_quantile_accuracy",
     "stat_welch_ttest",
     "stat_value_histogram",
+    "stat_freq_histogram",
     "stat_group_distinct",
     "stat_chi_square",
 )

@@ -429,9 +429,15 @@ TEXT_ORACLES["pipeline_lm_perplexity"] = """
         FROM g JOIN stats USING (gram)
     ),
     per AS (
+        -- final 4-digit stage spelled in the SAME floor form as the Spark
+        -- side's round_half_up (avg_logprob is always negative, so native
+        -- half-away-from-zero rounding would flip exact negative halves
+        -- the OTHER way). fix_rounds would rewrite a native ROUND call to
+        -- exactly this text; spelled out so the literal is safe even for
+        -- a consumer that bypasses all_oracles -- round-13 ADVICE item 1.
         SELECT doc_id, count(*) AS n_bigrams,
-               round(CAST(sum(li) AS DOUBLE)
-                     / (1000000.0 * count(*)), 4) AS avg_logprob
+               floor((CAST(sum(li) AS DOUBLE)
+                     / (1000000.0 * count(*))) * 1e4 + 0.5) / 1e4 AS avg_logprob
         FROM lp GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -1577,6 +1583,70 @@ RELATIONAL_ORACLES["q_funnel_conversion"] = """
            (SELECT count(*) FROM t3)                AS n_full_funnel
 """
 
+# Funnel time-to-convert (relational.q_funnel_ttc): same chained stage
+# CTEs as q_funnel_conversion; discrete lower quantiles over whole-second
+# gaps — ceil(p*n/100) carried as (p*n + 99) // 100 in pure integer
+# arithmetic on both engines (Spark uses the x - x % 100 floor form).
+def _funnel_ttc_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        FUNNEL_TTC_PCTS,
+    )
+
+    pct_cols = ",\n           ".join(
+        f"min(CASE WHEN cum >= (n * {p} + 99) // 100 THEN gap_s END)"
+        f" AS p{p}_s"
+        for p in FUNNEL_TTC_PCTS
+    )
+    return f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    t1 AS (
+        SELECT user_id, min(us) AS t_click FROM e
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, t1.t_click, min(e.us) AS t_view
+        FROM e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.us >= t1.t_click
+        GROUP BY e.user_id, t1.t_click
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.us) AS t_purchase
+        FROM e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us >= t2.t_view
+        GROUP BY e.user_id
+    ),
+    gaps AS (
+        SELECT 'click_to_view' AS stage,
+               (t_view - t_click) // 1000000 AS gap_s FROM t2
+        UNION ALL
+        SELECT 'view_to_purchase',
+               (t3.t_purchase - t2.t_view) // 1000000
+        FROM t3 JOIN t2 USING (user_id)
+        UNION ALL
+        SELECT 'click_to_purchase',
+               (t3.t_purchase - t2.t_click) // 1000000
+        FROM t3 JOIN t2 USING (user_id)
+    ),
+    vc AS (SELECT stage, gap_s, count(*) AS cnt FROM gaps GROUP BY 1, 2),
+    c AS (
+        SELECT stage, gap_s,
+               sum(cnt) OVER (PARTITION BY stage ORDER BY gap_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY stage) AS n
+        FROM vc
+    )
+    SELECT stage,
+           CAST(max(n) AS BIGINT) AS n_users,
+           {pct_cols}
+    FROM c GROUP BY stage
+"""
+
+
+RELATIONAL_ORACLES["q_funnel_ttc"] = _funnel_ttc_sql()
+
+
 # Rolling mean (relational.q_moving_average): identical ROWS-frame
 # window; decimal-exact daily sums, one double conversion, one division.
 # Frame width interpolates the Spark side's MA_DAYS (never re-typed).
@@ -1767,6 +1837,41 @@ def _value_histogram_sql() -> str:
 
 
 STATS_ORACLES["stat_value_histogram"] = _value_histogram_sql()
+
+
+# Equal-frequency histogram (stats.stat_freq_histogram): value-aligned
+# equi-depth buckets — bucket(v) = (rows_before(v) * NB) div n, pure
+# integer arithmetic on both engines (Spark `x - x % n` floor-division
+# form ≡ DuckDB `//` for non-negative operands). Per-bucket value sums
+# carried as exact integer cents so the hash is order-independent.
+def _freq_histogram_sql() -> str:
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        HIST_NBUCKETS,
+    )
+
+    nb = HIST_NBUCKETS
+    return f"""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    vc AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+    c AS (
+        SELECT value, cnt,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) * cnt AS cents,
+               coalesce(sum(cnt) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS before_,
+               sum(cnt) OVER () AS n_rows
+        FROM vc
+    )
+    SELECT CAST((before_ * {nb}) // n_rows AS INT) AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           min(value) AS lo,
+           max(value) AS hi,
+           CAST(sum(cents) AS BIGINT) AS sum_value_cents
+    FROM c GROUP BY 1
+"""
+
+
+STATS_ORACLES["stat_freq_histogram"] = _freq_histogram_sql()
 
 RELATIONAL_ORACLES["q_skew_salted_user_counts"] = """
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value

@@ -91,75 +91,29 @@ def _module_queries() -> dict[str, QueryFn]:
     return out
 
 
-#: Priority order, round 13 rotation (144 oracles / 172 queries). Tier 1
-#: (4 slots — rotation-capped): the two rows whose implementation changes
-#: this round (the HLL anchor with its exact event-regime arm moved to the
-#: 10×-fixture pytest — round-12 verdict item 2; the value histogram with
-#: NULL values excluded before bucketing on both engines — round-12 ADVICE
-#: item 1) plus two NEW analytics oracles (per-group approx-distinct rollup
-#: vs exact twin; chi-square independence test). Tier 2: the 46
-#: round-10-green rows — at the 3-round staleness bound, they MUST be
-#: value-checked this round (round-12 verdict item 1). 4 + 46 fills the
-#: window exactly. Behind the boundary: the round-11-green cohort (bound
-#: hits round 14 — it heads the round-14 window), then the round-12-green
-#: cohort (bound hits round 15), then the no-oracle workloads
-#: (pytest-verified only).
+#: Priority order, round 14 rotation (146 oracles / 174 queries). Tier 1
+#: (3 slack slots, all used): ``ml_est_lda_ppx``, whose anchor band is
+#: recalibrated this round (the round-13 judge's 10×-sweep tail found the
+#: [0.9, 1.2]·lnV floor breaks at the 10× fixture where the fit genuinely
+#: improves — verdict item 2; the floor is now set against the corpus's own
+#: unigram entropy), plus two NEW analytics oracles (equal-frequency
+#: histogram; funnel time-to-convert quantiles — verdict item 5). Tier 2:
+#: the 47
+#: round-11-green rows — at the 3-round staleness bound, they MUST be
+#: value-checked this round (round-13 verdict item 1; exactly the cohort
+#: ``tools/rotation_audit.py`` prints). Note ``pipeline_lm_perplexity`` is
+#: in-window AND its oracle changes this round (round-13 ADVICE item 1:
+#: final-digit rounding form), as is proper for a changed row. 1 + 47 + 2
+#: fills the window exactly. Behind the boundary: the round-12-green cohort
+#: (bound hits round 15 — it heads the round-15 window), then the
+#: round-13-green cohort (bound hits round 16), then the no-oracle
+#: workloads (pytest-verified only).
 _ORDER: tuple[str, ...] = (
-    # -- tier 1: new oracle / implementation changed this round -------------
-    "stat_hll_accuracy",  # r13: exact event-regime arm de-fanged (verdict 2)
-    "stat_value_histogram",  # r13: NULLs excluded before bucketing (ADVICE 1)
-    "stat_group_distinct",  # NEW r13: per-group approx-distinct rollup
-    "stat_chi_square",  # NEW r13: chi-square independence test
-    # -- tier 2: round-10-green rows AT the staleness bound ------------------
-    "dedup_delta",
-    "dedup_index_stats",
-    "ml_est_als_rec_topk",
-    "pipeline_global_shuffle",
-    "ml_est_logreg_acc",
-    "ml_est_als_mse",
-    "ml_linreg_ols",
-    "text_fingerprint",
-    "graph_scc_nation",
-    "text_top_ngrams",
-    "text_lang_rollup",
-    "pipeline_stratified_sample",
-    "pipeline_decontaminate",
-    "graph_edges",
-    "graph_degrees",
-    "q_skew_salted_user_counts",
-    "ml_dbscan",
-    "ml_dbscan_summary",
-    "ml_dbscan_grid_neighbors",
-    "ml_kmeans_lloyd_assign",
-    "ml_kmeans_lloyd_sizes",
-    "pipeline_semantic_dedup",
-    "ml_est_covariance",
-    "ml_est_pearson_rdd",
-    "ml_est_idf",
-    "ml_est_svd_energy",
-    "graph_triangle_count",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q6_forecast_revenue",
-    "q_broadcast_dim_join",
-    "q_anti_join_customers_without_orders",
-    "q_semi_join_suppliers_with_big_lineitems",
-    "stat_covariance_lineitem",
-    "stat_pearson_lineitem",
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "sim_brute_force_topk",
-    "graph_degrees_nation",
-    "graph_weak_cliques",
-    "graph_incremental_pagerank",
-    "ml_simrank",
-    "graph_pagerank",
-    # ---------------------------- window boundary (50) ---------------------
-    # -- round-11-green cohort (bound hits round 14: these head the
-    # -- round-14 window) -----------------------------------------------------
+    # -- tier 1: new oracle / implementation changed this round ---------------
+    "ml_est_lda_ppx",  # r14: 10×-stable band (r13 verdict item 2)
+    "stat_freq_histogram",  # NEW r14: equal-frequency histogram
+    "q_funnel_ttc",  # NEW r14: funnel time-to-convert quantiles
+    # -- tier 2: round-11-green rows AT the staleness bound -------------------
     "text_gopher_rules",
     "pipeline_profile_columns",
     "pipeline_profile_quantiles",
@@ -207,6 +161,7 @@ _ORDER: tuple[str, ...] = (
     "pipeline_lm_perplexity",
     "q_union_distinct_nations",
     "q_topk_per_group",
+    # ---------------------------- window boundary (50) ---------------------
     # -- round-12-green cohort (bound hits round 15) -------------------------
     "q_events_retention_cohorts",
     "stat_approx_quantile_accuracy",
@@ -231,7 +186,6 @@ _ORDER: tuple[str, ...] = (
     "text_winnow_fingerprints",
     "ml_est_clf_acc_anchors",
     "ml_est_reg_rmse_anchors",
-    "ml_est_lda_ppx",
     "ml_est_spca_energy",
     "text_bpe_token_stats",
     "graph_node2vec_embeddings",
@@ -257,6 +211,57 @@ _ORDER: tuple[str, ...] = (
     "graph_trustrank",
     "graph_ppr_multi",
     "graph_closeness_nation",
+    # -- round-13-green cohort (bound hits round 16) -------------------------
+    "stat_hll_accuracy",
+    "stat_value_histogram",
+    "stat_group_distinct",
+    "stat_chi_square",
+    "dedup_delta",
+    "dedup_index_stats",
+    "ml_est_als_rec_topk",
+    "pipeline_global_shuffle",
+    "ml_est_logreg_acc",
+    "ml_est_als_mse",
+    "ml_linreg_ols",
+    "text_fingerprint",
+    "graph_scc_nation",
+    "text_top_ngrams",
+    "text_lang_rollup",
+    "pipeline_stratified_sample",
+    "pipeline_decontaminate",
+    "graph_edges",
+    "graph_degrees",
+    "q_skew_salted_user_counts",
+    "ml_dbscan",
+    "ml_dbscan_summary",
+    "ml_dbscan_grid_neighbors",
+    "ml_kmeans_lloyd_assign",
+    "ml_kmeans_lloyd_sizes",
+    "pipeline_semantic_dedup",
+    "ml_est_covariance",
+    "ml_est_pearson_rdd",
+    "ml_est_idf",
+    "ml_est_svd_energy",
+    "graph_triangle_count",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "q_broadcast_dim_join",
+    "q_anti_join_customers_without_orders",
+    "q_semi_join_suppliers_with_big_lineitems",
+    "stat_covariance_lineitem",
+    "stat_pearson_lineitem",
+    "dedup_minhash_lsh",
+    "dedup_minhash_groups",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_force_topk",
+    "graph_degrees_nation",
+    "graph_weak_cliques",
+    "graph_incremental_pagerank",
+    "ml_simrank",
+    "graph_pagerank",
     # -- tier 3: no-oracle workloads (pytest-verified) ----------------------
     "ml_est_kmeans",
     "ml_est_kmeans_rdd",
@@ -291,7 +296,7 @@ _ORDER: tuple[str, ...] = (
 # The first DRIVER_WINDOW names must exactly fill the driver's value-check
 # window; a drifted prefix silently wastes verification slots.
 assert len(_ORDER) >= DRIVER_WINDOW
-assert _ORDER[DRIVER_WINDOW - 1] == "graph_pagerank", (
+assert _ORDER[DRIVER_WINDOW - 1] == "q_topk_per_group", (
     "tier-1/2 prefix no longer ends at the driver window boundary"
 )
 

@@ -298,6 +298,7 @@ def test_moving_average_recompute_and_hll_anchor(spark):
     ]
 
 
+@pytest.mark.sweep
 def test_hll_event_regime_at_10x(spark):
     """The event-id cardinality regime of the HLL contract (1M+ ids at
     the 10× fixture — the regime where sketch bias would actually show),
@@ -305,7 +306,10 @@ def test_hll_event_regime_at_10x(spark):
     the per-query anchor now audits only the users regime, and this
     once-per-round test keeps the high-cardinality exactness check —
     SAME band, |approx − exact| ≤ HLL_REL_ERR_MAX · exact — without
-    putting a 1M-id exact countDistinct in the benched query."""
+    putting a 1M-id exact countDistinct in the benched query. Marked
+    ``sweep`` (it IS the once-per-round arm — a ~1M-id exact
+    countDistinct has no place in the per-push default budget; round-13
+    ADVICE item 3)."""
     from pyspark.sql import functions as F
 
     from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
@@ -314,7 +318,9 @@ def test_hll_event_regime_at_10x(spark):
     )
     from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
-    cat = Catalog(spark, "/root/repo/testdata_sf1m")
+    from tests.conftest import SF_10X
+
+    cat = Catalog(spark, SF_10X)
     m = cat.events.agg(
         F.countDistinct("event_id").alias("exact"),
         F.approx_count_distinct("event_id", HLL_RSD).alias("approx"),
@@ -368,6 +374,156 @@ def test_funnel_matches_bruteforce_and_is_monotone(spark):
         >= row["n_full_funnel"]
         >= 0
     )
+
+
+def test_funnel_ttc_matches_bruteforce(spark):
+    """q_funnel_ttc re-derived in pure Python on the smoke fixture: per
+    user the same chained stage times as the funnel test, whole-second
+    gaps, and discrete lower quantiles (min gap with cum ≥
+    ceil(p·n/100)) — exact equality on every output cell, plus the
+    structural p50 ≤ p90 ≤ p99 staircase and count consistency with
+    q_funnel_conversion."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.relational import (
+        FUNNEL_TTC_PCTS,
+        q_funnel_conversion,
+        q_funnel_ttc,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    ev = [
+        (r["user_id"], r["event_type"], r["us"])
+        for r in cat.events.selectExpr(
+            "user_id", "event_type", "unix_micros(ts) AS us"
+        ).collect()
+    ]
+
+    def stage_min(typ, prev):
+        out = {}
+        for u, t, us in ev:
+            if t == typ and prev.get(u) is not None and us >= prev[u]:
+                out[u] = min(out.get(u, us), us)
+        return out
+
+    t1 = stage_min("click", {u: float("-inf") for u, _, _ in ev})
+    t2 = stage_min("view", t1)
+    t3 = stage_min("purchase", t2)
+    gaps = {
+        "click_to_view": sorted((t2[u] - t1[u]) // 1_000_000 for u in t2),
+        "view_to_purchase": sorted(
+            (t3[u] - t2[u]) // 1_000_000 for u in t3
+        ),
+        "click_to_purchase": sorted(
+            (t3[u] - t1[u]) // 1_000_000 for u in t3
+        ),
+    }
+
+    def pct(xs, p):
+        tgt = (p * len(xs) + 99) // 100
+        return xs[tgt - 1]
+
+    rows = {r["stage"]: r for r in q_funnel_ttc(cat).collect()}
+    assert set(rows) == {k for k, v in gaps.items() if v}
+    for st, xs in gaps.items():
+        if not xs:
+            continue
+        r = rows[st]
+        assert r["n_users"] == len(xs)
+        for p in FUNNEL_TTC_PCTS:
+            assert r[f"p{p}_s"] == pct(xs, p), (st, p)
+        assert r["p50_s"] <= r["p90_s"] <= r["p99_s"]
+    conv = q_funnel_conversion(cat).first()
+    assert rows["click_to_view"]["n_users"] == conv["n_click_view"]
+    assert rows["click_to_purchase"]["n_users"] == conv["n_full_funnel"]
+
+
+def test_freq_histogram_equi_depth(spark):
+    """stat_freq_histogram vs a pure-Python equi-depth model on the
+    smoke fixture: exact per-bucket (n, lo, hi, cents) equality, plus
+    the structural invariants — buckets partition the non-NULL rows,
+    value ranges are disjoint and ordered, and every bucket's count is
+    within the heaviest tie of the ideal n/NB depth."""
+    import math
+    from collections import Counter
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        HIST_NBUCKETS,
+        stat_freq_histogram,
+    )
+    from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    vals = [
+        r["value"]
+        for r in cat.events.select("value").collect()
+        if r["value"] is not None
+    ]
+    counts = Counter(vals)
+    n = len(vals)
+    model = {}
+    before = 0
+    for v in sorted(counts):
+        b = (before * HIST_NBUCKETS) // n
+        nb_, lo, hi, cents = model.get(b, (0, v, v, 0))
+        model[b] = (
+            nb_ + counts[v],
+            min(lo, v),
+            max(hi, v),
+            cents + math.floor(v * 100 + 0.5) * counts[v],
+        )
+        before += counts[v]
+
+    rows = {r["bucket"]: r for r in stat_freq_histogram(cat).collect()}
+    assert set(rows) == set(model)
+    for b, (mn, mlo, mhi, mc) in model.items():
+        r = rows[b]
+        assert (r["n"], r["lo"], r["hi"], r["sum_value_cents"]) == (
+            mn,
+            mlo,
+            mhi,
+            mc,
+        ), b
+    ordered = [rows[b] for b in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi"] < b["lo"]  # value-aligned: ranges never overlap
+    assert sum(r["n"] for r in ordered) == n
+    heaviest = max(counts.values())
+    for r in ordered:
+        assert r["n"] <= n / HIST_NBUCKETS + heaviest
+
+
+def test_freq_histogram_degenerates(spark):
+    """All-equal values collapse to one full bucket 0; NULLs are
+    excluded from counts and sums; the empty and all-NULL frames yield
+    an empty histogram rather than a divide error."""
+    from spark_ml_algo_lib_master_tongji_spark.operators.stats import (
+        freq_histogram,
+    )
+
+    rows = freq_histogram(
+        spark.createDataFrame([(7.5,)] * 6, "value double"), nb=4
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["bucket"], rows[0]["n"], rows[0]["lo"], rows[0]["hi"]) == (
+        0,
+        6,
+        7.5,
+        7.5,
+    )
+    assert rows[0]["sum_value_cents"] == 6 * 750
+
+    withnulls = freq_histogram(
+        spark.createDataFrame(
+            [(1.0,), (None,), (2.0,), (None,)], "value double"
+        ),
+        nb=2,
+    ).collect()
+    assert sum(r["n"] for r in withnulls) == 2
+    assert freq_histogram(
+        spark.createDataFrame([(None,), (None,)], "value double")
+    ).count() == 0
 
 
 def test_retention_cohort_invariants(spark):

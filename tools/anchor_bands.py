@@ -70,8 +70,15 @@ def main() -> None:
             ("gbt_reg", me._gbt_reg_rmse(cat)),
         ):
             rows.append((f"{name}/sigma", rmse / sigma, me.TREE_REG_SIGMA_BAND))
-        vocab, _, logppx = me._lda_metrics(cat)
-        rows.append(("lda_ppx/lnV", logppx / math.log(vocab), me.LDA_PPX_BAND))
+        vocab, _, logppx, unigram_h = me._lda_metrics(cat)
+        rows.append(
+            ("lda_ppx/lnV (ceil side)", logppx / math.log(vocab),
+             (0.0, me.LDA_PPX_CEIL))
+        )
+        rows.append(
+            ("lda_ppx/H (floor side)", logppx / unigram_h,
+             (me.LDA_PPX_H_FLOOR, None))
+        )
         rows.append(
             ("spca top-k mass", sum(ml_extra._spca_ratios(cat)),
              ml_extra.SPCA_MASS_BAND)
