@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_ml_algo_lib_master_tongji_spark.functions.rounding import round_half_up
+from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+    exact_decimal_avg,
+    exact_decimal_sum,
+    round_half_up,
+)
 
 from spark_ml_algo_lib_master_tongji_spark.sources.readers import Catalog
 
@@ -34,19 +38,26 @@ def q1_pricing_summary(cat: Catalog) -> DataFrame:
     Reference ops: filter (``KNNRunner.scala:155-156``), selectExpr projection
     (``DTRunner.scala:221``), grouped agg (``SVDRunner.scala:129-135``);
     partial+final aggregation is Catalyst's tree-aggregate analogue
-    (``KNNClassifier.scala:87-96``)."""
+    (``KNNClassifier.scala:87-96``).
+
+    Sums/avgs ride ``exact_decimal_sum``/``exact_decimal_avg`` (integer
+    10⁻⁴-unit rows, exact BIGINT sum, one division): the round-14 10×
+    sweep caught the round-after-sum form flipping sum_disc_price's 4th
+    decimal cross-engine at 2.8e10 magnitude (summation-order
+    dependence — the r13 lm-perplexity class, here on the flagship
+    row)."""
     li = cat.lineitem
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            round_half_up(F.sum("l_quantity"), 4).alias("sum_qty"),
-            round_half_up(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            exact_decimal_sum("l_quantity").alias("sum_qty"),
+            exact_decimal_sum("l_extendedprice").alias("sum_base_price"),
+            exact_decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
-            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_decimal_avg("l_quantity").alias("avg_qty"),
+            exact_decimal_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -67,9 +78,10 @@ def q6_forecast_revenue(cat: Catalog) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            )
+            # integer-unit exact sum (see q1): same shape, same hazard
+            exact_decimal_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue")
         )
     )
 
@@ -116,7 +128,9 @@ def q_broadcast_dim_join(cat: Catalog) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            round_half_up(F.sum("o_totalprice"), 4).alias("total_price"),
+            # integer-unit exact sum (see q1): the 10× sweep caught this
+            # row's 7.4e10 total_price flipping its 4th decimal
+            exact_decimal_sum("o_totalprice").alias("total_price"),
         )
     )
 
@@ -187,21 +201,31 @@ def q_case_conditional_agg(cat: Catalog) -> DataFrame:
     replacement for the reference's scalar UDFs like
     ``udf((x: Double) => if (x < 0.0) 0.0 else 1.0)``
     (``LinRRunner.scala:211-213``, ``KMeansRunner.scala:128-131``).
-    Stays inside whole-stage codegen; a Python UDF here would leave the JVM."""
+    Stays inside whole-stage codegen; a Python UDF here would leave the JVM.
+
+    discounted_revenue is carried as exact integer 10⁻⁴-units per row
+    (floor(x·1e4 + 0.5) — bit-identical per row in both engines), summed
+    exactly as BIGINT, then one identical fp64 division: the round-14
+    10× sweep caught the previous round-after-sum form flipping the 4th
+    decimal (spark 65722558994.62 vs duck ….6197 at the 10× fixture) —
+    a ~6.6e10-magnitude sum of millions of doubles is
+    summation-order-dependent, the same class the round-13
+    lm-perplexity fix closed. Unit headroom: |sum| < 2⁶³ holds to
+    ~9·10¹⁴ in revenue units, ~five decades above the 10× fixture."""
     li = cat.lineitem
+    disc_micro = F.floor(
+        F.when(
+            F.col("l_discount") > 0.05,
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        ).otherwise(0.0)
+        * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("long")
     return li.groupBy("l_linestatus").agg(
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
             "returned_count"
         ),
-        round_half_up(
-            F.sum(
-                F.when(
-                    F.col("l_discount") > 0.05,
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                ).otherwise(0.0)
-            ),
-            4,
-        ).alias("discounted_revenue"),
+        (F.sum(disc_micro) / F.lit(1e4)).alias("discounted_revenue"),
         F.count(F.lit(1)).alias("total_count"),
     )
 

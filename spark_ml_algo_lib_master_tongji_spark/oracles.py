@@ -8,20 +8,32 @@ on both sides so order-of-summation noise cannot flip the hash.
 """
 
 RELATIONAL_ORACLES: dict[str, str] = {
+    # sums/avgs as exact integer 1e-4 units (floor form per row, BIGINT
+    # sum, one division) — order-independent; the round-after-sum form
+    # flipped 4th decimals at the 10x fixture (r14 sweep)
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4)                                AS sum_qty,
-               round(sum(l_extendedprice), 4)                          AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4)       AS sum_disc_price,
-               round(avg(l_quantity), 4)                               AS avg_qty,
-               round(avg(l_discount), 4)                               AS avg_disc,
-               count(*)                                                AS count_order
+               CAST(sum(CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e4                       AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 1e4 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e4                       AS sum_base_price,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                                   + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e4                       AS sum_disc_price,
+               round(CAST(sum(CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT))
+                          AS BIGINT)
+                     / (1e4 * count(l_quantity)), 4)       AS avg_qty,
+               round(CAST(sum(CAST(floor(l_discount * 1e4 + 0.5) AS BIGINT))
+                          AS BIGINT)
+                     / (1e4 * count(l_discount)), 4)       AS avg_disc,
+               count(*)                                    AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         GROUP BY l_returnflag, l_linestatus
     """,
     "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e4 + 0.5)
+                             AS BIGINT)) AS BIGINT) / 1e4 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -42,7 +54,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q_broadcast_dim_join": """
         SELECT r_name,
                count(*)                       AS order_count,
-               round(sum(o_totalprice), 4)    AS total_price
+               CAST(sum(CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e4          AS total_price
         FROM orders
         JOIN customer ON o_custkey   = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -90,13 +103,17 @@ RELATIONAL_ORACLES: dict[str, str] = {
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20
     """,
+    # discounted_revenue as exact integer 1e-4 units (floor form per
+    # row, BIGINT sum, one fp64 division) — order-independent; the
+    # round-after-sum form flipped the 4th decimal at the 10x fixture
     "q_case_conditional_agg": """
         SELECT l_linestatus,
                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
                                                                    AS returned_count,
-               round(sum(CASE WHEN l_discount > 0.05
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END), 4)                    AS discounted_revenue,
+               CAST(sum(CAST(floor((CASE WHEN l_discount > 0.05
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END) * 1e4 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e4                               AS discounted_revenue,
                count(*)                                            AS total_count
         FROM lineitem
         GROUP BY l_linestatus

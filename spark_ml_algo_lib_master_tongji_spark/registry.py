@@ -163,13 +163,19 @@ _ORDER: tuple[str, ...] = (
     "q_topk_per_group",
     # ---------------------------- window boundary (50) ---------------------
     # -- round-12-green cohort (bound hits round 15) -------------------------
+    # q_case_conditional_agg CHANGED in round 14 (exact integer-unit sum —
+    # the 10× sweep caught its round-after-sum 4th decimal flipping) but the
+    # r14 window is exactly full (47 bound + 2 new + 1 changed); it heads
+    # the r15 window here, and is value-verified this round by driver_sim
+    # (window-blind), the committed 10× sweep artifact, and the sweep-marked
+    # pytest differential.
+    "q_case_conditional_agg",
     "q_events_retention_cohorts",
     "stat_approx_quantile_accuracy",
     "stat_welch_ttest",
     "q_funnel_conversion",
     "sim_ivf_delta_search",
     "q_sort_limit_top_orders",
-    "q_case_conditional_agg",
     "q_grouped_having",
     "stat_summary_lineitem",
     "text_token_stats",

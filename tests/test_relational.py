@@ -736,3 +736,60 @@ def test_group_distinct_partitions_and_audits(spark):
     } == direct
     total_users = cat.events.agg(F.countDistinct("user_id")).first()[0]
     assert sum(r["exact_users"] for r in rows) >= total_users
+
+
+def test_exact_decimal_sum_is_partition_order_invariant(spark):
+    """``exact_decimal_sum``/``exact_decimal_avg`` (functions/rounding.py)
+    must be bit-identical across partitionings and equal to an exact
+    Decimal model — the whole point of the integer-unit form. The fixture
+    is adversarial for the naive round-after-sum: ~1e10-magnitude values
+    whose fp64 running sum's ulp exceeds the 1e-4 quantum, plus exact
+    .xxxx5 half-way fractions, where summation order flips the 4th
+    decimal (the class the round-14 10× sweep caught on q1 /
+    q_broadcast_dim_join / q_case_conditional_agg)."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
+        exact_decimal_avg,
+        exact_decimal_sum,
+        round_half_up_f,
+    )
+
+    vals = [
+        (1.0 + (i % 997)) * 1e7 + (i % 10000) / 1e4 + (i % 2) * 5e-5
+        for i in range(4001)
+    ]
+    base = spark.createDataFrame([(v,) for v in vals], "v double")
+
+    # exact model: per-row floor(v*1e4+0.5) in IEEE doubles (identical to
+    # both engines' per-row form), integer sum, one division
+    import math
+
+    micro = [int(math.floor(v * 1e4 + 0.5)) for v in vals]
+    want_sum = float(decimal.Decimal(sum(micro)) / 10000)
+    want_avg = round_half_up_f(sum(micro) / (1e4 * len(micro)), 4)
+
+    got = set()
+    for df in (
+        base.coalesce(1),
+        base.repartition(7),
+        base.repartition(32, F.rand(seed=1)),
+    ):
+        row = df.agg(
+            exact_decimal_sum("v").alias("s"),
+            exact_decimal_avg("v").alias("a"),
+        ).first()
+        got.add((row["s"], row["a"]))
+    assert got == {(want_sum, want_avg)}
+
+    # avg must mirror F.avg's NULL exclusion (count(col), not count(*))
+    with_null = spark.createDataFrame(
+        [(1.5,), (None,), (2.5,)], "v double"
+    )
+    row = with_null.agg(
+        exact_decimal_sum("v").alias("s"),
+        exact_decimal_avg("v").alias("a"),
+    ).first()
+    assert (row["s"], row["a"]) == (4.0, 2.0)

@@ -64,24 +64,57 @@ def main() -> None:
 
     reg, oracles = build_registry(), all_oracles()
     names = [n for n in reg if n in oracles]
+
+    # per-query checkpoint: each result is appended to <out>.progress the
+    # moment it lands, and a re-run skips names already recorded there —
+    # a killed/timed-out sweep resumes instead of restarting (learned the
+    # hard way: the first r14 run died at a wrapper timeout with ~90% done
+    # and nothing persisted).
+    progress_path = Path(out_path or "SWEEP_10X.json").with_suffix(".progress")
+    done: dict[str, str] = {}
+    if progress_path.exists():
+        for line in progress_path.read_text().splitlines():
+            rec = json.loads(line)
+            done[rec["name"]] = rec["line"]
+        print(f"# resuming: {len(done)} results from {progress_path}")
+
     fams: dict[str, dict] = {}
     mismatches: list[str] = []
     t_all = time.monotonic()
-    for name in names:
-        fam = name.split("_", 1)[0]
-        st = fams.setdefault(fam, {"n": 0, "match": 0, "seconds": 0.0})
-        st["n"] += 1
-        t0 = time.monotonic()
-        try:
-            sdf = reg[name](spark, sf_dir)
-            assert_match(sdf, con, oracles[name], name)
-            st["match"] += 1
-            print(f"{name}: MATCH ({time.monotonic() - t0:.1f}s)", flush=True)
-        except Exception as ex:  # noqa: BLE001
-            mismatches.append(f"{name}: {type(ex).__name__}: {ex}")
-            print(f"{name}: MISMATCH {ex}", flush=True)
-            traceback.print_exc(limit=2)
-        st["seconds"] += time.monotonic() - t0
+    with progress_path.open("a") as prog:
+        for name in names:
+            fam = name.split("_", 1)[0]
+            st = fams.setdefault(fam, {"n": 0, "match": 0, "seconds": 0.0})
+            st["n"] += 1
+            if name in done:
+                line = done[name]
+                if "MATCH" in line and "MISMATCH" not in line:
+                    st["match"] += 1
+                    # recover the measured seconds from the checkpoint line
+                    # ("name: MATCH (12.3s)") so family totals survive resume
+                    if line.endswith("s)"):
+                        st["seconds"] += float(
+                            line.rsplit("(", 1)[1].rstrip("s)")
+                        )
+                else:
+                    mismatches.append(line)
+                print(f"{line} [cached]", flush=True)
+                continue
+            t0 = time.monotonic()
+            try:
+                sdf = reg[name](spark, sf_dir)
+                assert_match(sdf, con, oracles[name], name)
+                st["match"] += 1
+                line = f"{name}: MATCH ({time.monotonic() - t0:.1f}s)"
+                print(line, flush=True)
+            except Exception as ex:  # noqa: BLE001
+                line = f"{name}: MISMATCH {type(ex).__name__}: {ex}"
+                mismatches.append(line)
+                print(line, flush=True)
+                traceback.print_exc(limit=2)
+            st["seconds"] += time.monotonic() - t0
+            prog.write(json.dumps({"name": name, "line": line}) + "\n")
+            prog.flush()
 
     for fam, st in sorted(fams.items()):
         st["seconds"] = round(st["seconds"], 1)
@@ -94,7 +127,11 @@ def main() -> None:
         "n_mismatch": len(mismatches),
         "mismatches": mismatches,
         "families": fams,
-        "total_seconds": round(time.monotonic() - t_all, 1),
+        # sum of per-query measured seconds (survives a resume, where the
+        # cached rows contribute their checkpointed timings but this
+        # process's wall clock does not cover them)
+        "total_seconds": round(sum(st["seconds"] for st in fams.values()), 1),
+        "wall_seconds": round(time.monotonic() - t_all, 1),
         "host_loadavg": list(__import__("os").getloadavg()),
     }
     line = json.dumps(artifact)
