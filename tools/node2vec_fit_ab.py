@@ -117,19 +117,32 @@ def run(spark, sf_dir: str) -> dict:
 def _parts_ab(seqs, topk: int = 10, n_sample: int = 50) -> dict:
     """numPartitions {1, 8} arm: fit time, vocab identity, and top-k
     cosine neighbor containment of the scaled arm vs the serial
-    reference on a deterministic every-Nth node sample."""
+    reference on a deterministic every-Nth node sample.
+
+    Absolute containment numbers need a baseline to be interpretable:
+    top-10 neighbor sets in a 200k-vocab / dim-16 space are highly
+    sensitive to ANY training perturbation, so the third arm refits
+    serially (numPartitions=1) with a different seed — the
+    "training-noise floor". The scaled arm passes if its containment is
+    far above chance AND at least comparable to the seed-noise
+    baseline: then switching numPartitions is no more destructive than
+    re-seeding a serial run, which nobody considers a quality change."""
     import numpy as np
     from pyspark.ml.feature import Word2Vec
 
     out: dict = {}
-    vecs: dict[int, dict] = {}
-    for nparts in (1, 8):
-        def fit(p=nparts):
+    vecs: dict[str, dict] = {}
+    for label, nparts, seed in (
+        ("parts1", 1, 2020),
+        ("parts8", 8, 2020),
+        ("seedvar", 1, 2021),
+    ):
+        def fit(p=nparts, s=seed):
             m = Word2Vec(
                 vectorSize=16,
                 windowSize=3,
                 minCount=1,
-                seed=2020,
+                seed=s,
                 numPartitions=p,
                 inputCol="sentence",
             ).fit(seqs)
@@ -138,30 +151,43 @@ def _parts_ab(seqs, topk: int = 10, n_sample: int = 50) -> dict:
                 for r in m.getVectors().collect()
             }
 
-        vecs[nparts], out[f"fit_parts{nparts}_s"] = timed(
-            f"w2v fit numPartitions={nparts}", fit
+        vecs[label], out[f"fit_{label}_s"] = timed(
+            f"w2v fit numPartitions={nparts} seed={seed}", fit
         )
-    assert set(vecs[1]) == set(vecs[8]), "vocab must not depend on parts"
-    words = sorted(vecs[1])
+    assert set(vecs["parts1"]) == set(vecs["parts8"]), (
+        "vocab must not depend on parts"
+    )
+    words = sorted(vecs["parts1"])
     nv = len(words)
 
     def norm_mat(v):
         m = np.stack([v[w] for w in words])
         return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
-    m1, m8 = norm_mat(vecs[1]), norm_mat(vecs[8])
+    mref = norm_mat(vecs["parts1"])
     sample = list(range(0, nv, max(1, nv // n_sample)))[:n_sample]
-    hits = 0
-    for i in sample:
-        t1 = set(np.argsort(-(m1 @ m1[i]))[1 : topk + 1])
-        t8 = set(np.argsort(-(m8 @ m8[i]))[1 : topk + 1])
-        hits += len(t1 & t8)
-    out["parts8_containment_at10"] = round(hits / (len(sample) * topk), 3)
+    ref_top = {
+        i: set(np.argsort(-(mref @ mref[i]))[1 : topk + 1]) for i in sample
+    }
+    for label in ("parts8", "seedvar"):
+        ma = norm_mat(vecs[label])
+        hits = sum(
+            len(ref_top[i] & set(np.argsort(-(ma @ ma[i]))[1 : topk + 1]))
+            for i in sample
+        )
+        out[f"{label}_containment_at10"] = round(
+            hits / (len(sample) * topk), 3
+        )
     out["containment_chance_level"] = round(topk / nv, 4)
     # the scaled arm must preserve neighborhood structure far above the
-    # 10/|V| chance level; exact-match is not the bar (independent
-    # per-partition gradient application)
+    # 10/|V| chance level AND roughly match the serial re-seed noise
+    # floor; exact-match is not the bar (independent per-partition
+    # gradient application)
     assert out["parts8_containment_at10"] > 10 * out["containment_chance_level"]
+    assert (
+        out["parts8_containment_at10"]
+        >= 0.5 * out["seedvar_containment_at10"]
+    )
     return out
 
 
