@@ -75,6 +75,24 @@ INF = 10**15
 # (edges loaded once per runner, ``graph/Util.scala:106-136``).
 _DERIV_CACHE: dict[tuple, DataFrame] = {}
 
+# The anchor rows submit their independent seeded fits from a thread pool
+# (guide §2.6 back-fill — see ml_estimators.ml_est_clf_acc_anchors), so the
+# check-then-set memoization below must be safe under concurrent callers:
+# a global guard protects the cache dicts + the per-key lock table, and each
+# build runs under its per-key lock so two threads asking for the same
+# derivation never build it twice (double-checked locking). Builds nest
+# (X's build may pull dependency Y) but the dependency graph is a DAG, so
+# per-key locks cannot deadlock.
+import threading as _threading
+
+_CACHE_GUARD = _threading.Lock()
+_KEY_LOCKS: dict[tuple, _threading.Lock] = {}
+
+
+def _key_lock(key: tuple) -> _threading.Lock:
+    with _CACHE_GUARD:
+        return _KEY_LOCKS.setdefault(key, _threading.Lock())
+
 
 def _evict_dead_sessions(app_id: str) -> None:
     """Drop cache entries keyed to a stopped session's applicationId.
@@ -86,9 +104,10 @@ def _evict_dead_sessions(app_id: str) -> None:
     cache miss under a new applicationId; releasing the Python references
     is sufficient (the dead session's JVM-side blocks died with its
     SparkContext)."""
-    for cache in (_DERIV_CACHE, _SCALAR_CACHE, _OBJ_CACHE):
-        for key in [k for k in cache if k[0] != app_id]:
-            del cache[key]
+    with _CACHE_GUARD:
+        for cache in (_DERIV_CACHE, _SCALAR_CACHE, _OBJ_CACHE, _KEY_LOCKS):
+            for key in [k for k in cache if k[0] != app_id]:
+                cache.pop(key, None)
 
 
 def _derived(cat: Catalog, name: str, build) -> DataFrame:
@@ -96,7 +115,11 @@ def _derived(cat: Catalog, name: str, build) -> DataFrame:
     # reused by a new session, which would hand out cached DataFrames bound
     # to a dead SparkContext (round-1 ADVICE).
     key = (cat.spark.sparkContext.applicationId, cat.sf_dir, name)
-    if key not in _DERIV_CACHE:
+    if key in _DERIV_CACHE:  # lock-free fast path (CPython dict reads are atomic)
+        return _DERIV_CACHE[key]
+    with _key_lock(key):
+        if key in _DERIV_CACHE:
+            return _DERIV_CACHE[key]
         _evict_dead_sessions(key[0])
         with benchlib.load_timer(name):
             df = build().persist(StorageLevel.MEMORY_AND_DISK)
@@ -115,7 +138,11 @@ def _derived(cat: Catalog, name: str, build) -> DataFrame:
             except Exception:
                 df.unpersist(blocking=False)
                 raise
-        _DERIV_CACHE[key] = df
+        # Insert under the guard: _evict_dead_sessions iterates these dicts
+        # under _CACHE_GUARD, and a concurrent unguarded insert could raise
+        # "dict changed size during iteration" in the evicting thread.
+        with _CACHE_GUARD:
+            _DERIV_CACHE[key] = df
     return _DERIV_CACHE[key]
 
 
@@ -198,10 +225,15 @@ _SCALAR_CACHE: dict[tuple, int] = {}
 
 def _derived_scalar(cat: Catalog, name: str, compute):
     key = (cat.spark.sparkContext.applicationId, cat.sf_dir, name)
-    if key not in _SCALAR_CACHE:
-        _evict_dead_sessions(key[0])
-        with benchlib.load_timer(name):
-            _SCALAR_CACHE[key] = compute()
+    if key in _SCALAR_CACHE:
+        return _SCALAR_CACHE[key]
+    with _key_lock(key):
+        if key not in _SCALAR_CACHE:
+            _evict_dead_sessions(key[0])
+            with benchlib.load_timer(name):
+                val = compute()
+            with _CACHE_GUARD:  # see the insert note in _derived
+                _SCALAR_CACHE[key] = val
     return _SCALAR_CACHE[key]
 
 
@@ -216,10 +248,15 @@ _OBJ_CACHE: dict[tuple, object] = {}
 
 def _derived_obj(cat: Catalog, name: str, build):
     key = (cat.spark.sparkContext.applicationId, cat.sf_dir, name)
-    if key not in _OBJ_CACHE:
-        _evict_dead_sessions(key[0])
-        with benchlib.load_timer(name):
-            _OBJ_CACHE[key] = build()
+    if key in _OBJ_CACHE:
+        return _OBJ_CACHE[key]
+    with _key_lock(key):
+        if key not in _OBJ_CACHE:
+            _evict_dead_sessions(key[0])
+            with benchlib.load_timer(name):
+                obj = build()
+            with _CACHE_GUARD:  # see the insert note in _derived
+                _OBJ_CACHE[key] = obj
     return _OBJ_CACHE[key]
 
 

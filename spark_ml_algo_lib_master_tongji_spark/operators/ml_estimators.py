@@ -42,6 +42,7 @@ from pyspark.ml.regression import (
 )
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from spark_ml_algo_lib_master_tongji_spark.functions.text import tokens
 from spark_ml_algo_lib_master_tongji_spark.operators.ml_exact import PS_MIN_SUPPORT
@@ -174,24 +175,102 @@ def _mllib_emb_rdd(cat: Catalog):
     return _derived_obj(cat, "mllib_emb_rdd", build)
 
 
-def _mllib_lineitem_rdd(cat: Catalog, cols: tuple[str, ...]):
-    """Session-shared cached RDD[mllib Vector] of lineitem numeric columns
-    — the covariance and pearson RDD arms map the same 600k rows through
-    the same Python lambda; ~40 MB cached, built once."""
-    from pyspark.mllib.linalg import Vectors as OldVectors
+def _emb_rowmatrix(cat: Catalog):
+    """Session-shared mllib ``RowMatrix`` over the embeddings, fed
+    JVM-side: the vector column is assembled with ``array_to_vector`` +
+    ``MLUtils.convertVectorColumnsFromML`` and the RowMatrix constructed
+    from the DataFrame directly (``createRowMatrix``), so the
+    PCA/SVD/covariance RDD arms never cross the Python boundary — the
+    old path re-pickled the cached Python vector RDD JVM-ward on every
+    mllib call (guide §4.1). The narrow projection preserves ``spread``'s
+    partitioning, so every treeAggregate sums in the same order as the
+    Python-RDD path did (value-identical; oracle-verified).
+    ``_mllib_emb_rdd`` remains only for ``MllibKMeans.train``, whose API
+    accepts nothing but an RDD."""
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived
+
+    def build():
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.mllib.util import MLUtils
+
+        return MLUtils.convertVectorColumnsFromML(
+            spread(cat.embeddings).select(
+                array_to_vector(
+                    F.col("embedding").cast("array<double>")
+                ).alias("v")
+            ),
+            "v",
+        )
+
+    return RowMatrix(_derived(cat, "mllib_emb_vecdf", build))
+
+
+def _lineitem_cov(cat: Catalog, cols: tuple[str, ...]):
+    """Session-shared ``RowMatrix.computeCovariance`` over the lineitem
+    numeric columns → driver-side ndarray. The covariance and pearson
+    RDD arms both reduce to exactly this matrix (mllib's
+    ``Statistics.corr(X, "pearson")`` IS ``RowMatrix(X).computeCovariance``
+    + the normalization in ``PearsonCorrelation.scala`` — see
+    ``_pearson_from_cov``).
+
+    The RowMatrix is constructed from a DataFrame of mllib vectors
+    assembled entirely JVM-side (``array_to_vector`` +
+    ``MLUtils.convertVectorColumnsFromML``) instead of a
+    ``.rdd.map(lambda ...)`` Python RDD: the old path pickled 600k rows
+    JVM→Python, built Python vector objects, and re-pickled them
+    Python→JVM on every mllib call — ~30s of pure serialization at sf0.1
+    (guide §4.1: every Python path pays the boundary; here the boundary
+    carried the whole matrix). The projection is narrow so the DataFrame
+    keeps ``spread``'s partitioning — the same partition boundaries and
+    row order the Python RDD had — so the treeAggregate inside
+    ``computeCovariance`` sums in the identical order and the matrix is
+    bit-for-bit the one the RDD arm produced (oracle-verified)."""
+    from pyspark.mllib.linalg.distributed import RowMatrix
 
     from spark_ml_algo_lib_master_tongji_spark.operators.graph import _derived_obj
 
     def build():
-        rdd = (
-            spread(cat.lineitem.select(*cols))
-            .rdd.map(lambda r: OldVectors.dense([r[c] for c in cols]))
-            .cache()
-        )
-        rdd.count()
-        return rdd
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.mllib.util import MLUtils
 
-    return _derived_obj(cat, f"mllib_lineitem_rdd_{'_'.join(cols)}", build)
+        vecdf = MLUtils.convertVectorColumnsFromML(
+            spread(cat.lineitem.select(*cols)).select(
+                array_to_vector(F.array(*cols)).alias("v")
+            ),
+            "v",
+        )
+        return RowMatrix(vecdf).computeCovariance().toArray()
+
+    return _derived_obj(cat, f"lineitem_cov_{'_'.join(cols)}", build)
+
+
+def _pearson_from_cov(cov) -> list[list[float]]:
+    """mllib's ``PearsonCorrelation.computeCorrelationMatrixFromCovariance``
+    mirrored exactly (same IEEE ops on the same doubles): diagonal σᵢ =
+    0 if |covᵢᵢ| ≤ 1e-12 else √covᵢᵢ, off-diagonal corrᵢⱼ =
+    covᵢⱼ/(σⱼ·σᵢ) (NaN when either σ is zero), 1.0 on the diagonal.
+    ``Statistics.corr(X, "pearson")`` is defined as this normalization of
+    ``RowMatrix(X).computeCovariance()`` — deriving it from the shared
+    covariance matrix skips a second full pass + Python RDD round-trip."""
+    import math
+
+    n = len(cov)
+    s = [
+        0.0 if abs(float(cov[i][i])) <= 1e-12 else math.sqrt(float(cov[i][i]))
+        for i in range(n)
+    ]
+    out = [[1.0] * n for _ in range(n)]
+    for j in range(n):
+        for i in range(j):
+            if s[j] == 0.0 or s[i] == 0.0:
+                corr = float("nan")
+            else:
+                corr = float(cov[i][j]) / (s[j] * s[i])
+            out[i][j] = corr
+            out[j][i] = corr
+    return out
 
 
 # ---- clustering ------------------------------------------------------------
@@ -357,16 +436,19 @@ def ml_est_pearson_rdd(cat: Catalog) -> DataFrame:
     """mllib ``Statistics.corr`` RDD arm (``PearsonRunner.scala:108-113``
     dispatches the same statistic through both APIs) → long-format
     (i, j, corr); pytest checks it equals the DataFrame-aggregate Pearson
-    within 1e-6."""
-    from pyspark.mllib.stat import Statistics
-
+    within 1e-6. ``Statistics.corr(X, "pearson")`` is, by its own source,
+    ``RowMatrix(X).computeCovariance()`` + the PearsonCorrelation
+    normalization — computed here from the session-shared covariance
+    matrix (``_lineitem_cov``) via the exact mirrored formula
+    (``_pearson_from_cov``), value-identical and one mllib pass for the
+    whole covariance/pearson pair instead of two Python-RDD round trips
+    (guide §4)."""
     from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
         round_half_up_f,
     )
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    rdd = _mllib_lineitem_rdd(cat, tuple(cols))
-    m = Statistics.corr(rdd, method="pearson")
+    m = _pearson_from_cov(_lineitem_cov(cat, tuple(cols)))
     out = [
         (i, j, round_half_up_f(float(m[i][j]), 6))
         for i in range(len(cols))
@@ -532,16 +614,16 @@ def ml_est_pca_rdd(cat: Catalog) -> DataFrame:
     ``RowMatrix.computePrincipalComponents``) → (component,
     explained_variance): variance of the projected columns over total
     input variance — numerically the same spectrum as the DF arm's
-    ``explainedVariance`` (pytest compares within 1e-4)."""
-    from pyspark.mllib.linalg.distributed import RowMatrix
-    from pyspark.mllib.stat import Statistics
-
-    rdd = _mllib_emb_rdd(cat)  # session-shared, stays cached
-    mat = RowMatrix(rdd)
+    ``explainedVariance`` (pytest compares within 1e-4).
+    ``Statistics.colStats`` is the same ``MultivariateOnlineSummarizer``
+    treeAggregate as ``RowMatrix.computeColumnSummaryStatistics`` — used
+    here on the JVM-fed shared RowMatrix (and on the projected matrix
+    in place of pulling ``.rows`` through Python) so no vector crosses
+    the boundary (guide §4)."""
+    mat = _emb_rowmatrix(cat)  # session-shared, JVM-side
     pcs = mat.computePrincipalComponents(4)
-    total_var = float(sum(Statistics.colStats(rdd).variance()))
-    projected = mat.multiply(pcs).rows
-    proj_var = Statistics.colStats(projected).variance()
+    total_var = float(sum(mat.computeColumnSummaryStatistics().variance()))
+    proj_var = mat.multiply(pcs).computeColumnSummaryStatistics().variance()
     rows = [
         (i, round(float(v) / total_var, 6)) for i, v in enumerate(proj_var)
     ]
@@ -588,23 +670,45 @@ def _lda_metrics(cat: Catalog) -> tuple[int, float, float, float]:
             vocabSize=LDA_VOCAB_SIZE,
             minDF=LDA_MIN_DF,
         ).fit(docs)
-        tf = cv.transform(docs)
-        lda = LDA(
-            k=LDA_K, maxIter=10, seed=SEED, optimizer="online", featuresCol="tf"
-        ).fit(tf)
-        counts = np.asarray(
-            tf.select(Summarizer.sum(F.col("tf")).alias("s"))
-            .first()["s"]
-            .toArray()
-        )
-        p = counts[counts > 0] / counts.sum()
-        unigram_h = float(-(p * np.log(p)).sum())
-        return (
-            len(cv.vocabulary),
-            round(lda.logLikelihood(tf), 2),
-            round(lda.logPerplexity(tf), 4),
-            unigram_h,
-        )
+        # The online-LDA fit samples the corpus every one of its 10
+        # iterations, and the two eval scalars + the Summarizer pass scan
+        # it twice more — ~13 passes total, each of which would re-run the
+        # CountVectorizerModel UDF over the token arrays. Persist the
+        # transformed tf ONCE for the build and release it before
+        # returning (guide §5: cache only what is reused, unpersist when
+        # done; values are untouched — same frame, fewer recomputes).
+        tf = cv.transform(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            lda = LDA(
+                k=LDA_K, maxIter=10, seed=SEED, optimizer="online", featuresCol="tf"
+            ).fit(tf)
+            counts = np.asarray(
+                tf.select(Summarizer.sum(F.col("tf")).alias("s"))
+                .first()["s"]
+                .toArray()
+            )
+            total_tokens = counts.sum()
+            p = counts[counts > 0] / total_tokens
+            unigram_h = float(-(p * np.log(p)).sum())
+            # One eval pass, not two: ml.LDAModel.logPerplexity(ds) is
+            # DEFINED as -logLikelihood(ds)/corpusTokenCount (it delegates
+            # to mllib LocalLDAModel.logPerplexity, which computes exactly
+            # that from the same variational bound). corpusTokenCount is a
+            # sum of integer tf counts — equal to the Summarizer totals'
+            # sum above, exact in float64 far beyond this corpus size — so
+            # deriving the division reproduces logPerplexity's double
+            # bit-for-bit while skipping a second full per-doc inference
+            # pass over the corpus (guide §1.2: don't compute things
+            # twice).
+            ll = lda.logLikelihood(tf)
+            return (
+                len(cv.vocabulary),
+                round(ll, 2),
+                round(-ll / float(total_tokens), 4),
+                unigram_h,
+            )
+        finally:
+            tf.unpersist(blocking=False)
 
     return _derived_obj(cat, "lda_metrics", build)
 
@@ -966,10 +1070,7 @@ def ml_est_svd(cat: Catalog) -> DataFrame:
     """Truncated SVD singular values via RowMatrix.computeSVD
     (``SVDRunner.scala:120-155``; mllib RDD API — no DF equivalent in
     PySpark, mirroring the reference's use)."""
-    from pyspark.mllib.linalg.distributed import RowMatrix
-
-    rows = _mllib_emb_rdd(cat)  # session-shared, stays cached
-    svd = RowMatrix(rows).computeSVD(5, computeU=False)
+    svd = _emb_rowmatrix(cat).computeSVD(5, computeU=False)
     out = [(i, round(float(s), 4)) for i, s in enumerate(svd.s)]
     return cat.spark.createDataFrame(out, "component int, singular_value double")
 
@@ -983,15 +1084,12 @@ def ml_est_svd_energy(cat: Catalog) -> DataFrame:
     (round-6 verdict item 4). → one row (n_components, energy); energy
     rounded at 2 decimals, far above the eigensolver's ~1e-9 relative
     error at fixture scales."""
-    from pyspark.mllib.linalg.distributed import RowMatrix
-
     from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
         round_half_up_f,
     )
 
-    rows = _mllib_emb_rdd(cat)  # session-shared, stays cached
-    dim = len(rows.first())
-    svd = RowMatrix(rows).computeSVD(dim, computeU=False)
+    mat = _emb_rowmatrix(cat)  # session-shared, JVM-side
+    svd = mat.computeSVD(int(mat.numCols()), computeU=False)
     vals = [float(s) for s in svd.s]
     return cat.spark.createDataFrame(
         [(len(vals), round_half_up_f(sum(s * s for s in vals), 2))],
@@ -1011,14 +1109,12 @@ def ml_est_pca_energy(cat: Catalog) -> DataFrame:
     ~1e-12 covariance summation-order noise (invariant verified to
     1e-16 against DuckDB at fixture scale)."""
     import numpy as np
-    from pyspark.mllib.linalg.distributed import RowMatrix
 
     from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
         round_half_up_f,
     )
 
-    rows = _mllib_emb_rdd(cat)  # session-shared, stays cached
-    cov = RowMatrix(rows).computeCovariance().toArray()
+    cov = _emb_rowmatrix(cat).computeCovariance().toArray()
     lam = np.linalg.eigvalsh(cov)
     return cat.spark.createDataFrame(
         [(int(lam.size), round_half_up_f(float(lam.sum()), 4))],
@@ -1030,16 +1126,14 @@ def ml_est_covariance(cat: Catalog) -> DataFrame:
     """RowMatrix.computeCovariance (``CovRunner.scala:93-116``) over the
     lineitem numeric columns → long-format (i, j, cov). Half-up rounding
     (``functions/rounding``) so the DuckDB ``covar_samp`` twin hashes
-    identically (driver value-hash row since round 7)."""
-    from pyspark.mllib.linalg.distributed import RowMatrix
-
+    identically (driver value-hash row since round 7). The RowMatrix is
+    fed JVM-side (``_lineitem_cov``) — no Python RDD boundary."""
     from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
         round_half_up_f,
     )
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    rows = _mllib_lineitem_rdd(cat, tuple(cols))
-    cov = RowMatrix(rows).computeCovariance().toArray()
+    cov = _lineitem_cov(cat, tuple(cols))
     out = [
         (i, j, round_half_up_f(float(cov[i][j]), 4))
         for i in range(len(cols))
@@ -1169,20 +1263,43 @@ def ml_est_clf_acc_anchors(cat: Catalog) -> DataFrame:
     floor, SVC/bounded-LR vs the majority margin). The SQL twin emits six
     TRUEs — any single drifted estimator flips its bit and the value
     hash. All six fits are the session-shared ones their plain metric
-    queries consume."""
-    centroid_acc, _ = _centroid_baselines(cat, binary=False)
-    bin_centroid_acc, bin_majority_acc = _centroid_baselines(cat, binary=True)
+    queries consume.
+
+    The eight component computations (two exact centroid baselines + six
+    seeded fits) are mutually independent, and sequentially each one's many
+    small stages leave most of local[N] idle (driver latency between jobs,
+    single-partition model stages). They are submitted from a thread pool so
+    each job's tail is back-filled by the next (guide §2.6); values are
+    unchanged — every fit is seeded and its jobs are identical under
+    co-scheduling (tools/fit_parallel_ab.py asserts scalar equality). The
+    shared feature relation is materialized BEFORE the pool so concurrent
+    first-touch builds never race on the big input."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _features(cat)
+    n = _features_n(cat)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        f_cm = ex.submit(_centroid_baselines, cat, False)
+        f_cb = ex.submit(_centroid_baselines, cat, True)
+        f_dt = ex.submit(_dt_clf_acc, cat)
+        f_rf = ex.submit(_rf_clf_acc, cat)
+        f_gbt = ex.submit(_gbt_clf_acc, cat)
+        f_pipe = ex.submit(_gbt_pipeline_acc, cat)
+        f_svc = ex.submit(_svc_acc, cat)
+        f_lrb = ex.submit(_lrb_acc, cat)
+        centroid_acc, _ = f_cm.result()
+        bin_centroid_acc, bin_majority_acc = f_cb.result()
     f = TREE_CLF_CENTROID_FLOORS
-    dt_ok = _dt_clf_acc(cat) >= f["dt"] * centroid_acc
-    rf_ok = _rf_clf_acc(cat) >= f["rf"] * centroid_acc
-    gbt_ok = _gbt_clf_acc(cat) >= f["gbt"] * bin_centroid_acc
-    pipe_ok = _gbt_pipeline_acc(cat) >= f["pipe"] * bin_centroid_acc
-    svc_ok = _svc_acc(cat) >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
-    lrb_ok = _lrb_acc(cat) >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
+    dt_ok = f_dt.result() >= f["dt"] * centroid_acc
+    rf_ok = f_rf.result() >= f["rf"] * centroid_acc
+    gbt_ok = f_gbt.result() >= f["gbt"] * bin_centroid_acc
+    pipe_ok = f_pipe.result() >= f["pipe"] * bin_centroid_acc
+    svc_ok = f_svc.result() >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
+    lrb_ok = f_lrb.result() >= bin_majority_acc + BIN_CLF_MAJORITY_MARGIN
     return cat.spark.createDataFrame(
         [
             (
-                _features_n(cat),
+                n,
                 centroid_acc,
                 bin_centroid_acc,
                 bin_majority_acc,
@@ -1215,7 +1332,12 @@ def ml_est_reg_rmse_anchors(cat: Catalog) -> DataFrame:
     the embeddings); each seeded regressor rides in its own boolean
     (train RMSE within TREE_REG_SIGMA_BAND × σ). The SQL twin emits
     three TRUEs. Fits are the session-shared ones the plain metric
-    queries consume."""
+    queries consume — submitted concurrently from a thread pool (guide
+    §2.6, same rationale and safety argument as
+    ``ml_est_clf_acc_anchors``; the shared feature relation is
+    materialized by the σ aggregate before the pool starts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from spark_ml_algo_lib_master_tongji_spark.functions.rounding import (
         round_half_up,
     )
@@ -1231,14 +1353,18 @@ def ml_est_reg_rmse_anchors(cat: Catalog) -> DataFrame:
     def ok(rmse: float) -> bool:
         return lo <= rmse / sigma <= hi
 
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_dt = ex.submit(_dt_reg_rmse, cat)
+        f_rf = ex.submit(_rf_reg_rmse, cat)
+        f_gbt = ex.submit(_gbt_reg_rmse, cat)
     return cat.spark.createDataFrame(
         [
             (
                 _features_n(cat),
                 sigma,
-                ok(_dt_reg_rmse(cat)),
-                ok(_rf_reg_rmse(cat)),
-                ok(_gbt_reg_rmse(cat)),
+                ok(f_dt.result()),
+                ok(f_rf.result()),
+                ok(f_gbt.result()),
             )
         ],
         "n long, baseline_rmse double, dt_ok boolean, rf_ok boolean, "
