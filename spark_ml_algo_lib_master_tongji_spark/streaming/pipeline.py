@@ -68,6 +68,33 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+#: State-store parallelism for EVERY stateful streaming operator here: the
+#: number of streaming state partitions equals spark.sql.shuffle.partitions
+#: at query start (and is then baked into the checkpoint), and each
+#: stateful operator keeps one state store per partition — per-store fixed
+#: cost (version files, maintenance, commit) dominates a
+#: single-availableNow-batch run long before data does. First measured on
+#: the stream-stream join (7.8s warm at 32 partitions → 2.5s at 8,
+#: identical rows; flat in data size — pure per-store overhead), r14
+#: extends the same dial to the whole family via ``_stream_session``
+#: (min-of-2 at sf0.1, steal-quiet window: windowed counts 9.7s → 1.9s,
+#: distinct pairs 8.9s → 2.0s, sessionization 4.5s → 1.5s, user totals
+#: 4.8s → 2.0s). On a real cluster this dial is sized to key cardinality ×
+#: throughput, not CPU count — 8 is the local-harness setting, the
+#: operators themselves scale with whatever the deployment picks.
+STREAM_STATE_PARTITIONS = 8
+
+
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Isolated ``newSession`` (own SQLConf, shared context) sized for the
+    streaming family's state stores, so ``STREAM_STATE_PARTITIONS`` never
+    leaks into the caller's session — the returned DataFrames are same-JVM
+    and collect normally."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    return s
+
+
 def _run_to_table(result: DataFrame, name: str) -> DataFrame:
     """Execute with availableNow into a memory sink, await, return rows."""
     spark = result.sparkSession
@@ -88,6 +115,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type, n, sum_value). The canonical watermark + windowed-agg
     pattern; oracle = batch date_trunc aggregation (stream/batch
     equivalence)."""
+    spark = _stream_session(spark)
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", WATERMARK)
@@ -107,6 +135,7 @@ def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: watermarked dropDuplicates on
     (user_id, event_type) → the distinct key set (order-independent, so the
     arbitrary surviving row never shows). Oracle = batch SELECT DISTINCT."""
+    spark = _stream_session(spark)
     ev = events_stream(spark, sf_dir)
     dd = (
         ev.withWatermark("ts", WATERMARK)
@@ -124,6 +153,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging state bounded by the watermark; oracle = the batch
     gaps-and-islands SQL — exact equivalence of a *stateful* streaming
     operator."""
+    spark = _stream_session(spark)
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", WATERMARK)
@@ -152,6 +182,7 @@ def stream_nation_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow)."""
     from spark_ml_algo_lib_master_tongji_spark.sources.readers import load_table
 
+    spark = _stream_session(spark)
     ev = events_stream(spark, sf_dir)
     dim = F.broadcast(
         load_table(spark, sf_dir, "customer")
@@ -184,6 +215,7 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    spark = _stream_session(spark)
     ev = events_stream(spark, sf_dir).select("user_id", "value")
 
     out_schema = T.StructType(
@@ -246,20 +278,6 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_WINDOW_US = 3_600_000_000  # 1 hour
 ATTRIBUTION_WINDOW = f"{ATTRIBUTION_WINDOW_US} microseconds"
 
-#: state-store parallelism for the stream-stream join: the number of
-#: streaming state partitions equals spark.sql.shuffle.partitions at
-#: query start (and is then baked into the checkpoint), and EACH side of
-#: a stream-stream join keeps one state store per partition — per-store
-#: fixed cost (version files, maintenance, commit) dominates a
-#: single-availableNow-batch run long before data does. Measured at
-#: sf0.1: 7.8s warm at 32 partitions → 2.5s at 8, identical rows; flat
-#: in data size (sf1m ≈ sf0.1), i.e. pure per-store overhead. On a real
-#: cluster this dial is sized to key cardinality × throughput, not CPU
-#: count — 8 is the local-harness setting, the operator itself scales
-#: with whatever the deployment picks.
-STREAM_STATE_PARTITIONS = 8
-
-
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range bounds →
     (click_id, purchase_id, user_id, gap_us): every purchase attributed
@@ -278,10 +296,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``STREAM_STATE_PARTITIONS`` state-store sizing never leaks into
     the caller's session — the returned DataFrame is same-JVM and
     collects normally."""
-    spark = spark.newSession()
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-    )
+    spark = _stream_session(spark)
     ev = events_stream(spark, sf_dir)
     clicks = (
         ev.where(F.col("event_type") == "click")
