@@ -79,10 +79,27 @@ def simrank(cat: Catalog, n_iter: int = SIMRANK_ITERS) -> DataFrame:
     fwd = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     bwd = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
 
-    for _ in range(n_iter):
-        su_next = _pair_update(fwd, si, du.toDF("a", "d")).localCheckpoint(eager=True)
-        si_next = _pair_update(bwd, su, di.toDF("a", "d")).localCheckpoint(eager=True)
-        su, si = su_next, si_next
+    # Jacobi update: su_{k+1} and si_{k+1} both read only iteration k, so
+    # the two half-updates per round are independent jobs — submit them
+    # from a thread pool (guide §2.6) so the second's stages back-fill the
+    # first's tail instead of waiting for it. Each half is eagerly
+    # localCheckpoint-ed exactly as before; co-scheduling changes job
+    # overlap, not any task's input or reduction order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for _ in range(n_iter):
+            f_su = ex.submit(
+                lambda s=si: _pair_update(fwd, s, du.toDF("a", "d")).localCheckpoint(
+                    eager=True
+                )
+            )
+            f_si = ex.submit(
+                lambda s=su: _pair_update(bwd, s, di.toDF("a", "d")).localCheckpoint(
+                    eager=True
+                )
+            )
+            su, si = f_su.result(), f_si.result()
 
     return (
         su.where(F.col("a") < F.col("b"))
