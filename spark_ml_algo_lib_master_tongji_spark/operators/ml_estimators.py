@@ -1282,19 +1282,30 @@ def ml_est_clf_acc_anchors(cat: Catalog) -> DataFrame:
     unchanged — every fit is seeded and its jobs are identical under
     co-scheduling (tools/fit_parallel_ab.py asserts scalar equality). The
     shared feature relation is materialized BEFORE the pool so concurrent
-    first-touch builds never race on the big input."""
+    first-touch builds never race on the big input.
+
+    Submission order is longest-fit-first: concurrent jobs are scheduled
+    FIFO by submission time (guide §2.6 — "the earlier job gets resources
+    first, later jobs use what is left"), and the row's wall is bounded by
+    the slowest fit (the 20-iteration binary GBT, ~150 sequential boosting
+    jobs), so the long poles must claim resources from their first job while
+    the sub-5s fits back-fill their scheduling gaps — not the reverse, which
+    is what alphabetical submission did (the GBT queued behind four short
+    fits' early stages). Ordering changes only job priority, never any
+    task's input: values are pinned by the same seeded-fit argument as the
+    pooling itself."""
     from concurrent.futures import ThreadPoolExecutor
 
     _features(cat)
     n = _features_n(cat)
     with ThreadPoolExecutor(max_workers=8) as ex:
-        f_cm = ex.submit(_centroid_baselines, cat, False)
-        f_cb = ex.submit(_centroid_baselines, cat, True)
-        f_dt = ex.submit(_dt_clf_acc, cat)
-        f_rf = ex.submit(_rf_clf_acc, cat)
         f_gbt = ex.submit(_gbt_clf_acc, cat)
         f_pipe = ex.submit(_gbt_pipeline_acc, cat)
         f_svc = ex.submit(_svc_acc, cat)
+        f_dt = ex.submit(_dt_clf_acc, cat)
+        f_rf = ex.submit(_rf_clf_acc, cat)
+        f_cm = ex.submit(_centroid_baselines, cat, False)
+        f_cb = ex.submit(_centroid_baselines, cat, True)
         f_lrb = ex.submit(_lrb_acc, cat)
         centroid_acc, _ = f_cm.result()
         bin_centroid_acc, bin_majority_acc = f_cb.result()
@@ -1362,10 +1373,12 @@ def ml_est_reg_rmse_anchors(cat: Catalog) -> DataFrame:
     def ok(rmse: float) -> bool:
         return lo <= rmse / sigma <= hi
 
+    # Longest-fit-first submission (same FIFO-priority reasoning as the
+    # clf anchor row): the 20-iteration GBT bounds the pooled wall.
     with ThreadPoolExecutor(max_workers=3) as ex:
-        f_dt = ex.submit(_dt_reg_rmse, cat)
-        f_rf = ex.submit(_rf_reg_rmse, cat)
         f_gbt = ex.submit(_gbt_reg_rmse, cat)
+        f_rf = ex.submit(_rf_reg_rmse, cat)
+        f_dt = ex.submit(_dt_reg_rmse, cat)
     return cat.spark.createDataFrame(
         [
             (
@@ -1502,7 +1515,6 @@ def _gbt_pipeline_acc(cat: Catalog) -> float:
     )
 
     def compute() -> float:
-        from pyspark.ml import Pipeline
         from pyspark.ml.feature import (
             IndexToString,
             StringIndexer,
@@ -1524,26 +1536,43 @@ def _gbt_pipeline_acc(cat: Catalog) -> float:
             maxDepth=5,
             seed=SEED,
         )
+        # The 4 stages are fitted/applied explicitly — the exact sequence
+        # ``Pipeline(stages=[si, vi, gbt, its]).fit(df)`` runs internally
+        # (fit each estimator on the cumulative transform) — so that (a)
+        # the StringIndexer is fitted ONCE (the former shape fitted it a
+        # second time inside Pipeline.fit just to read ``labels`` for
+        # IndexToString), and (b) the indexed frame every GBT pass and the
+        # scoring pass read is persisted instead of re-deriving the two
+        # feature-indexing transforms per consumer (guide §5: reuse beats
+        # recompute for a frame consumed by fit + transform). Stage inputs
+        # are value- and partition-identical to the Pipeline path, so the
+        # seeded fit and its accuracy scalar are unchanged.
         sim = si.fit(df)
         its = IndexToString(
             inputCol="prediction",
             outputCol="predictedLabel",
             labels=sim.labels,
         )
-        model = Pipeline(stages=[si, vi, gbt, its]).fit(df)
-        # one agg job — the former filter-count / count / count trio
-        # re-scored the whole pipeline three times
-        row = (
-            model.transform(df)
-            .agg(
-                F.avg(
-                    (F.col("label_str") == F.col("predictedLabel")).cast(
-                        "double"
-                    )
-                ).alias("acc")
+        indexed = sim.transform(df)
+        prepared = vi.fit(indexed).transform(indexed)
+        prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            model = gbt.fit(prepared)
+            # one agg job — the former filter-count / count / count trio
+            # re-scored the whole pipeline three times
+            row = (
+                its.transform(model.transform(prepared))
+                .agg(
+                    F.avg(
+                        (F.col("label_str") == F.col("predictedLabel")).cast(
+                            "double"
+                        )
+                    ).alias("acc")
+                )
+                .first()
             )
-            .first()
-        )
+        finally:
+            prepared.unpersist(blocking=False)
         return round(float(row["acc"]), 4)
 
     return _derived_scalar(cat, "gbt_pipeline_acc", compute)
