@@ -57,8 +57,10 @@ def materialize(df: DataFrame, collect_first: bool = False):
             df.unpersist(blocking=False)
 
 
-#: derivation name → cumulative build seconds (process-global; bench diffs
-#: ``load_seconds()`` around each query for first-touch attribution).
+#: derivation name → cumulative build seconds (process-global; per-name
+#: attribution detail — note these are THREAD-seconds: concurrent builds
+#: each record their own duration here. ``load_seconds`` below is the
+#: wall-clock aggregate bench diffs around each query).
 LOAD_TALLY: dict[str, float] = {}
 
 #: nesting depth is PER-THREAD (a build on thread A must not suppress a
@@ -69,6 +71,19 @@ LOAD_TALLY: dict[str, float] = {}
 _local = threading.local()
 _tally_lock = threading.Lock()
 
+# Wall-clock load-region accounting (round-14 verdict item 6): the anchor
+# rows build several derivations CONCURRENTLY from a thread pool, so
+# summing per-build durations counted thread-seconds — 57.6s of "load"
+# inside a 13.8s query wall, driving costTime = wall − load negative.
+# Instead, overlapping outermost builds are merged into one wall-clock
+# region: the first build to start (across ALL threads) opens the region,
+# the last to finish closes it, and ``load_seconds`` reports total region
+# time — so wall − load ≥ 0 holds for pooled rows, and purely sequential
+# builds report exactly what the per-duration sum did.
+_active_builds = 0
+_region_start = 0.0
+_region_total = 0.0
+
 
 @contextlib.contextmanager
 def load_timer(name: str):
@@ -76,7 +91,14 @@ def load_timer(name: str):
     records (builds nest — ``copurchase_pairs`` touches ``sym_copurchase``
     inside its own build — and recording both would double-count the
     shared load)."""
+    global _active_builds, _region_start, _region_total
+    outermost = getattr(_local, "depth", 0) == 0
     _local.depth = getattr(_local, "depth", 0) + 1
+    if outermost:
+        with _tally_lock:
+            _active_builds += 1
+            if _active_builds == 1:
+                _region_start = time.perf_counter()
     t0 = time.perf_counter()
     try:
         yield
@@ -86,9 +108,18 @@ def load_timer(name: str):
         if _local.depth == 0:
             with _tally_lock:
                 LOAD_TALLY[name] = LOAD_TALLY.get(name, 0.0) + dt
+                _active_builds -= 1
+                if _active_builds == 0:
+                    _region_total += time.perf_counter() - _region_start
 
 
 def load_seconds() -> float:
-    """Cumulative session-shared derivation build time so far."""
+    """Cumulative wall-clock seconds spent inside session-shared derivation
+    builds so far (overlapping builds merged — see the region note above).
+    Counts a still-open region's elapsed time so a mid-build read stays
+    monotonic."""
     with _tally_lock:
-        return sum(LOAD_TALLY.values())
+        total = _region_total
+        if _active_builds:
+            total += time.perf_counter() - _region_start
+        return total
