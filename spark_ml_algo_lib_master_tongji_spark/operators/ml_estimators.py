@@ -536,8 +536,25 @@ def ml_est_als_rdd(cat: Catalog) -> DataFrame:
 
     ratings = (
         ratings_table(cat)
-        .sample(RDD_ARM_SAMPLE, seed=SEED)
-        .repartition(RDD_ARM_PARTITIONS)
+        # Deterministic sample (round-14 verdict item 8): ``sample(f,
+        # seed)`` draws per input partition, so the sampled row SET varied
+        # with upstream splits — measured n 119419–120297 and mse
+        # 0.249–0.263 across identical-code runs. A hash filter on the
+        # unique rating key is a pure function of the VALUES (the
+        # exact-integer-unit discipline of the SQL rows): the same rows
+        # survive under any partitioning, keeping the same ~RDD_ARM_SAMPLE
+        # fraction in expectation.
+        .where(
+            F.pmod(F.xxhash64("user", "item", F.lit(SEED)), F.lit(10000))
+            < int(round(RDD_ARM_SAMPLE * 10000))
+        )
+        # Hash-partition + sort by the key so block contents AND
+        # accumulation order are value-determined too (the former
+        # round-robin ``repartition(n)`` inherited the input's split
+        # layout) — with blocks pinned below, the whole fit is now
+        # reproducible run-to-run.
+        .repartition(RDD_ARM_PARTITIONS, "user", "item")
+        .sortWithinPartitions("user", "item")
         .cache()
     )
     r = ratings.rdd.map(

@@ -494,3 +494,23 @@ def test_anchor_fits_are_shared_with_rows_only_twins(spark):
     )
     fresh = sorted(k[2] for k in keys_after_twins - keys_after_anchors)
     assert not fresh, f"rows-only twins re-derived after anchors: {fresh}"
+
+
+def test_als_rdd_arm_reproducible(cat):
+    """Round-14 verdict item 8: the ALS RDD arm's sampled input is a pure
+    function of rating VALUES (hash filter + hash partitioning +
+    in-partition sort), so with ``blocks`` pinned the whole fit must be
+    reproducible — two invocations emit the identical row. (The former
+    ``sample()`` input drifted with upstream partition splits: measured
+    n 119419–120297 / mse 0.249–0.263 across identical-code runs.)"""
+    from spark_ml_algo_lib_master_tongji_spark.operators.ml_estimators import (
+        ml_est_als_rdd,
+    )
+
+    a = ml_est_als_rdd(cat).collect()[0]
+    b = ml_est_als_rdd(cat).collect()[0]
+    assert (a["mse"], a["users"], a["items"]) == (
+        b["mse"],
+        b["users"],
+        b["items"],
+    )
