@@ -496,3 +496,32 @@ def test_group_distinct_sketch_never_keyed_per_user(cat):
     for keys, fns in agg_nodes:
         if "approx_count_distinct" in fns:
             assert "user_id" not in keys, (keys, fns)
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        # the deliberate Arrow/Python boundaries of the engine — cogrouped
+        # KNN kernels, the Brandes mapInPandas arms, the multimodal stubs,
+        # and the semantic-dedup kernels all flow through these rows
+        "ml_knn_classifier",
+        "dedup_embedding_cosine",
+        "mm_byte_features",
+        "mm_frame_sample",
+        "text_lang_id",
+        "pipeline_semantic_dedup",
+    ],
+)
+def test_python_boundaries_are_arrow_not_pickled(spark, query):
+    """Round-14 verdict item 9: the census's combined python_evals bucket
+    could not see a regression from Arrow-batched evaluation back to the
+    pickled row-at-a-time ``BatchEvalPython`` path (guide §4.1/§4.3 — the
+    slow boundary). Pin the rows that deliberately cross the Python
+    boundary: their plans must contain NO BatchEvalPython node (the
+    full-registry gate is tools/plan_census.py's KNOWN_BATCH_EVAL check,
+    which fails the census on any hit)."""
+    from spark_ml_algo_lib_master_tongji_spark.registry import build_registry
+
+    df = build_registry()[query](spark, SF_SMOKE)
+    plan = _full_plan(df)
+    assert "BatchEvalPython" not in plan, query

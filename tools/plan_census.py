@@ -84,6 +84,13 @@ EAGER = {
 #: NOT listed here that plans a cartesian fails the census (exit 1).
 KNOWN_CARTESIAN = {"ml_est_als_recommend", "ml_est_als_rec_topk"}
 
+#: queries whose plan may legitimately contain a pickled-row
+#: ``BatchEvalPython`` node. Currently NONE: the RDD dispatch arms'
+#: Python lambdas live in RDD-layer jobs (invisible to DF plans), and
+#: every DataFrame-side Python boundary is Arrow-batched. Anything that
+#: plans a BatchEvalPython fails the census (exit 1).
+KNOWN_BATCH_EVAL: set[str] = set()
+
 PATTERNS = {
     "exchanges": r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
     "broadcasts": r"\bBroadcastExchange\b",
@@ -95,6 +102,13 @@ PATTERNS = {
         r"|MapInPandas|FlatMapCoGroupsInPandas"
         r"|FlatMapGroupsInPandasWithState|TransformWithStateInPandas)\b"
     ),
+    # Split out (round-14 verdict item 9): BatchEvalPython is the PICKLED
+    # row-at-a-time UDF path — every declared Python boundary in this
+    # engine is Arrow-batched (session Arrow configs + pandas UDFs), so a
+    # nonzero count here is a silent regression to the slow path that the
+    # combined python_evals bucket used to hide. Gated like cartesians:
+    # any hit outside KNOWN_BATCH_EVAL fails the census (exit 1).
+    "batch_evals": r"\bBatchEvalPython\b",
     "pushed_filters": r"PushedFilters: \[[^\]]",
     "partition_filters": r"PartitionFilters: \[[^\]]",
 }
@@ -224,6 +238,13 @@ def main() -> int:
     )
     for name in unexpected:
         print(f"!! {name}: unexpected CartesianProduct", file=sys.stderr)
+    unexpected_batch = sorted(
+        name
+        for name, c in rows.items()
+        if c.get("batch_evals") and name not in KNOWN_BATCH_EVAL
+    )
+    for name in unexpected_batch:
+        print(f"!! {name}: unexpected BatchEvalPython (pickled-row UDF)", file=sys.stderr)
     errors = sorted(name for name, c in rows.items() if "error" in c)
     for name in errors:
         print(f"!! {name}: {rows[name]['error']}", file=sys.stderr)
@@ -232,6 +253,8 @@ def main() -> int:
         "totals": totals,
         "known_cartesian": sorted(KNOWN_CARTESIAN),
         "unexpected_cartesian": unexpected,
+        "known_batch_eval": sorted(KNOWN_BATCH_EVAL),
+        "unexpected_batch_eval": unexpected_batch,
         "eager_executed": sorted(EAGER),
         "queries": rows,
     }
@@ -241,7 +264,7 @@ def main() -> int:
         f"{len(errors)} errors) -> {out_path}; totals: "
         + ", ".join(f"{k}={v}" for k, v in totals.items())
     )
-    return 1 if (unexpected or errors) else 0
+    return 1 if (unexpected or unexpected_batch or errors) else 0
 
 
 if __name__ == "__main__":
