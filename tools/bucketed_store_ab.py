@@ -46,8 +46,17 @@ def main() -> None:
     # below genuinely forces the shuffle-join regime bucketing exists for.
     if arm == "bucketed":
         for t in ("ab_store_fps", "ab_store_winnow"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")  # also clears a stale
-            # warehouse dir left by a killed run (LOCATION_ALREADY_EXISTS)
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            # A fresh process's in-memory catalog does not know the table,
+            # so the DROP is a no-op while the managed LOCATION survives
+            # from the previous invocation (LOCATION_ALREADY_EXISTS) —
+            # clear the warehouse dir itself.
+            import shutil
+
+            loc = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
         idx.fps.write.bucketBy(N_BUCKETS, "fp").sortBy("fp").mode(
             "overwrite"
         ).saveAsTable("ab_store_fps")
@@ -67,6 +76,16 @@ def main() -> None:
     delta = dedup._delta_docs(cat)
     base_docs = cat.documents.select("doc_id", "text")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # plan-shape evidence alongside the timings: how many Exchange nodes
+    # the REAL delta_decisions pays in this arm's store layout (the toy
+    # single-join differential lives in
+    # tests/test_plan_shapes.py::test_bucketed_store_sink_elides_store_side_exchange)
+    frame = dedup.delta_decisions(delta, fps, idx.sigs, winnow, base_docs)
+    plan = frame._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    print(
+        f"{arm} plan: exchanges={plan.count('Exchange ')} "
+        f"bucketed_scans={plan.count('SelectedBucketsCount') + plan.count('Bucketed: true')}"
+    )
     for r in range(3):
         t0 = time.perf_counter()
         n = benchlib.materialize(
