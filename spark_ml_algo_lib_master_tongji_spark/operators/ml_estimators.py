@@ -568,8 +568,12 @@ def ml_est_als_rdd(cat: Catalog) -> DataFrame:
     # state-store lesson, guide §2): pin it to the arm's own partition
     # count. Measured train 5.3s → 1.2s, predictAll 2.8s → 1.6s, mse
     # unchanged within the arm's run-to-run spread (no value-hash oracle;
-    # behavioral pytest bars only). At production scale RDD_ARM_PARTITIONS
-    # scales with the sampled volume and blocks follows it.
+    # behavioral pytest bars only — and note blocks changes mllib's
+    # per-block factor initialization, so the arm must STAY behaviorally
+    # checked, r14 ADVICE). RDD_ARM_PARTITIONS itself is a pinned
+    # fixture-scale constant (see its definition note); a full-data parity
+    # run (SPARK_GRAFT_RDD_ARM_SAMPLE=1.0) should raise it — and blocks
+    # with it — toward the input's real partition count.
     model = MllibALS.train(
         r, rank=8, iterations=5, lambda_=0.01, seed=SEED, blocks=RDD_ARM_PARTITIONS
     )

@@ -85,6 +85,12 @@ def simrank(cat: Catalog, n_iter: int = SIMRANK_ITERS) -> DataFrame:
     # first's tail instead of waiting for it. Each half is eagerly
     # localCheckpoint-ed exactly as before; co-scheduling changes job
     # overlap, not any task's input or reduction order.
+    # Known limitation (r14 ADVICE): plain pool workers do not inherit
+    # Spark thread-local properties under pinned-thread mode, so a job
+    # group / scheduler pool / cancellation set by a caller will not tag
+    # these two jobs. Nothing in this engine's harness uses job groups;
+    # a caller that does should wrap in pyspark.InheritableThread or set
+    # the properties inside the lambdas.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as ex:
